@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar extraction surface, re-expressed as pure Catalyst
+  * column expressions (whole-stage-codegen'd — no UDFs anywhere).
+  *
+  * Semantics pinned to the reference (SURVEY.md §2.5):
+  *  - F-1 `extract_founded`  — /root/reference/app.py:65-75
+  *  - F-2 `extract_email`    — /root/reference/app.py:78-81
+  *  - F-3 `extract_sentence_near_keyword` — /root/reference/app.py:84-87
+  *  - F-4 whitespace normalize — /root/reference/app.py:208
+  *  - F-5 lower+trim         — /root/reference/app.py:155
+  *  - F-12 truncate+ellipsis — /root/reference/index.html:686
+  *  - A-3 completeness/status — /root/reference/index.html:651-653
+  *  - K-2 ordered projection with null-fill — /root/reference/app.py:309
+  *
+  * All regexes are kept RE2-compatible (no backrefs/lookaround) so the same
+  * pattern runs identically in Spark (java.util.regex) and the DuckDB oracle.
+  */
+object Extraction {
+
+  /** F-4: collapse all whitespace runs to a single space. */
+  def normalizeWs(c: Column): Column = regexp_replace(c, "\\s+", " ")
+
+  /** F-5: lowercase + trim (anchor-text normalization). */
+  def normToken(c: Column): Column = trim(lower(c))
+
+  /** Spark regexp_extract returns "" on no-match; the reference returns
+    * None. Map "" -> NULL (DuckDB regexp_extract also returns "" -> same
+    * nullif in the oracle SQL). */
+  private def firstMatch(c: Column, pattern: String): Column =
+    nullif(regexp_extract(c, pattern, 0), lit(""))
+
+  /** F-1: first match of three prioritized founded-year patterns; returns
+    * the WHOLE match (group 0), e.g. "Founded in 1998". `coalesce`
+    * short-circuits, preserving the reference's priority order. */
+  val foundedPatterns: Seq[String] = Seq(
+    "(?i)Founded\\s+(?:in\\s+)?\\d{4}",
+    "(?i)Established\\s+(?:in\\s+)?\\d{4}",
+    "(?i)Since\\s+\\d{4}")
+  def extractFounded(c: Column): Column =
+    coalesce(foundedPatterns.map(p => firstMatch(c, p)): _*)
+
+  /** F-2: first email-shaped token (case-SENSITIVE, as in the reference). */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+  def extractEmail(c: Column): Column = firstMatch(c, emailPattern)
+
+  /** F-3: first dot-delimited "sentence" containing the keyword,
+    * case-insensitive, stripped. `kw` must be regex-literal (the reference
+    * interpolates it unquoted too; its only call site uses "about us"). */
+  def sentenceNear(c: Column, kw: String): Column =
+    trim(firstMatch(c, s"(?i)[^.]*$kw[^.]*"))
+
+  /** F-12: truncate with ellipsis at n chars. */
+  def truncateEllipsis(c: Column, n: Int): Column =
+    when(length(c) > n, concat(substring(c, 1, n), lit("…"))).otherwise(c)
+
+  /** A-3: count of non-null fields. */
+  def completeness(cols: Seq[Column]): Column =
+    cols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
+
+  /** A-3: Full / Partial / Empty status over a completeness count. */
+  def status(n: Column, full: Int): Column =
+    when(n === full, "Full").when(n > 0, "Partial").otherwise("Empty")
+
+  /** K-2: project exactly `cols` in order, null-filling absent ones. */
+  def orderedProjection(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(cols.map(c =>
+      if (present(c)) col(c) else lit(null).cast("string").as(c)): _*)
+  }
+
+  /** The flagship lead-extraction pipeline (reference §3.1 inner loop minus
+    * external I/O): documents.text plays the crawled-page corpus.
+    * Narrow, fully codegen'd map — scales linearly with input splits;
+    * column pruning means only (doc_id, text) is read from parquet. */
+  def leadExtract(docs: DataFrame): DataFrame = {
+    val t = normalizeWs(col("text"))
+    docs
+      .withColumn("founded_info", extractFounded(t))
+      .withColumn("about_us", sentenceNear(t, "about us"))
+      .withColumn("email", extractEmail(t))
+      .withColumn("completeness",
+        completeness(Seq(col("founded_info"), col("about_us"), col("email"))))
+      .withColumn("status", status(col("completeness"), 3))
+      .select("doc_id", "founded_info", "about_us", "email",
+        "completeness", "status")
+      .orderBy("doc_id")
+  }
+
+  /** A-1/A-2: global conditional non-null counts over the extraction
+    * result (the reference UI's stat tiles, index.html:669-675). */
+  def extractStats(docs: DataFrame): DataFrame = {
+    val lead = leadExtract(docs)
+    lead.agg(
+      count(lit(1)).as("n_docs"),
+      count(col("founded_info")).as("n_founded"),
+      count(col("about_us")).as("n_about"),
+      count(col("email")).as("n_email"),
+      sum(when(col("status") === "Empty", 1).otherwise(0)).as("n_empty"))
+  }
+}
