@@ -48,10 +48,12 @@ object Extraction {
   def extractEmail(c: Column): Column = firstMatch(c, emailPattern)
 
   /** F-3: first dot-delimited "sentence" containing the keyword,
-    * case-insensitive, stripped. `kw` must be regex-literal (the reference
-    * interpolates it unquoted too; its only call site uses "about us"). */
+    * case-insensitive, stripped. The keyword is regex-quoted (`\Q…\E`) so
+    * metacharacters in `kw` are matched literally — the reference
+    * interpolates it raw, but its only call site is the literal "about us",
+    * for which quoting is behavior-identical. */
   def sentenceNear(c: Column, kw: String): Column =
-    trim(firstMatch(c, s"(?i)[^.]*$kw[^.]*"))
+    trim(firstMatch(c, s"(?i)[^.]*${java.util.regex.Pattern.quote(kw)}[^.]*"))
 
   /** F-12: truncate with ellipsis at n chars. */
   def truncateEllipsis(c: Column, n: Int): Column =
@@ -65,17 +67,28 @@ object Extraction {
   def status(n: Column, full: Int): Column =
     when(n === full, "Full").when(n > 0, "Partial").otherwise("Empty")
 
-  /** K-2: project exactly `cols` in order, null-filling absent ones. */
-  def orderedProjection(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** K-2: project exactly `cols` in order, null-filling absent ones.
+    * Absent columns are cast to the type declared in `types` (so a typed
+    * sink schema is preserved), defaulting to string when unknown. */
+  def orderedProjection(df: DataFrame, cols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      : DataFrame = {
     val present = df.columns.toSet
-    df.select(cols.map(c =>
-      if (present(c)) col(c) else lit(null).cast("string").as(c)): _*)
+    df.select(cols.map { c =>
+      if (present(c)) col(c)
+      else types.get(c) match {
+        case Some(t) => lit(null).cast(t).as(c)
+        case None    => lit(null).cast("string").as(c)
+      }
+    }: _*)
   }
 
   /** The flagship lead-extraction pipeline (reference §3.1 inner loop minus
     * external I/O): documents.text plays the crawled-page corpus.
     * Narrow, fully codegen'd map — scales linearly with input splits;
-    * column pruning means only (doc_id, text) is read from parquet. */
+    * column pruning means only (doc_id, text) is read from parquet.
+    * Deliberately UNordered: global sorts belong at bounded sinks only
+    * (SURVEY T-4); the oracle-facing query wrapper adds orderBy(doc_id). */
   def leadExtract(docs: DataFrame): DataFrame = {
     val t = normalizeWs(col("text"))
     docs
@@ -87,7 +100,6 @@ object Extraction {
       .withColumn("status", status(col("completeness"), 3))
       .select("doc_id", "founded_info", "about_us", "email",
         "completeness", "status")
-      .orderBy("doc_id")
   }
 
   /** A-1/A-2: global conditional non-null counts over the extraction

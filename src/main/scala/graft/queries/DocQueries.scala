@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Extraction
+
+/** Oracle-checked queries over `documents`: the reference's extraction
+  * surface (SURVEY §2.5 F-1..F-5, F-12; §2.7 A-1..A-3; §2.2 K-2).
+  *
+  * Oracle notes (cross-engine determinism):
+  *  - DuckDB `regexp_replace` needs the 'g' flag (Spark is global by
+  *    default).
+  *  - DuckDB `regexp_extract` returns '' on no-match like Spark; both
+  *    sides wrap in nullif(..., '').
+  *  - DuckDB COUNT/SUM of ints widen to HUGEINT; oracle casts to BIGINT
+  *    to match Spark's LongType.
+  */
+object DocQueries extends QueryModule {
+
+  private val foundedSql =
+    """coalesce(nullif(regexp_extract(tx, '(?i)Founded\s+(?:in\s+)?\d{4}', 0), ''),
+      |         nullif(regexp_extract(tx, '(?i)Established\s+(?:in\s+)?\d{4}', 0), ''),
+      |         nullif(regexp_extract(tx, '(?i)Since\s+\d{4}', 0), ''))""".stripMargin
+  private val aboutSql =
+    """trim(nullif(regexp_extract(tx, '(?i)[^.]*about us[^.]*', 0), ''))"""
+  private val emailSql =
+    """nullif(regexp_extract(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', 0), '')"""
+  private val leadSql =
+    s"""WITH t AS (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS tx FROM documents),
+       |e AS (SELECT doc_id, $foundedSql AS founded_info, $aboutSql AS about_us, $emailSql AS email FROM t),
+       |c AS (SELECT *, (CASE WHEN founded_info IS NOT NULL THEN 1 ELSE 0 END
+       |               + CASE WHEN about_us IS NOT NULL THEN 1 ELSE 0 END
+       |               + CASE WHEN email IS NOT NULL THEN 1 ELSE 0 END) AS completeness FROM e)
+       |SELECT doc_id, founded_info, about_us, email, completeness,
+       |       CASE WHEN completeness = 3 THEN 'Full' WHEN completeness > 0 THEN 'Partial' ELSE 'Empty' END AS status
+       |FROM c""".stripMargin
+
+  val outputCols = Seq("doc_id", "lang", "source", "n_chars", "quality_note")
+
+  def defs: Map[String, Q] = Map(
+    // Flagship: F-1..F-4 + A-3 over documents; ordered at the sink only.
+    "lead_extract" -> ((s, d) =>
+      Extraction.leadExtract(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // A-1/A-2: global conditional non-null counts (the UI stat tiles).
+    "extract_stats" -> ((s, d) =>
+      Extraction.extractStats(Tables.documents(s, d))),
+
+    // K-2/P-1: fixed column order with typed null-fill for absent columns.
+    "ordered_projection" -> ((s, d) =>
+      Extraction.orderedProjection(Tables.documents(s, d), outputCols)
+        .orderBy("doc_id")),
+
+    // F-12: truncate-with-ellipsis preview (n=120, as the reference UI).
+    "truncate_preview" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Extraction.truncateEllipsis(col("text"), 120).as("preview"),
+          length(col("text")).as("n_len"))
+        .orderBy("doc_id")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "lead_extract" -> s"$leadSql ORDER BY doc_id",
+
+    "extract_stats" ->
+      s"""WITH lead AS ($leadSql)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(founded_info) AS BIGINT) AS n_founded,
+         |       CAST(count(about_us) AS BIGINT) AS n_about,
+         |       CAST(count(email) AS BIGINT) AS n_email,
+         |       CAST(sum(CASE WHEN status = 'Empty' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |FROM lead""".stripMargin,
+
+    "ordered_projection" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(NULL AS VARCHAR) AS quality_note
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "truncate_preview" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(text) > 120 THEN substr(text, 1, 120) || '…' ELSE text END AS preview,
+        |       CAST(length(text) AS INTEGER) AS n_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
