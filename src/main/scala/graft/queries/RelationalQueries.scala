@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Exact, Relational}
+
+/** M2 relational surface: star-schema joins, group-by aggregation,
+  * rollup/cube, window functions, semi/anti joins, date functions and set
+  * ops over the TPC-H-ish tables (SURVEY §2.4/§2.7, VERDICT item 3).
+  *
+  * All float aggregates go through [[Exact]] (decimal-exact, order-
+  * independent) so the DuckDB hash compare is deterministic. Every query
+  * orders by non-null keys (DuckDB sorts NULLS LAST, Spark NULLS FIRST).
+  */
+object RelationalQueries extends QueryModule {
+
+  def defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-filter-aggregate with partial+final agg; the
+    // shipdate filter must reach the parquet scan (PushedFilters).
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.decSum(col("l_quantity")).as("sum_qty"),
+          Exact.decSum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Exact.charge(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
+          Exact.decAvg(col("l_quantity")).as("avg_qty"),
+          Exact.decAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Five-table star join, dims broadcast; revenue per region/nation.
+    "revenue_by_nation" -> ((s, d) =>
+      Relational.starJoin(s, d)
+        .groupBy("r_name", "n_name")
+        .agg(
+          Exact.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name")),
+
+    // T-2 generalization: per-group top-k via window (rank of a customer's
+    // orders by price) — never a global sort, never groupByKey.
+    "top_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // Date bucketing: monthly order volume + exact revenue.
+    "monthly_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.decSum(col("o_totalprice")).as("total"))
+        .orderBy("month")),
+
+    // ROLLUP over region/nation; names coalesced so sort keys are non-null.
+    "rollup_region_nation" -> ((s, d) =>
+      Relational.starJoin(s, d)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_items"), col("revenue"))
+        .orderBy("region", "nation")),
+
+    // CUBE over two independent order dimensions.
+    "cube_status_priority" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"))
+        .orderBy("status", "priority")),
+
+    // Anti join: customers with no 1998 orders, by market segment (the
+    // unrestricted anti join is empty in this data — every customer has
+    // some order — so restrict the right side to keep the check real).
+    "cust_no_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o98 = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
+      c.join(o98, c("c_custkey") === o98("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Semi join: orders having at least one high-quantity line item.
+    "priority_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bigLines = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Broadcast dim joins on the other fact axes: revenue by part brand.
+    "brand_revenue" -> ((s, d) =>
+      Relational.partSupplierJoin(s, d)
+        .groupBy("p_brand")
+        .agg(
+          Exact.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          Exact.decSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    // Date part functions: per-ship-year stats incl. weekend share.
+    "ship_year_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.decSum(col("l_extendedprice")).as("sum_price"),
+          sum(when(dayofweek(col("l_shipdate")).isin(1, 7), 1).otherwise(0))
+            .as("n_weekend"))
+        .orderBy("ship_year")),
+
+    // Set ops: order-cohort retention between 1997 and 1998.
+    "order_cohorts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custsIn(y: Int) =
+        o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+      val both = custsIn(1997).intersect(custsIn(1998))
+        .agg(count(lit(1)).as("n_cust")).withColumn("cohort", lit("both"))
+      val only97 = custsIn(1997).except(custsIn(1998))
+        .agg(count(lit(1)).as("n_cust")).withColumn("cohort", lit("only_1997"))
+      val only98 = custsIn(1998).except(custsIn(1997))
+        .agg(count(lit(1)).as("n_cust")).withColumn("cohort", lit("only_1998"))
+      both.union(only97).union(only98)
+        .select("cohort", "n_cust").orderBy("cohort")
+    }),
+  )
+
+  import Exact._
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDecSum("l_quantity")} AS sum_qty,
+         |  ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  ${sqlCharge("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+         |  ${sqlDecAvg("l_quantity")} AS avg_qty,
+         |  ${sqlDecAvg("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "monthly_revenue" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |  count(*) AS n_orders, ${sqlDecSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "rollup_region_nation" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |  count(*) AS n_items,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "cube_status_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "cust_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "brand_revenue" ->
+      s"""SELECT p_brand,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  ${sqlDecSum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "ship_year_stats" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |  count(*) AS n_items, ${sqlDecSum("l_extendedprice")} AS sum_price,
+         |  CAST(sum(CASE WHEN dayofweek(l_shipdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+         |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
+
+    "order_cohorts" ->
+      """WITH c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |     c98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT 'both' AS cohort, count(*) AS n_cust FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'only_1997', count(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'only_1998', count(*) FROM (SELECT * FROM c98 EXCEPT SELECT * FROM c97)
+        |ORDER BY cohort""".stripMargin,
+  )
+}
