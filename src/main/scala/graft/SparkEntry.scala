@@ -12,6 +12,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     DocQueries,
     RelationalQueries,
+    LinkQueries,
+    EventQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.Exact
+
+/** Event-stream batch surface: JSON parse/flatten (F-9/F-10 over
+  * `events.props`), conditional aggregation (A-1..A-5), time bucketing,
+  * gap-based sessionization, and running-progress ratios (SURVEY §2.7,
+  * §2.9 batch-equivalent forms; streaming execution itself is covered in
+  * graft.streaming + its spec).
+  */
+object EventQueries extends QueryModule {
+
+  /** Prompt-pinned props schema (the testdata generator writes {"k": int}). */
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  def defs: Map[String, Q] = Map(
+    // F-9/F-10: schema'd parse + flatten + compact re-serialization.
+    "json_flatten" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"), propsSchema))
+        .select(col("event_id"), col("event_type"),
+          col("parsed.k").as("k"),
+          to_json(col("parsed")).as("props_norm"))
+        .orderBy("event_id")),
+
+    // JSON field aggregation by event type (exact int arithmetic).
+    "json_props_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // A-1/A-2 over the stream table: per-type counts + exact value sums.
+    "events_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.decSum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")),
+
+    // Tumbling-window counts (batch equivalent of the R-3 streaming agg).
+    "events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour")),
+
+    // Gap-based sessionization (30 min inactivity ends a session):
+    // lag + conditional sum, all window functions — no groupByKey state.
+    "user_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("is_new")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // A-4/A-5: daily running progress ratio over the event stream.
+    "running_daily_ratio" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .withColumn("cum_n", sum(col("n")).over(cum))
+        .withColumn("ratio",
+          col("cum_n").cast("double") / sum(col("n")).over(total).cast("double"))
+        .orderBy("day")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "json_flatten" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS props_norm
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_props_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_by_type" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       ${Exact.sqlDecSum("value")} AS sum_value,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "user_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "running_daily_ratio" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |       CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |       CAST(CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |            / CAST(sum(n) OVER () AS DOUBLE) AS DOUBLE) AS ratio
+        |FROM daily ORDER BY day""".stripMargin,
+  )
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{LinkSelection, UrlOps}
+
+/** Link-selection pipeline + URL functions (F-6/F-7/F-8, P-2..P-4,
+  * T-1..T-3) over a deterministic candidate frame derived from
+  * `documents` — the testdata has no real URLs, so we synthesize them
+  * reproducibly (pure column expressions, mirrored in the oracle SQL).
+  *
+  * The registered query scores with word-soup-adapted keywords so the
+  * score distribution is non-trivial on this data; the reference's exact
+  * keyword list and semantics are pinned in LinkSelectionSpec.
+  */
+object LinkQueries extends QueryModule {
+
+  /** Keywords that actually occur in the synthetic corpus. */
+  val SoupKeywords: Seq[String] = Seq(
+    "table", "join", "query", "group", "customer",
+    "row", "filter", "scan", "data", "value")
+
+  /** Candidate link frame: one candidate per document. ~1/17 have a NULL
+    * href (exercises P-2), ~1/5 are off-domain (exercises P-3). */
+  def candidates(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("source").as("company"),
+      concat(lit("https://www."), col("source"), lit(".example.com")).as("website"),
+      when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 5 === 0, lit("https://external.example.org/offsite"))
+        .otherwise(concat(lit("/"), col("lang"), lit("/p"), col("doc_id")))
+        .as("href"),
+      substring(col("text"), 1, 60).as("anchor_text"))
+
+  private val candidatesSql =
+    """SELECT source AS company,
+      |       'https://www.' || source || '.example.com' AS website,
+      |       CASE WHEN doc_id % 17 = 0 THEN NULL
+      |            WHEN doc_id % 5 = 0 THEN 'https://external.example.org/offsite'
+      |            ELSE '/' || lang || '/p' || doc_id END AS href,
+      |       substr(text, 1, 60) AS anchor_text
+      |FROM documents""".stripMargin
+
+  /** F-8 as SQL, kept in sync with LinkSelection.keywordScore. */
+  private def scoreSql(anchor: String, url: String, kws: Seq[String]): String =
+    kws.map { k =>
+      s"(CASE WHEN contains($anchor, '$k') THEN 2 ELSE 0 END + " +
+        s"CASE WHEN contains(lower($url), '$k') THEN 3 ELSE 0 END)"
+    }.mkString(" + ")
+
+  def defs: Map[String, Q] = Map(
+    // Full pipeline: null-filter → urljoin → same-domain → score → >0 →
+    // dedup → per-company top-3.
+    "link_topk" -> ((s, d) =>
+      LinkSelection.selectLinks(candidates(s, d), k = 3, keywords = SoupKeywords)
+        .orderBy("company", "rk")),
+
+    // F-7: host extraction via parse_url (no UDF).
+    "url_host" -> ((s, d) =>
+      candidates(s, d).select(col("company"), col("website"),
+          UrlOps.host(col("website")).as("host"))
+        .distinct()
+        .orderBy("company")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "link_topk" ->
+      s"""WITH cand AS ($candidatesSql),
+         |resolved AS (
+         |  SELECT company,
+         |         CASE WHEN href LIKE 'http%' THEN href ELSE website || href END AS full_url,
+         |         anchor_text, website
+         |  FROM cand WHERE href IS NOT NULL),
+         |same_domain AS (
+         |  SELECT * FROM resolved
+         |  WHERE contains(full_url, regexp_extract(website, '^https?://([^/:]+)', 1))),
+         |scored AS (
+         |  SELECT company, full_url,
+         |         ${scoreSql("trim(lower(anchor_text))", "full_url", SoupKeywords)} AS score
+         |  FROM same_domain),
+         |deduped AS (SELECT DISTINCT company, full_url, score FROM scored WHERE score > 0),
+         |ranked AS (
+         |  SELECT company, full_url, score,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY company
+         |              ORDER BY score DESC, full_url) AS INTEGER) AS rk
+         |  FROM deduped)
+         |SELECT company, full_url, score, rk FROM ranked
+         |WHERE rk <= 3 ORDER BY company, rk""".stripMargin,
+
+    "url_host" ->
+      s"""WITH cand AS ($candidatesSql)
+         |SELECT DISTINCT company, website,
+         |       regexp_extract(website, '^https?://([^/:]+)', 1) AS host
+         |FROM cand ORDER BY company""".stripMargin,
+  )
+}
