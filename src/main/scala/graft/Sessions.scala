@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session-wide configuration so Verify, Bench, and the
+  * test session can't drift apart.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` belongs here (not inside a
+  * table loader): it must hold before the first parquet footer is read,
+  * and setting it lazily from a getter was a hidden global side effect.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

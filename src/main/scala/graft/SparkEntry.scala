@@ -22,12 +22,22 @@ object SparkEntry {
       .leadExtract(Tables.documents(spark, "/root/testdata/sf0.001"))
       .orderBy("doc_id")
 
+  /** Merge module maps, failing fast if two modules register the same
+    * name (toMap would silently keep the last one and could pair a query
+    * with another module's oracle). */
+  private def merged[V](parts: Seq[Map[String, V]]): Map[String, V] = {
+    val all = parts.flatten
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.defs).toMap
+    merged(modules.map(_.defs))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracle).toMap
+    merged(modules.map(_.oracle))
 }

@@ -50,7 +50,11 @@ object LinkSelection {
       .withColumn("score",
         keywordScore(Extraction.normToken(col("anchor_text")), col("full_url"), keywords)) // F-8, F-5
       .filter(col("score") > 0)                              // P-4
-      .dropDuplicates("company", "full_url")                 // T-3
+      // T-3 dedup — deterministic: the same URL can appear under several
+      // anchor texts (hence several scores); keep the best score per URL
+      // rather than dropDuplicates' arbitrary-row pick.
+      .groupBy("company", "full_url")
+      .agg(max(col("score")).as("score"))
       .withColumn("rk", row_number().over(w))                // T-1/T-2
       .filter(col("rk") <= k)
       .select("company", "full_url", "score", "rk")

@@ -89,11 +89,15 @@ object EventQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // Null case mirrors Spark: to_json omits null struct fields → '{}'
+    // (DuckDB's struct_pack would serialize {"k":null} instead).
     "json_flatten" ->
-      """SELECT event_id, event_type,
-        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS props_norm
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH p AS (SELECT event_id, event_type,
+        |                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |           FROM events)
+        |SELECT event_id, event_type, k,
+        |       CASE WHEN k IS NULL THEN '{}' ELSE to_json(struct_pack(k := k)) END AS props_norm
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "json_props_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -114,11 +118,14 @@ object EventQueries extends QueryModule {
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
 
+    // ts truncated to micros (CAST from TIMESTAMP_NS) so the 30-minute
+    // gap test and lag ordering run at the same precision as Spark.
     "user_sessions" ->
-      """WITH lagged AS (
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |lagged AS (
         |  SELECT user_id, ts, event_id,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
+        |  FROM ev),
         |flagged AS (
         |  SELECT user_id,
         |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE

@@ -79,7 +79,8 @@ object LinkQueries extends QueryModule {
          |  SELECT company, full_url,
          |         ${scoreSql("trim(lower(anchor_text))", "full_url", SoupKeywords)} AS score
          |  FROM same_domain),
-         |deduped AS (SELECT DISTINCT company, full_url, score FROM scored WHERE score > 0),
+         |deduped AS (SELECT company, full_url, max(score) AS score
+         |            FROM scored WHERE score > 0 GROUP BY company, full_url),
          |ranked AS (
          |  SELECT company, full_url, score,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY company

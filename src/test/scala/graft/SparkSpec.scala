@@ -7,12 +7,8 @@ import org.scalatest.matchers.should.Matchers
 /** Shared local SparkSession for all specs (one JVM-wide session; specs
   * run in a forked JVM per build.sbt `Test / fork := true`). */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = Sessions.builder("4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
 
