@@ -14,6 +14,7 @@ object SparkEntry {
     RelationalQueries,
     LinkQueries,
     EventQueries,
+    TextQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

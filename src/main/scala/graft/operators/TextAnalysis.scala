@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, language-ID, quality scoring, and document
+  * fingerprinting over `documents.text` (extension scope on top of the
+  * reference's extraction surface, /root/reference/app.py:205-217; see
+  * SURVEY §7.3 M3).
+  *
+  * Everything here is pure column expressions (whole-stage codegen'd, no
+  * UDFs): at 100 TB these run as a narrow map over the scan with the
+  * text column pruned to exactly what's read. Cross-engine determinism:
+  * token hashes derive from md5 hex (identical in Spark and DuckDB) and
+  * all arithmetic is integer or single-expression double.
+  */
+object TextAnalysis {
+
+  /** Modulus for all token/rolling hashes (fits 31·P + P well inside a
+    * long, so the fold below never overflows). */
+  val HashMod = 1000000007L
+
+  /** Whitespace-normalized text (F-4) — tokenization assumes single
+    * spaces. */
+  def norm(text: Column): Column = trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation count: letter runs, digit runs, and
+    * single punctuation marks each count as one token (the common
+    * pre-tokenizer regex shape). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Deterministic 56-bit token hash from the md5 hex prefix, reduced
+    * mod [[HashMod]]. md5 is bit-identical across engines, which is what
+    * makes fingerprints and MinHash oracle-checkable. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 14), 16, 10).cast("long") % HashMod
+
+  /** Rolling polynomial fingerprint of the token sequence:
+    * h = fold(tokens, 0, (h, t) => (31·h + hash(t)) mod P). Order-
+    * sensitive by design (a permuted document fingerprints differently),
+    * computed as a sequential fold over the token array — per-row, so
+    * still embarrassingly parallel across rows. */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => tokenHash(t)),
+      lit(0L),
+      (h, x) => (h * lit(31L) + x) % lit(HashMod))
+
+  /** Occurrences of any of `words` in the token array (multiset count,
+    * not set intersection — 'the the' counts twice). */
+  def occurrences(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Tiny stopword profiles per language for the n-gram/stopword
+    * language-ID heuristic. Real systems use character n-gram models;
+    * the operator shape (score per language → argmax) is the same. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  /** Language guess: argmax of stopword-profile hits with a fixed
+    * priority order for ties; no hits at all → "und" (undetermined). */
+  def langGuess(toks: Column): Column = {
+    val hits = LangProfiles.map { case (l, ws) => l -> occurrences(toks, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), els) =>
+      when(h > 0 && h === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length,
+    * lexical diversity (type-token ratio), and a natural stopword rate.
+    * Single deterministic double expression, mirrored in the oracle. */
+  def qualityScore(nTok: Column, nDistinct: Column, stopHits: Column): Column = {
+    val lenTerm  = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val ttr      = nDistinct.cast("double") / nTok.cast("double")
+    val stopRate = stopHits.cast("double") / nTok.cast("double")
+    lit(0.4) * lenTerm + lit(0.3) * ttr +
+      lit(0.3) * (lit(1.0) - abs(stopRate - lit(0.4)))
+  }
+
+  /** Grade bands over the quality score. */
+  def grade(score: Column): Column =
+    when(score >= 0.6, "good").when(score >= 0.35, "fair").otherwise("poor")
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis._
+
+/** Oracle-checked text-analysis queries over `documents` (M3 extension
+  * scope): tokenization stats, language-ID, quality scoring, TF top-k,
+  * and order-sensitive document fingerprints.
+  *
+  * Oracle notes: DuckDB `len()` returns BIGINT (cast to INTEGER to match
+  * Spark's `size`); `string_split` keeps empty strings exactly like
+  * Spark's `split`, and both sides tokenize the same whitespace-
+  * normalized text; md5 hex is bit-identical in both engines, so the
+  * hash-derived fingerprints compare exactly.
+  */
+object TextQueries extends QueryModule {
+
+  /** Shared SQL fragment: whitespace-normalized text + token list. */
+  private val toksSql =
+    """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
+
+  private def occSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
+
+  private val profilesSql: String =
+    LangProfiles.map { case (l, ws) => s"${occSql(ws)} AS hits_$l" }.mkString(",\n       ")
+
+  private val guessSql: String = {
+    val langs = LangProfiles.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val arms = langs.map(l => s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString(" ")
+    s"CASE $arms ELSE 'und' END"
+  }
+
+  def defs: Map[String, Q] = Map(
+    // Language-ID confusion matrix: actual lang column vs stopword-
+    // profile argmax guess.
+    "lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .withColumn("lang_guess", langGuess(col("toks")))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")),
+
+    // Token counting: whitespace vs BPE-ish segmentation, per document.
+    "token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tx", norm(col("text")))
+        .select(col("doc_id"),
+          size(tokens(col("tx"))).as("n_ws_tokens"),
+          bpeTokenCount(col("tx")).as("n_bpe_tokens"),
+          size(array_distinct(tokens(col("tx")))).as("n_distinct"),
+          length(col("tx")).as("n_chars_norm"))
+        .orderBy("doc_id")),
+
+    // Heuristic quality score + grade bands, per document.
+    "text_quality" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          occurrences(col("toks"), LangProfiles.head._2).as("stop_hits"))
+      base
+        .withColumn("score",
+          qualityScore(col("n_tokens"), col("n_distinct"), col("stop_hits")))
+        .withColumn("grade", grade(col("score")))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document TF top-3 tokens (window top-k — never a global sort).
+    "tf_topk" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("token"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Corpus-level term frequency, top 20 tokens.
+    "token_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(norm(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    // Order-sensitive rolling-hash fingerprint per document.
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          fingerprint(col("toks")).as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT lang, $profilesSql FROM t),
+         |g AS (SELECT lang, $guessSql AS lang_guess FROM h)
+         |SELECT lang, lang_guess, count(*) AS n
+         |FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+
+    "token_stats" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS tx FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(string_split(tx, ' ')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(tx, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |       CAST(len(list_distinct(string_split(tx, ' '))) AS INTEGER) AS n_distinct,
+        |       CAST(length(tx) AS INTEGER) AS n_chars_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |             CAST(len(toks) AS INTEGER) AS n_tokens,
+         |             CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |             ${occSql(LangProfiles.head._2)} AS stop_hits
+         |      FROM t),
+         |s AS (SELECT *,
+         |             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4)) AS score
+         |      FROM b)
+         |SELECT doc_id, n_tokens, n_distinct, stop_hits, score,
+         |       CASE WHEN score >= 0.6 THEN 'good'
+         |            WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END AS grade
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "tf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY doc_id, token),
+         |r AS (SELECT doc_id, token, cnt,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                  ORDER BY cnt DESC, token) AS INTEGER) AS rk
+         |      FROM c)
+         |SELECT doc_id, token, cnt, rk FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "token_counts" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM t GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(toks,
+         |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
+         |         (h, x) -> (h * 31 + x) % 1000000007) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

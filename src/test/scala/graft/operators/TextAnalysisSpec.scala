@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(c.as("v")).collect().head.get(0)
+  }
+  private def toksOf(text: String) = tokens(norm(col("text")))
+
+  test("fingerprint is order-sensitive and stable") {
+    val a = one("alpha beta gamma", fingerprint(toksOf("")))
+    val b = one("beta alpha gamma", fingerprint(toksOf("")))
+    val a2 = one("alpha beta gamma", fingerprint(toksOf("")))
+    a should not equal b
+    a shouldEqual a2
+    a.asInstanceOf[Long] should (be >= 0L and be < HashMod)
+  }
+
+  test("langGuess picks argmax with fixed priority on ties, und on zero hits") {
+    one("the cat and the dog", langGuess(toksOf(""))) shouldEqual "en"
+    one("el que la vida", langGuess(toksOf(""))) shouldEqual "es"
+    // 'la' hits both es and fr equally -> es wins by priority order
+    one("la la", langGuess(toksOf(""))) shouldEqual "es"
+    one("zzz qqq", langGuess(toksOf(""))) shouldEqual "und"
+  }
+
+  test("occurrences counts multiset hits, not set intersection") {
+    one("the the a x", occurrences(toksOf(""), Seq("the", "a"))) shouldEqual 3
+  }
+
+  test("bpe tokenization splits letter runs, digit runs, single punct") {
+    one("ab2 c-d", bpeTokenCount(col("text"))) shouldEqual 5
+  }
+
+  test("grade bands are right-open at thresholds") {
+    import spark.implicits._
+    val df = Seq(0.61, 0.6, 0.35, 0.349).toDF("s").select(grade(col("s")).as("g"))
+    df.collect().map(_.getString(0)).toSeq shouldEqual Seq("good", "good", "fair", "poor")
+  }
+}
