@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Oracle-checked deduplication queries over `documents` (M3):
+  * exact hash groups, shingle-Jaccard near-dup pairs (size-band-pruned
+  * equi-join — never all-pairs), MinHash+LSH banded candidates with
+  * exact verification, and per-document SimHash.
+  *
+  * The sf0.01 corpus contains ~25 generator-planted near-dup pairs at
+  * 3-shingle Jaccard ≥ 0.9 (everything unrelated sits < 0.15), so the
+  * thresholds below produce non-trivial, well-separated results.
+  */
+object DedupQueries extends QueryModule {
+  import Dedup._
+
+  /** Shared SQL: normalized tokens → distinct 3-shingles → hashes. */
+  private val shSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> array_to_string(toks[i:i+2], ' '))) AS ss
+      |  FROM (SELECT doc_id,
+      |               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents)),
+      |shh AS (
+      |  SELECT doc_id, ss,
+      |         list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007) AS hs
+      |  FROM sh)""".stripMargin
+
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
+
+  def defs: Map[String, Q] = Map(
+    // Exact dedup: one hash-partitioned groupBy on the content hash.
+    "exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("text_hash")),
+
+    // Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5. The join is on a
+    // shingle equi-key with a 2× size-band prune folded into the join
+    // condition (Jaccard ≥ 0.5 is impossible when one set is more than
+    // twice the other), so no document pair outside the band is shuffled.
+    "ngram_jaccard" -> ((s, d) => {
+      val e = shingled(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
+      val p = e.as("a").join(e.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("common"),
+          max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
+      p.withColumn("jac",
+          col("common").cast("double") /
+            (col("n1") + col("n2") - col("common")).cast("double"))
+        .filter(col("jac") >= 0.5)
+        .select("d1", "d2", "n1", "n2", "common", "jac")
+        .orderBy("d1", "d2")
+    }),
+
+    // MinHash(16) + LSH (4 bands × 4 rows) candidates, then exact-
+    // Jaccard verification at ≥ 0.8. Only band-colliding pairs are ever
+    // compared — the 100 TB-safe shape (candidates ≪ n²).
+    "minhash_lsh" -> ((s, d) => {
+      val sh = shingled(Tables.documents(s, d))
+      val sig = sh.select(col("doc_id") +: minhashSig(col("hs")): _*)
+      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+      val stacked = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_key")))
+      val pairs = stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      pairs
+        .join(sh.select(col("doc_id"), col("ss")).as("a"), col("d1") === col("a.doc_id"))
+        .join(sh.select(col("doc_id"), col("ss")).as("b"), col("d2") === col("b.doc_id"))
+        .withColumn("jac", jaccard(col("a.ss"), col("b.ss")))
+        .filter(col("jac") >= 0.8)
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2")
+    }),
+
+    // Per-document 16-bit SimHash over the token-hash multiset.
+    "simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hs",
+          transform(TextAnalysis.tokens(TextAnalysis.norm(col("text"))),
+            t => TextAnalysis.tokenHash(t)))
+        .select(col("doc_id"), simhash(col("hs")).as("sh16"))
+        .orderBy("doc_id")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "exact_dedup" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH $shSql,
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, n1, n2, common,
+         |       CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jac
+         |FROM p
+         |WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "minhash_lsh" -> {
+      val sigCols = (0 until MinHashK).map { i =>
+        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+      }.mkString(",\n       ")
+      val bandCols = (0 until 4).map { b =>
+        s"concat_ws('-', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $shSql,
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |FROM shh),
+         |bands AS (SELECT doc_id,
+         |       $bandCols
+         |FROM sig),
+         |stacked AS (
+         |      $stacked),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id)
+         |SELECT p.d1, p.d2, $jaccardSql AS jac
+         |FROM pairs p
+         |JOIN shh a ON p.d1 = a.doc_id
+         |JOIN shh b ON p.d2 = b.doc_id
+         |WHERE $jaccardSql >= 0.8
+         |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    "simhash" -> {
+      val votes = (0 until SimHashBits).map { j =>
+        s"list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS w$j"
+      }.mkString(",\n       ")
+      val bits = (0 until SimHashBits)
+        .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |             list_transform(
+         |               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |               s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007) AS hs
+         |           FROM documents),
+         |w AS (SELECT doc_id,
+         |       $votes
+         |FROM t)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS sh16
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+  )
+}
