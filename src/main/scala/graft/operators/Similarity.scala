@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`, M3
+  * extension scope): brute-force cosine top-k as the exact baseline and
+  * a sign-bit LSH bucketing as the scale path.
+  *
+  * Cross-engine exactness: doubles summed in engine-dependent order are
+  * not hash-comparable, so all dot products run in **fixed-point**:
+  * each element is quantized to `floor(x · 1e7)` as a long, and the dot
+  * product/norms are exact integer sums (order-independent; 64 dims ×
+  * (5e6)² stays < 2^53, far inside a long). The final cosine is one
+  * double division over identical integers, hence bit-identical in
+  * Spark and DuckDB.
+  *
+  * Scale posture (100 TB): queries are broadcast (small side), so
+  * brute-force scoring is a map-side nested-loop over the candidate
+  * scan — no shuffle until the per-query top-k window on `q_id`. The
+  * LSH variant replaces the cross product with an equi-join on bucket
+  * keys. Per-query top-k is a `row_number` window, never a global sort.
+  */
+object Similarity {
+
+  /** Fixed-point scale: 7 decimal digits — below float32's ~7.2 digits
+    * of precision for unit-range values, so quantization is faithful. */
+  val Scale = 1e7
+
+  /** Quantize a float array to longs: floor(x · 1e7). Float→double is
+    * exact; the product and floor round identically in both engines. */
+  def quantize(arr: Column): Column =
+    transform(arr, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+
+  /** Exact integer dot product of two quantized arrays (sequential fold,
+    * but integer addition is order-independent anyway). */
+  def dotFx(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from exact integer dot + norms; norms are multiplied as
+    * doubles (their long product would overflow). */
+  def cosFx(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  /** Sign-bit LSH bucket: bit i set when dimension i is non-negative —
+    * random-hyperplane hashing with axis-aligned planes. `bits` controls
+    * the bucket count (2^bits). */
+  def signBucket(arr: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(arr, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+}

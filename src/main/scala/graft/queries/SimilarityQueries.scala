@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity._
+
+/** Oracle-checked similarity-search queries over `embeddings` (M3):
+  * brute-force cosine kNN, sign-bit-LSH approximate kNN, and exact
+  * per-label centroid sums. Query vectors are vec_id < 10; candidates
+  * are the rest.
+  *
+  * All scoring is fixed-point (see [[graft.operators.Similarity]]), so
+  * the DuckDB oracle reproduces every integer exactly and the one
+  * double division is bit-identical.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val K = 5
+  private val LshBits = 6
+  private val LshK = 3
+
+  /** vec_id, quantized embedding, exact squared norm. */
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("qe"))
+      .withColumn("nq", dotFx(col("qe"), col("qe")))
+
+  private def scored(cands: DataFrame, qs: DataFrame): DataFrame =
+    cands
+      .withColumn("dot_fx", dotFx(col("qe"), col("q_qe")))
+      .withColumn("cos", cosFx(col("dot_fx"), col("nq"), col("q_nq")))
+
+  /** Shared oracle CTE: quantized embeddings + exact norms. */
+  private val baseSql =
+    """q AS (SELECT vec_id, embedding,
+      |             list_transform(embedding,
+      |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qe
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, embedding, qe,
+      |             CAST(list_sum(list_transform(range(1, len(qe) + 1),
+      |               i -> qe[i] * qe[i])) AS BIGINT) AS nq
+      |      FROM q)""".stripMargin
+
+  private val dotSql =
+    "CAST(list_sum(list_transform(range(1, len(c.qe) + 1), i -> c.qe[i] * qq.qe[i])) AS BIGINT)"
+
+  def defs: Map[String, Q] = Map(
+    // Brute-force cosine top-5 per query vector. Queries broadcast; the
+    // candidate scan is scored map-side, then one window on q_id.
+    "knn_cosine" -> ((s, d) => {
+      val b = base(s, d)
+      val qs = broadcast(b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"), col("nq").as("q_nq")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored(b.filter(col("vec_id") >= 10).crossJoin(qs), qs)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("rk"), col("dot_fx"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // LSH path: candidates only from the query's sign-bit bucket
+    // (equi-join on the bucket key instead of a cross product). Some
+    // queries may legitimately find < k neighbors — that's the recall
+    // trade-off bucketing buys scale with.
+    "ann_lsh_bucket" -> ((s, d) => {
+      val b = base(s, d).withColumn("bucket", signBucket(col("embedding"), LshBits))
+      val qs = broadcast(b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"),
+          col("qe").as("q_qe"), col("nq").as("q_nq")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored(b.filter(col("vec_id") >= 10).join(qs, "bucket"), qs)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= LshK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("bucket"), col("rk"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Exact fixed-point centroid sums per (label, dimension): the
+    // aggregation shape of embedding analytics, partial+final over one
+    // shuffle on (label, pos).
+    "label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_fx"))
+        .orderBy("label", "pos")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "knn_cosine" ->
+      s"""WITH $baseSql,
+         |sc AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
+         |       FROM n c CROSS JOIN n qq
+         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |sc2 AS (SELECT q_id, neighbor_id, dot_fx,
+         |               CAST(dot_fx AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE)) AS cos
+         |        FROM sc),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |      FROM sc2)
+         |SELECT q_id, neighbor_id, rk, dot_fx, cos FROM r
+         |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
+
+    "ann_lsh_bucket" -> {
+      val bucketSql = (0 until LshBits)
+        .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $baseSql,
+         |bk AS (SELECT *, CAST($bucketSql AS BIGINT) AS bucket FROM n),
+         |sc AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id, c.bucket,
+         |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
+         |       FROM bk c JOIN bk qq ON c.bucket = qq.bucket
+         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |sc2 AS (SELECT q_id, neighbor_id, bucket,
+         |               CAST(dot_fx AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE)) AS cos
+         |        FROM sc),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |      FROM sc2)
+         |SELECT q_id, neighbor_id, bucket, rk, cos FROM r
+         |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "label_centroids" ->
+      """WITH q AS (SELECT label,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qe
+        |           FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vecs,
+        |       CAST(sum(qe[i]) AS BIGINT) AS sum_fx
+        |FROM q, range(1, 65) t(i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+  )
+}
