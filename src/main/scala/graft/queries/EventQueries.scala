@@ -71,6 +71,14 @@ object EventQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // Native session_window sessionization (same operator streams with
+    // a watermark — graft.streaming.EventStream.sessionWindows); the
+    // oracle reproduces it with lag + cumulative-sum session ids.
+    "session_windows" -> ((s, d) =>
+      graft.streaming.EventStream
+        .sessionWindows(Tables.events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
     // A-4/A-5: daily running progress ratio over the event stream.
     "running_daily_ratio" -> ((s, d) => {
       val daily = Tables.events(s, d)
@@ -134,6 +142,32 @@ object EventQueries extends QueryModule {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Spark session_window merges INCLUSIVELY at the boundary: an event
+    // at exactly prev_ts + gap extends the session (pinned in
+    // EventStreamSpec), so a new session starts only when ts > prev +
+    // gap — same `>` as user_sessions. end = last event + gap.
+    "session_windows" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |lagged AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM ev),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "running_daily_ratio" ->
       """WITH daily AS (

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming surface (SURVEY §2.9 R-1..R-4 + the extension
+  * windows/watermark/session ops).
+  *
+  * The reference's streaming layer is a hand-rolled SSE queue polled
+  * every 0.3 s with shared-dict state (/root/reference/server.py:69-75,
+  * 337-358); each transform below is the Spark-native replacement and
+  * works unchanged on a batch DataFrame (same Catalyst plan), which is
+  * how the batch-equivalence specs pin semantics. State stores are
+  * keyed and partitioned — nothing here accumulates driver-side.
+  */
+object EventStream {
+
+  /** R-1: the typed progress event frame (type/data/ts,
+    * server.py:69-75). Analytics events in testdata play this role. */
+  val eventColumns: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** R-3: update-mode per-type counters (the UI stat tiles A-1/A-2).
+    * `approx_count_distinct` (HLL++) instead of exact distinct — exact
+    * distinct isn't available under incremental state, and the sketch
+    * is mergeable across partitions and batches. */
+  def typeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"))
+
+  /** Tumbling event-time window with a 2-hour watermark: late data
+    * beyond the watermark is dropped, windows finalize incrementally. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization via the native session_window operator
+    * (events within `gap` of the session end extend it; session end =
+    * last event + gap). Same shape batch or streaming. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw").getField("start").as("session_start"),
+        col("sw").getField("end").as("session_end"), col("n_events"))
+
+  /** Stateful dedup bounded by the watermark — the streaming version of
+    * T-3 that doesn't grow state forever. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** R-4: incremental materialization — every micro-batch lands in the
+    * sink directory as its own append (the crash-safe-partial-results
+    * semantics of the reference's rewrite-per-row, app.py:303-310, at
+    * per-batch rather than per-row granularity). */
+  def incrementalParquetSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+}

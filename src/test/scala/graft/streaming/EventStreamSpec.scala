@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** R-1..R-4 + watermark/window/session semantics, driven through real
+  * micro-batch execution with MemoryStream sources and memory/parquet
+  * sinks (the SSE queue + poller of server.py:337-358, Spark-native). */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click") =
+    Ev(id, ts(minute), user, typ, 1.0, "{}")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("R-2/R-3: update-mode type counts evolve across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.typeCounts(in.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tc").option("checkpointLocation", tmp("tc")).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1), ev(3, 2, typ = "buy"))
+      q.processAllAvailable()
+      val after1 = spark.table("tc").groupBy("event_type")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      after1 shouldEqual Map("click" -> 2L, "buy" -> 1L)
+
+      in.addData(ev(4, 3), ev(5, 4))
+      q.processAllAvailable()
+      // update mode re-emits only the changed key with its new total
+      val after2 = spark.table("tc").groupBy("event_type")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      after2 shouldEqual Map("click" -> 4L, "buy" -> 1L)
+    } finally q.stop()
+  }
+
+  test("R-4: foreachBatch parquet sink accumulates micro-batch appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = tmp("sink-out")
+    val q = EventStream.incrementalParquetSink(in.toDF(), out, tmp("sink-ckpt"))
+    try {
+      in.addData(ev(1, 0), ev(2, 1)); q.processAllAvailable()
+      spark.read.parquet(out).count() shouldEqual 2
+      in.addData(ev(3, 2)); q.processAllAvailable()
+      spark.read.parquet(out).count() shouldEqual 3
+    } finally q.stop()
+  }
+
+  test("watermarked hourly windows finalize and drop too-late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.hourlyCounts(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hw").option("checkpointLocation", tmp("hw")).start()
+    try {
+      in.addData(ev(1, 10), ev(2, 20), ev(3, 70))
+      q.processAllAvailable()
+      // push event time far ahead: watermark (max - 2h) passes hour 0+1
+      in.addData(ev(4, 60 * 5))
+      q.processAllAvailable()
+      // an event older than the watermark must be dropped, not re-opened
+      in.addData(ev(99, 15))
+      q.processAllAvailable()
+      in.addData(ev(5, 60 * 9)) // close hour 5 too
+      q.processAllAvailable()
+      val rows = spark.table("hw")
+        .select(hour(col("hour")).as("h"), col("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      rows.get(0) shouldEqual Some(2L) // late ev(99) not counted
+      rows.get(1) shouldEqual Some(1L)
+      rows.get(5) shouldEqual Some(1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeats of event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.dedupWithinWatermark(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dd").option("checkpointLocation", tmp("dd")).start()
+    try {
+      in.addData(ev(1, 0), ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      in.addData(ev(1, 3), ev(3, 4))
+      q.processAllAvailable()
+      spark.table("dd").select("event_id").as[Long].collect().sorted
+        .toSeq shouldEqual Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("session_window semantics: gap merges inclusively at the boundary") {
+    import spark.implicits._
+    // batch frame, same operator the streaming path uses
+    val df = Seq(
+      ev(1, 0), ev(2, 29),          // merged: 29 ≤ 0 + 30-min gap, end extends to 59
+      ev(3, 59),                    // 59 ≤ 29+30 → same session, end 89
+      ev(4, 89),                    // exactly at end (89 = 59+30) → still MERGES
+      ev(5, 120),                   // 120 > 89+30 → new session
+      ev(6, 200, user = 2L)
+    ).toDF()
+    val sess = EventStream.sessionWindows(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    sess.length shouldEqual 3
+    sess(0).getAs[Long]("n_events") shouldEqual 4
+    sess(0).getAs[Timestamp]("session_end") shouldEqual ts(119)
+    sess(1).getAs[Timestamp]("session_start") shouldEqual ts(120)
+    sess(2).getAs[Long]("user_id") shouldEqual 2L
+  }
+
+  test("batch ≡ stream: typeCounts totals match the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 50).map(i => ev(i, i, user = i % 7, typ = if (i % 3 == 0) "buy" else "click"))
+    val in = MemoryStream[Ev]
+    val q = EventStream.typeCounts(in.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("eq").option("checkpointLocation", tmp("eq")).start()
+    try {
+      data.grouped(17).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.table("eq").groupBy("event_type")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = EventStream.typeCounts(data.toDF()).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+      streamed shouldEqual batch
+    } finally q.stop()
+  }
+}
