@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Enrichment, MockEnricher, Multimodal}
+
+/** O-9/O-11 enrichment pipeline and multimodal plumbing as
+  * oracle-checked queries.
+  *
+  * `enrich_flatten` runs the real mapPartitions enrichment map with the
+  * deterministic [[MockEnricher]], then the F-9/F-10 schema'd parse +
+  * flatten — because the mock is a pure function of the row, the oracle
+  * reconstructs every flattened column (including the null-skip rows)
+  * in plain SQL. */
+object EnrichQueries extends QueryModule {
+  import Enrichment._
+
+  def defs: Map[String, Q] = Map(
+    // Full O-9 → F-9 → F-10 pipeline over documents: every 7th doc has
+    // no usable about-text → enricher skips → enrichment columns null,
+    // base row survives (the J-1 left-outer shape).
+    "enrich_flatten" -> ((s, d) => {
+      import s.implicits._
+      val in = Tables.documents(s, d).select(
+          col("doc_id"), col("source").as("company"),
+          concat(lit("https://www."), col("source"), lit(".example.com")).as("website"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(substring(col("text"), 1, 80)).as("about"))
+        .as[EnrichIn]
+      flatten(enrichMap(in, MockEnricher).toDF()).orderBy("doc_id")
+    }),
+
+    // F-11: prompt templating as a pure column expression.
+    "prompt_render" -> ((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          concat(lit("Analyze "), col("source"),
+            lit(" (https://www."), col("source"), lit(".example.com). Context: "),
+            substring(col("text"), 1, 40)).as("prompt"))
+        .orderBy("doc_id")),
+
+    // Multimodal metadata aggregation: binary payload sizes by kind
+    // (the content bytes themselves are exercised in MultimodalSpec).
+    "media_stats" -> ((s, d) =>
+      Multimodal.syntheticMedia(Tables.documents(s, d))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("content"))).as("total_bytes"),
+          min(col("width")).as("min_width"),
+          max(col("height")).as("max_height"))
+        .orderBy("kind")),
+  )
+
+  def oracle: Map[String, String] = {
+    val filled = Map(
+      "company_overview" ->
+        """'{"name":"' || company || '","summary":"' || company || ' operates a data platform"}'""",
+      "business_model" -> """'{"model":"saas","channels":"direct"}'""",
+      "leadership" -> "company || ' team'",
+      "executive_brief" -> "'Brief for ' || company")
+    val keyCols = FlattenKeys.map { k =>
+      filled.get(k) match {
+        case Some(exprSql) => s"CASE WHEN about IS NULL THEN NULL ELSE $exprSql END AS $k"
+        case None          => s"CAST(NULL AS VARCHAR) AS $k"
+      }
+    }.mkString(",\n       ")
+    Map(
+      "enrich_flatten" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source AS company,
+           |         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE substr(text, 1, 80) END AS about
+           |  FROM documents)
+           |SELECT doc_id, company,
+           |       $keyCols
+           |FROM base ORDER BY doc_id""".stripMargin,
+
+      "prompt_render" ->
+        """SELECT doc_id,
+          |       'Analyze ' || source || ' (https://www.' || source ||
+          |       '.example.com). Context: ' || substr(text, 1, 40) AS prompt
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "media_stats" ->
+        """WITH m AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |         octet_length(encode(text)) AS n_bytes,
+          |         CAST(n_chars % 640 AS INTEGER) AS width,
+          |         CAST(n_chars % 480 AS INTEGER) AS height
+          |  FROM documents)
+          |SELECT kind, count(*) AS n_media,
+          |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          |       min(width) AS min_width, max(height) AS max_height
+          |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    )
+  }
+}

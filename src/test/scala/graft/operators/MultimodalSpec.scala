@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  private def media(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      Media(i.toLong, "image", Array.tabulate(16)(b => (i + b).toByte), 640, 480, "raw")
+    }.toDS().repartition(3)
+  }
+
+  test("binary schema survives the pipeline; features have fixed width") {
+    val feats = extractFeatures(media(10), dim = 8, batchSize = 4)
+    feats.schema("features").dataType shouldEqual ArrayType(FloatType, containsNull = false)
+    val rows = feats.collect()
+    rows.length shouldEqual 10
+    all(rows.map(_.features.length)) shouldEqual 8
+    rows.foreach(r => r.n_bytes shouldEqual 16)
+  }
+
+  test("decode stub is deterministic and pads short payloads") {
+    decodeStub(Array[Byte](0, -1), 4).toSeq shouldEqual Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    decodeStub(Array[Byte](127), 2)(0) shouldEqual (127 / 255.0f)
+  }
+
+  test("extraction is partition-local (no shuffle) and preserves all rows") {
+    val ds = media(100)
+    val feats = extractFeatures(ds, dim = 4, batchSize = 7)
+    feats.rdd.getNumPartitions shouldEqual ds.rdd.getNumPartitions
+    feats.select(countDistinct(col("media_id"))).collect().head.getLong(0) shouldEqual 100
+  }
+
+  test("S-2: CSV round-trips documents with an explicit schema") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "source", "n_chars") // text has no commas but keep it simple
+    val dir = Files.createTempDirectory("csv-src").toString + "/docs"
+    docs.write.option("header", "true").mode("overwrite").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val back = Sources.csv(spark, dir, schema)
+    back.count() shouldEqual docs.count()
+    back.schema shouldEqual schema
+    Sources.requireColumns(back, Set("doc_id", "lang"))
+    an[IllegalArgumentException] should be thrownBy
+      Sources.requireColumns(back, Set("doc_id", "missing_col"))
+  }
+
+  test("K-4: jsonRows serializes every row as one compact JSON object") {
+    import spark.implicits._
+    val rows = Sinks.jsonRows(Seq((1, "a"), (2, null)).toDF("id", "s")).collect()
+    rows should contain("""{"id":1,"s":"a"}""")
+    rows should contain("""{"id":2}""") // null field omitted, like to_json
+  }
+}
