@@ -43,10 +43,12 @@ object DedupQueries extends QueryModule {
           max(col("doc_id")).as("max_doc"))
         .orderBy("text_hash")),
 
-    // Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5. The join is on a
-    // shingle equi-key with a 2× size-band prune folded into the join
-    // condition (Jaccard ≥ 0.5 is impossible when one set is more than
-    // twice the other), so no document pair outside the band is shuffled.
+    // Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5: shingle
+    // equi-join + pair-count aggregation, with the 2× size-band prune
+    // folded into the join condition. On corpora with skewed shingle
+    // frequencies, Dedup.jaccardPairs (AllPairs prefix filtering) is
+    // the asymptotically safer variant; on this flat-df synthetic
+    // corpus the direct join measures faster, and both are exact.
     "ngram_jaccard" -> ((s, d) => {
       val e = shingled(Tables.documents(s, d))
         .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))

@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     s1.zip(s3).count { case (a, b) => a == b } should be >= MinHashK / 2
   }
 
+  test("jaccardPairs (prefix-filtered) finds exactly the pairs above threshold") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ") // high overlap
+    val far  = (100 to 130).map(i => s"w$i").mkString(" ")
+    val docs = df(1 -> base, 2 -> near, 3 -> far, 4 -> base)
+    val pairs = jaccardPairs(docs, t = 0.5).orderBy("d1", "d2").collect()
+      .map(r => (r.getAs[Number]("d1").longValue, r.getAs[Number]("d2").longValue,
+        r.getAs[Double]("jac")))
+    // docs 1,2 share 26 of 30 distinct shingles (jac ≈ 0.87); 1≡4; 3 disjoint
+    pairs.map(p => (p._1, p._2)).toSeq shouldEqual Seq((1L, 2L), (1L, 4L), (2L, 4L))
+    pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldEqual 1.0
+  }
+
   test("simhash: identical for identical docs, different for unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine ten"
