@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: exact integer dot product of two
+  * `array<bigint>` columns (the fixed-point embedding representation in
+  * [[graft.operators.Similarity]]).
+  *
+  * Why a custom Expression and not `aggregate(zip_with(a,b,_*_),0,_+_)`:
+  * Spark's higher-order functions evaluate their lambda per element in
+  * interpreted mode (boxed Longs, closure dispatch) and sit outside
+  * whole-stage codegen. This expression generates a primitive long loop
+  * via `doGenCode` — the per-row cost drops from microseconds to
+  * nanoseconds, which is what the inner loop of a 100 TB brute-force
+  * similarity scan needs. Semantics are identical to the HOF form
+  * (pinned in DotProductFxSpec), so the DuckDB oracles are unchanged.
+  *
+  * Null semantics: null if either array is null (BinaryExpression
+  * default); null elements are treated as 0 (quantized arrays are never
+  * null-valued; tolerating instead of throwing keeps the expression
+  * total). Arrays shorter than the other operand contribute only their
+  * common prefix — zip_with-with-multiplication semantics, since the
+  * missing side behaves as 0.
+  */
+case class DotProductFx(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_fx expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductFx {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  /** Column-API form: exact long dot product of two array<bigint>
+    * columns, whole-stage-codegen'd. */
+  def dot_fx(a: Column, b: Column): Column =
+    column(DotProductFx(expression(a), expression(b)))
+}

@@ -32,10 +32,13 @@ object Similarity {
   def quantize(arr: Column): Column =
     transform(arr, x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
-  /** Exact integer dot product of two quantized arrays (sequential fold,
-    * but integer addition is order-independent anyway). */
+  /** Exact integer dot product of two quantized arrays — a native
+    * codegen'd Catalyst expression ([[graft.functions.DotProductFx]]);
+    * the equivalent HOF form (`aggregate(zip_with(a,b,_*_),0,_+_)`)
+    * evaluates its lambdas interpreted-per-element and is kept only as
+    * the reference semantics in DotProductFxSpec. */
   def dotFx(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotProductFx.dot_fx(a, b)
 
   /** Cosine from exact integer dot + norms; norms are multiplied as
     * doubles (their long product would overflow). */
