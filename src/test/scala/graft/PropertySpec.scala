@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators._
+
+/** Property-style tests over generated data (SURVEY §5.3): each
+  * property materializes one generated batch into a single DataFrame
+  * pass and asserts the invariant over every row — the Spark-friendly
+  * shape of forAll (per-sample Spark jobs would be ~1000× slower). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .collect { case Some(v) => v }.take(n).toSeq
+
+  private val messyString: Gen[String] = for {
+    words <- Gen.listOfN(12, Gen.oneOf("alpha", "beta", "x@y.io", "Founded 1998",
+      "about us", "tab\there", "  ", "line\nbreak", "π", "end."))
+    sep <- Gen.listOfN(12, Gen.oneOf(" ", "  ", "\t", "\n", " \t "))
+  } yield words.zip(sep).map { case (w, s) => w + s }.mkString
+
+  test("F-4 normalize is idempotent over messy whitespace") {
+    import spark.implicits._
+    val df = samples(messyString, 300).toDF("text")
+      .select(TextAnalysis.norm(col("text")).as("n1"))
+      .withColumn("n2", TextAnalysis.norm(col("n1")))
+    df.filter(col("n1") =!= col("n2")).count() shouldEqual 0
+  }
+
+  test("F-2 extracted email always re-matches the email pattern") {
+    import spark.implicits._
+    val pat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+    val df = samples(messyString, 300).toDF("text")
+      .select(Extraction.extractEmail(col("text")).as("e"))
+    df.filter(col("e").isNotNull && !col("e").rlike("^" + pat + "$"))
+      .count() shouldEqual 0
+  }
+
+  test("T-2 selectLinks emits ≤ k rows per company with non-increasing scores") {
+    import spark.implicits._
+    val cand: Gen[(String, String, String, String)] = for {
+      company <- Gen.oneOf("c1", "c2", "c3")
+      page <- Gen.choose(0, 40)
+      kw <- Gen.oneOf("about", "investor", "blog", "jobs", "profile")
+    } yield (company, s"https://www.$company.example.com", s"/$kw/p$page", s"$kw page $page")
+    val df = samples(cand, 400).toDF("company", "website", "href", "anchor_text")
+    val out = LinkSelection.selectLinks(df, k = 3)
+    out.groupBy("company").count().filter(col("count") > 3).count() shouldEqual 0
+    // rk order ⇒ score non-increasing within each company
+    val bad = out.as("x").join(out.as("y"),
+        col("x.company") === col("y.company") && col("x.rk") < col("y.rk") &&
+          col("x.score") < col("y.score"))
+    bad.count() shouldEqual 0
+  }
+
+  test("K-2 ordered projection always yields exactly the declared columns in order") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val declared = samples(Gen.someOf("id", "s", "extra1", "extra2").map(_.toSeq), 20)
+    declared.filter(_.nonEmpty).foreach { cols =>
+      Extraction.orderedProjection(base, cols).columns.toSeq shouldEqual cols
+    }
+  }
+
+  test("shingles: |shingles(toks,3)| ≤ max(0, n−2) and all distinct") {
+    import spark.implicits._
+    val toksGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    val df = samples(toksGen, 300).map(_.mkString(" ")).toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+      .select(col("toks"), Dedup.shingles(col("toks"), 3).as("ss"))
+      .select(functions.size(col("toks")).as("n"),
+        functions.size(col("ss")).as("k"),
+        functions.size(array_distinct(col("ss"))).as("kd"))
+    df.filter(col("k") =!= col("kd")).count() shouldEqual 0
+    df.filter(col("k") > greatest(col("n") - 2, lit(0))).count() shouldEqual 0
+  }
+
+  test("quantize: fixed-point value within one ulp of x·1e7, sign preserved") {
+    import spark.implicits._
+    val fGen = Gen.choose(-1.0f, 1.0f)
+    val df = samples(Gen.listOfN(8, fGen), 200).toDF("a")
+      .select(explode(col("a")).as("x"))
+      .select(col("x"), element_at(Similarity.quantize(array(col("x"))), 1).as("q"))
+      .withColumn("err", col("x").cast("double") * 1e7 - col("q").cast("double"))
+    df.filter(col("err") < 0 || col("err") >= 1).count() shouldEqual 0
+  }
+}
