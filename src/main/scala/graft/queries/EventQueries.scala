@@ -71,6 +71,22 @@ object EventQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // J-2 enrichment join on the event axis: stream-of-events joined to
+    // static dimensions (the stream-static join shape; streaming
+    // execution of the same join is covered in EventStreamSpec).
+    "user_value_by_nation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.decSum(col("value")).as("sum_value"))
+        .orderBy("n_name")
+    }),
+
     // Native session_window sessionization (same operator streams with
     // a watermark — graft.streaming.EventStream.sessionWindows); the
     // oracle reproduces it with lag + cumulative-sum session ids.
@@ -142,6 +158,15 @@ object EventQueries extends QueryModule {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "user_value_by_nation" ->
+      s"""SELECT n_name, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       ${Exact.sqlDecSum("value")} AS sum_value
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // Spark session_window merges INCLUSIVELY at the boundary: an event
     // at exactly prev_ts + gap extends the session (pinned in

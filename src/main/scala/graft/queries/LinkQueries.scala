@@ -62,6 +62,19 @@ object LinkQueries extends QueryModule {
           UrlOps.host(col("website")).as("host"))
         .distinct()
         .orderBy("company")),
+
+    // S-4: link scan as row explosion — each document yields its <a>
+    // elements (href + anchor) as rows, the operator feeding P-2..P-4
+    // (/root/reference/app.py:147-155). Links are synthesized
+    // deterministically since the corpus has no markup.
+    "link_scan" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(sequence(lit(0), lit(2))).as(Seq("link_idx", "i")))
+        .select(col("doc_id"), col("link_idx"),
+          concat(lit("/"), col("lang"), lit("/p"), col("doc_id"),
+            lit("/"), col("link_idx")).as("href"))
+        .orderBy("doc_id", "link_idx")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -94,5 +107,11 @@ object LinkQueries extends QueryModule {
          |SELECT DISTINCT company, website,
          |       regexp_extract(website, '^https?://([^/:]+)', 1) AS host
          |FROM cand ORDER BY company""".stripMargin,
+
+    "link_scan" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS link_idx,
+        |       '/' || lang || '/p' || doc_id || '/' || i AS href
+        |FROM documents, range(3) t(i)
+        |ORDER BY doc_id, link_idx""".stripMargin,
   )
 }

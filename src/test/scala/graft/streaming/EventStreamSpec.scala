@@ -125,6 +125,23 @@ class EventStreamSpec extends SparkSpec {
     sess(2).getAs[Long]("user_id") shouldEqual 2L
   }
 
+  test("J-2: stream-static join enriches streamed events against a static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EU"), (2L, "APAC")).toDF("user_id", "region")
+    val in = MemoryStream[Ev]
+    val q = in.toDF().join(dim, Seq("user_id"), "left_outer")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj").option("checkpointLocation", tmp("ssj")).start()
+    try {
+      in.addData(ev(1, 0, user = 1L), ev(2, 1, user = 2L), ev(3, 2, user = 99L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("event_id", "region").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      rows shouldEqual Map(1L -> Some("EU"), 2L -> Some("APAC"), 3L -> None)
+    } finally q.stop()
+  }
+
   test("batch ≡ stream: typeCounts totals match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
