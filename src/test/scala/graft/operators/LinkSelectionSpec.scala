@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the reference's link-selection semantics
+  * (/root/reference/app.py:33-37,146-193). */
+class LinkSelectionSpec extends SparkSpec {
+  import LinkSelection._
+
+  test("reference keyword list is exactly app.py:33-37") {
+    ReferenceKeywords shouldEqual Seq("about", "company", "corporate", "group",
+      "leadership", "management", "investor", "who", "overview", "profile")
+  }
+
+  test("F-8 score: +2 per keyword in anchor, +3 per keyword in lowered url") {
+    import spark.implicits._
+    val r = Seq(
+      ("about the company", "https://x.com/ABOUT"),   // anchor: about+company=4; url lower: about=3
+      ("nothing here", "https://x.com/blog"),          // 0
+      ("investor", "https://x.com/investor-relations") // 2 + 3
+    ).toDF("anchor", "url")
+      .select(keywordScore(col("anchor"), col("url")).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    r shouldEqual Seq(7, 0, 5)
+  }
+
+  test("pipeline: null href dropped, off-domain dropped, zero-score dropped, top-k per company") {
+    import spark.implicits._
+    val cand = Seq(
+      ("acme", "https://www.acme.example.com", "/about", "about us"),
+      ("acme", "https://www.acme.example.com", "/investor", "investor info"),
+      ("acme", "https://www.acme.example.com", "/profile", "profile"),
+      ("acme", "https://www.acme.example.com", "/overview", "overview"),   // 4 positive → k=3 keeps 3
+      ("acme", "https://www.acme.example.com", "/blog", "news"),           // score 0 → dropped
+      ("acme", "https://www.acme.example.com", null, "broken"),            // P-2
+      ("acme", "https://www.acme.example.com", "https://other.com/about", "offsite about"), // P-3
+      ("beta", "https://www.beta.example.com", "/about", "about")
+    ).toDF("company", "website", "href", "anchor_text")
+    val out = selectLinks(cand, k = 3).orderBy("company", "rk").collect()
+    out.count(_.getString(0) == "acme") shouldEqual 3
+    out.count(_.getString(0) == "beta") shouldEqual 1
+    out.foreach(r => r.getInt(r.fieldIndex("score")) should be > 0)
+    out.foreach(r => r.getString(1) should not include "other.com")
+  }
+
+  test("T-3 dedup keeps the best score for a URL seen under several anchors") {
+    import spark.implicits._
+    val cand = Seq(
+      ("acme", "https://www.acme.example.com", "/about", "meaningless"),  // url-only: about=3
+      ("acme", "https://www.acme.example.com", "/about", "about company") // 3 + 2 + 2 = 7
+    ).toDF("company", "website", "href", "anchor_text")
+    val out = selectLinks(cand, k = 3).collect()
+    out.length shouldEqual 1
+    out.head.getInt(out.head.fieldIndex("score")) shouldEqual 7
+  }
+
+  test("dot_fx is callable from SQL via GraftExtensions") {
+    spark.sql("SELECT dot_fx(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect().head.getLong(0) shouldEqual 32L
+  }
+}

@@ -125,6 +125,32 @@ class EventStreamSpec extends SparkSpec {
     sess(2).getAs[Long]("user_id") shouldEqual 2L
   }
 
+  test("R-2: the events parquet table drives a file-based streaming query") {
+    val dir = "/root/testdata/sf0.001"
+    // file-stream sources consume directories of arriving files; stage
+    // the events table into one (read-only testdata stays untouched)
+    val streamDir = tmp("events-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    // micro-batch consumption of the same table the batch queries use
+    // (ts arrives as nanos-long under the session conf, same read path)
+    val raw = spark.readStream.schema(
+        spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(streamDir)
+    val q = EventStream.typeCounts(
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("filestream").option("checkpointLocation", tmp("fs")).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("filestream")
+        .groupBy("event_type").agg(max("n_events").as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+      total shouldEqual spark.read.parquet(s"$dir/events.parquet").count()
+    } finally q.stop()
+  }
+
   test("J-2: stream-static join enriches streamed events against a static dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
