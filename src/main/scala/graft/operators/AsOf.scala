@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` in the same key group — composed from built-in
+  * operators (SURVEY §7.4 preference (a)): tag both sides, union,
+  * and take `last(value, ignoreNulls)` over a (key)-partitioned window
+  * ordered by (ts, tag, tiebreak).
+  *
+  * Scale posture: ONE shuffle on the key and a linear window pass —
+  * never the range-join blowup of `l.ts >= r.ts` theta-joins (which
+  * Spark plans as a broadcast nested loop or cartesian). Right rows
+  * sort before left rows at equal timestamps (inclusive `<=`), and
+  * `tiebreak` makes the winner among equal right timestamps
+  * deterministic (greatest wins).
+  */
+object AsOf {
+
+  /** @param rightVals right-side value columns to carry (emitted as
+    *                  `asof_<name>`)
+    * @param tiebreak  right-side column ordering equal-ts right rows;
+    *                  the greatest value wins */
+  def joinPrior(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftStruct = StructType(left.schema.fields)
+    val tbType = right.schema(tiebreak).dataType
+    val lpart = left.select(
+      col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
+        lit(null).cast(tbType).as("__tb") +:
+        struct(left.columns.map(col): _*).as("__left") +:
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")): _*)
+    val rpart = right.select(
+      col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
+        col(tiebreak).as("__tb") +:
+        lit(null).cast(leftStruct).as("__left") +:
+        rightVals.map(v => col(v).as(s"asof_$v")): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(lpart.unionByName(rpart)) { (df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1)
+      .select(col("__left.*") +: rightVals.map(v => col(s"asof_$v")): _*)
+  }
+}

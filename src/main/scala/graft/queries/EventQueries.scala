@@ -87,6 +87,21 @@ object EventQueries extends QueryModule {
         .orderBy("n_name")
     }),
 
+    // As-of join (operators.AsOf): each purchase attributed to the
+    // user's most recent click at-or-before it — one shuffle + window,
+    // no range-join blowup.
+    "purchase_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinPrior(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("click_id"), tiebreak = "click_id")
+        .orderBy("event_id")
+    }),
+
     // Native session_window sessionization (same operator streams with
     // a watermark — graft.streaming.EventStream.sessionWindows); the
     // oracle reproduces it with lag + cumulative-sum session ids.
@@ -158,6 +173,26 @@ object EventQueries extends QueryModule {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same union+window reconstruction; right (click) rows sort before
+    // left (purchase) rows at equal ts via tag, and tb (= click_id)
+    // breaks ties among equal-ts clicks. Nullable tb never flips
+    // cross-engine null ordering because tag already separates sides.
+    "purchase_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |u AS (
+        |  SELECT user_id AS k, ts, 0 AS tag, event_id AS tb,
+        |         event_id AS click_id, CAST(NULL AS BIGINT) AS pev
+        |  FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), event_id
+        |  FROM ev WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |        PARTITION BY k ORDER BY ts, tag, tb
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        |      FROM u)
+        |SELECT pev AS event_id, k AS user_id, ts, asof_click_id
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
     "user_value_by_nation" ->
       s"""SELECT n_name, count(*) AS n_events,

@@ -138,11 +138,38 @@ object RelationalQueries extends QueryModule {
       both.union(only97).union(only98)
         .select("cohort", "n_cust").orderBy("cohort")
     }),
+
+    // ntile window: account-balance quartiles per market segment
+    // (deterministic order: balance then custkey).
+    "customer_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.decSum(col("c_acctbal")).as("sum_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
   )
 
   import Exact._
 
   def oracle: Map[String, String] = Map(
+    "customer_quartiles" ->
+      s"""WITH q AS (
+         |  SELECT c_mktsegment, c_acctbal,
+         |         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+         |              ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+         |  FROM customer)
+         |SELECT c_mktsegment, quartile, count(*) AS n_customers,
+         |       ${sqlDecSum("c_acctbal")} AS sum_bal,
+         |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+         |FROM q GROUP BY c_mktsegment, quartile
+         |ORDER BY c_mktsegment, quartile""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDecSum("l_quantity")} AS sum_qty,

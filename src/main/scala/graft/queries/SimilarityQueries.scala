@@ -81,6 +81,35 @@ object SimilarityQueries extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // Embedding-cosine near-dup pairs, LSH-banded: candidates must
+    // share at least one of 4 independent 4-bit sign-projection bands
+    // (equi-join on (band_id, band_key) — never an all-pairs product),
+    // then exact fixed-point verification at cosine ≥ 0.45. Banding
+    // trades recall for the 100 TB-safe join shape, like minhash_lsh.
+    "embedding_neardup" -> ((s, d) => {
+      val b = base(s, d)
+      val banded = b.select(
+        col("vec_id") +: col("qe") +: col("nq") +:
+          (0 until 4).map(band =>
+            signBucket(slice(col("embedding"), band * 4 + 1, 4), 4).as(s"band$band")): _*)
+      val stacked = banded.select(col("vec_id"), col("qe"), col("nq"),
+        posexplode(array((0 until 4).map(i => col(s"band$i")): _*))
+          .as(Seq("band_id", "band_key")))
+      val pairs = stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      pairs
+        .join(b.select(col("vec_id").as("v1"), col("qe").as("qe1"), col("nq").as("n1")), "v1")
+        .join(b.select(col("vec_id").as("v2"), col("qe").as("qe2"), col("nq").as("n2")), "v2")
+        .withColumn("cos", cosFx(dotFx(col("qe1"), col("qe2")), col("n1"), col("n2")))
+        .filter(col("cos") >= 0.45)
+        .select("v1", "v2", "cos")
+        .orderBy("v1", "v2")
+    }),
+
     // Exact fixed-point centroid sums per (label, dimension): the
     // aggregation shape of embedding analytics, partial+final over one
     // shuffle on (label, pos).
@@ -127,6 +156,36 @@ object SimilarityQueries extends QueryModule {
          |      FROM sc2)
          |SELECT q_id, neighbor_id, bucket, rk, cos FROM r
          |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "embedding_neardup" -> {
+      val bandCols = (0 until 4).map { b =>
+        val bits = (0 until 4)
+          .map(i => s"CASE WHEN embedding[${b * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"CAST($bits AS BIGINT) AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT vec_id, qe, nq, $b AS band_id, band$b AS band_key FROM bk")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $baseSql,
+         |bk AS (SELECT *,
+         |       $bandCols
+         |FROM n),
+         |stacked AS (
+         |      $stacked),
+         |pairs AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.vec_id < y.vec_id),
+         |v AS (
+         |  SELECT p.v1, p.v2,
+         |         CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+         |           i -> a.qe[i] * b.qe[i])) AS DOUBLE)
+         |         / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+         |  FROM pairs p JOIN n a ON p.v1 = a.vec_id JOIN n b ON p.v2 = b.vec_id)
+         |SELECT v1, v2, cos FROM v WHERE cos >= 0.45 ORDER BY v1, v2""".stripMargin
     },
 
     "label_centroids" ->

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+
+  private def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("backward as-of: latest right at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, t(10)), (2L, 1L, t(30)), (3L, 2L, t(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 1L, t(8)), (101L, 1L, t(10)), (102L, 1L, t(31)),
+        (103L, 2L, t(7)))
+      .toDF("click_id", "user_id", "ts")
+    val out = AsOf.joinPrior(left, right, "user_id", "ts", "ts",
+        Seq("click_id"), "click_id")
+      .orderBy("event_id").collect()
+    // event 1 @10: click 101 @10 counts (inclusive <=), beats 100 @8
+    out(0).getAs[Long]("asof_click_id") shouldEqual 101L
+    // event 2 @30: click 102 @31 is in the future → still 101
+    out(1).getAs[Long]("asof_click_id") shouldEqual 101L
+    // event 3 (user 2) @5: click 103 @7 is after → no match
+    out(2).isNullAt(out(2).fieldIndex("asof_click_id")) shouldEqual true
+  }
+
+  test("tie-break: among equal-ts right rows the greatest tiebreak wins") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, t(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 1L, t(9)), (200L, 1L, t(9)))
+      .toDF("click_id", "user_id", "ts")
+    val out = AsOf.joinPrior(left, right, "user_id", "ts", "ts",
+      Seq("click_id"), "click_id").collect()
+    out.head.getAs[Long]("asof_click_id") shouldEqual 200L
+  }
+
+  test("left payload columns survive unchanged") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, t(10), "x")).toDF("event_id", "user_id", "ts", "note")
+    val right = Seq((9L, 1L, t(1))).toDF("click_id", "user_id", "ts")
+    val out = AsOf.joinPrior(left, right, "user_id", "ts", "ts",
+      Seq("click_id"), "click_id")
+    out.columns.toSeq shouldEqual Seq("event_id", "user_id", "ts", "note", "asof_click_id")
+    out.collect().head.getAs[String]("note") shouldEqual "x"
+  }
+}
