@@ -139,6 +139,36 @@ object RelationalQueries extends QueryModule {
         .select("cohort", "n_cust").orderBy("cohort")
     }),
 
+    // Typed Aggregator surface: per-brand top-3 parts by retail price
+    // through graft.functions.TopKAggregator (O(k) state per group —
+    // the mergeable alternative to sorting each group in a window),
+    // exploded back to rows for the oracle compare.
+    "brand_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rk"),
+          col("s.id").as("p_partkey"), col("s.score").as("p_retailprice"))
+        .orderBy("p_brand", "rk")
+    }),
+
+    // SQL entry path + GROUPING SETS (beyond rollup/cube): revenue by
+    // returnflag, by linestatus, and overall, via spark.sql over a view.
+    "grouping_sets_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           |       coalesce(l_linestatus, 'ALL') AS lstatus,
+           |       count(*) AS n_items,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem_v
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY rflag, lstatus""".stripMargin)
+    }),
+
     // ntile window: account-balance quartiles per market segment
     // (deterministic order: balance then custkey).
     "customer_quartiles" -> ((s, d) => {
@@ -158,6 +188,24 @@ object RelationalQueries extends QueryModule {
   import Exact._
 
   def oracle: Map[String, String] = Map(
+    "brand_topk_agg" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+        |              ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+        |  FROM part)
+        |SELECT p_brand, rk, p_partkey, p_retailprice FROM r
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+
+    "grouping_sets_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
+
     "customer_quartiles" ->
       s"""WITH q AS (
          |  SELECT c_mktsegment, c_acctbal,

@@ -168,6 +168,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user running counters persist across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counted = in.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + evs.size
+          state.update(c)
+          (user, c)
+      }
+    val q = counted.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("mgws").option("checkpointLocation", tmp("mgws")).start()
+    try {
+      in.addData(ev(1, 0, user = 1L), ev(2, 1, user = 1L), ev(3, 2, user = 2L))
+      q.processAllAvailable()
+      in.addData(ev(4, 3, user = 1L))
+      q.processAllAvailable()
+      val latest = spark.table("mgws").groupBy("user_id")
+        .agg(max("n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      latest shouldEqual Map(1L -> 3L, 2L -> 1L) // state carried across batches
+    } finally q.stop()
+  }
+
   test("batch ≡ stream: typeCounts totals match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
