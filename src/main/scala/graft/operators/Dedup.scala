@@ -64,6 +64,23 @@ object Dedup {
         .as(s"mh$i")
     }
 
+  /** MinHash signatures via aggregation instead of per-row array
+    * lambdas: hash each DISTINCT shingle once (md5 is the expensive
+    * step — on skewed corpora a hot shingle occurs millions of times
+    * but is hashed once here), then one groupBy(doc) computing the k
+    * mins. Same signature values as [[minhashSig]] (min over a set =
+    * min over its multiset), so oracles are unchanged.
+    *
+    * @param e exploded (doc_id, s) shingle occurrences */
+  def minhashSigAgg(e: DataFrame): DataFrame = {
+    val dfh = e.select("s").distinct()
+      .withColumn("h", tokenHash(col("s")))
+    val minCols = (0 until MinHashK).map { i =>
+      min((lit(MinHashA(i)) * col("h") + lit(MinHashB(i))) % lit(HashMod)).as(s"mh$i")
+    }
+    e.join(dfh, "s").groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
   /** LSH band keys over a MinHash signature row: b bands of r rows,
     * each band key the joined signature slice. Documents sharing any
     * band key become candidate pairs. */

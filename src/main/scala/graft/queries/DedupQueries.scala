@@ -71,7 +71,8 @@ object DedupQueries extends QueryModule {
     // compared — the 100 TB-safe shape (candidates ≪ n²).
     "minhash_lsh" -> ((s, d) => {
       val sh = shingled(Tables.documents(s, d))
-      val sig = sh.select(col("doc_id") +: minhashSig(col("hs")): _*)
+      val sig = minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s")))
       val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
       val stacked = banded.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
