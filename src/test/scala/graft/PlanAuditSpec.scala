@@ -1,0 +1,43 @@
+package graft
+
+/** Automated plan review over every registered query (the `.explain`
+  * loop from the build brief, as a regression gate): no cartesian
+  * products anywhere, broadcast joins on the star-schema dims, pushed
+  * parquet filters where a filter exists. Runs on sf0.001 — plans, not
+  * data, are under test. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      plan(n).contains("CartesianProduct")
+    }
+    offenders shouldBe empty
+  }
+
+  test("star-schema queries broadcast their dimension joins") {
+    Seq("revenue_by_nation", "brand_revenue", "rollup_region_nation",
+        "user_value_by_nation").foreach { q =>
+      withClue(q) { plan(q) should include("BroadcastHashJoin") }
+    }
+  }
+
+  test("scan-level filters reach the parquet reader") {
+    withClue("q1_pricing_summary") {
+      plan("q1_pricing_summary") should include("PushedFilters: [IsNotNull(l_shipdate)")
+    }
+  }
+
+  test("per-group top-k queries never plan a global sort before the window") {
+    // TakeOrderedAndProject or a final Sort for the ORDER BY sink is fine;
+    // what must not happen is a Sort over the full frame feeding a limit-less
+    // window — window sorts are partition-local after hash exchange.
+    val p = plan("top_orders_per_customer")
+    p should include("Window")
+    p should include("hashpartitioning(o_custkey")
+  }
+}

@@ -9,6 +9,10 @@ import org.scalatest.matchers.should.Matchers
 object SparkSpec {
   lazy val spark: SparkSession = Sessions.builder("4")
     .appName("graft-test")
+    // static conf — must be set at construction; keeps saveAsTable
+    // (bucketing specs) out of the repo working directory
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }
 
