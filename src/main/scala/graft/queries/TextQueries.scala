@@ -93,6 +93,27 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
 
+    // Corpus-statistics LM scoring (the "filter by language-model
+    // likelihood" pretraining op): per-doc mean unigram probability.
+    // Probabilities are integer fixed-point (cnt·1e12 div total) so the
+    // per-doc sum is exact and order-independent; only the final mean
+    // is one double division. No logs — ln() is libm-dependent and
+    // not bit-identical across engines.
+    "doc_lm_score" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+      val cnts = e.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum(col("cnt")).as("total"))
+      e.join(broadcast(cnts), "token")
+        .crossJoin(broadcast(total))
+        .withColumn("p_fx", expr("cnt * 1000000000000L div total"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("p_fx")).as("sum_fx"))
+        .withColumn("lm_score",
+          col("sum_fx").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document.
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -151,6 +172,20 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |p AS (SELECT t.doc_id,
+         |             CAST((c.cnt * 1000000000000) // tot.total AS BIGINT) AS p_fx
+         |      FROM t JOIN c USING (token) CROSS JOIN tot),
+         |d AS (SELECT doc_id, count(*) AS n_tokens,
+         |             CAST(sum(p_fx) AS BIGINT) AS sum_fx
+         |      FROM p GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, sum_fx,
+         |       CAST(sum_fx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS lm_score
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
