@@ -23,13 +23,16 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
     * to TimestampType directly; with `spark.sql.legacy.parquet.nanosAsLong`
-    * set at session construction (Verify/Bench/SparkSpec — see
-    * [[graft.Sessions.configure]]) it arrives as nanos-since-epoch, and we
-    * convert to a microsecond TimestampType column (`div` keeps the
-    * arithmetic in exact longs — a double division would lose precision at
-    * ~1.7e18 ns). Oracle side must CAST(ts AS TIMESTAMP) for ts-sensitive
-    * comparisons (DuckDB reads native TIMESTAMP_NS). */
+    * set it arrives as nanos-since-epoch, and we convert to a microsecond
+    * TimestampType column (`div` keeps the arithmetic in exact longs — a
+    * double division would lose precision at ~1.7e18 ns). The conf is set
+    * at session construction in [[graft.Sessions.builder]] and defensively
+    * re-asserted here so the table also loads from sessions graft didn't
+    * build (the driver contract passes us an arbitrary session). Oracle
+    * side must CAST(ts AS TIMESTAMP) for ts-sensitive comparisons (DuckDB
+    * reads native TIMESTAMP_NS). */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -29,23 +29,29 @@ object AsOf {
       tiebreak: String): DataFrame = {
     val leftStruct = StructType(left.schema.fields)
     val tbType = right.schema(tiebreak).dataType
+    // Right values travel as ONE struct so the window picks the latest
+    // right ROW atomically — per-column last(ignoreNulls) would stitch
+    // together fields from different right rows whenever the latest row
+    // has a null in one value column. A right row's struct is non-null
+    // even when every field inside it is null.
+    val rightStruct = StructType(rightVals.map(v => right.schema(v)))
     val lpart = left.select(
-      col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
-        lit(null).cast(tbType).as("__tb") +:
-        struct(left.columns.map(col): _*).as("__left") +:
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")): _*)
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
+      lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__left"),
+      lit(null).cast(rightStruct).as("__right"))
     val rpart = right.select(
-      col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        col(tiebreak).as("__tb") +:
-        lit(null).cast(leftStruct).as("__left") +:
-        rightVals.map(v => col(v).as(s"asof_$v")): _*)
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      col(tiebreak).as("__tb"),
+      lit(null).cast(leftStruct).as("__left"),
+      struct(rightVals.map(col): _*).as("__right"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__tag"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(lpart.unionByName(rpart)) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1)
-      .select(col("__left.*") +: rightVals.map(v => col(s"asof_$v")): _*)
+    lpart.unionByName(rpart)
+      .withColumn("__asof", last(col("__right"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__left.*") +:
+        rightVals.map(v => col("__asof").getField(v).as(s"asof_$v")): _*)
   }
 }

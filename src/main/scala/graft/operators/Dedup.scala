@@ -83,10 +83,21 @@ object Dedup {
 
   /** LSH band keys over a MinHash signature row: b bands of r rows,
     * each band key the joined signature slice. Documents sharing any
-    * band key become candidate pairs. */
+    * band key become candidate pairs.
+    *
+    * Built with null-propagating `concat` (NOT concat_ws, which drops
+    * nulls): a document with an empty shingle set has null signature
+    * components, and dropping them would collapse every such document
+    * onto one shared band key — an all-pairs bucket of short docs,
+    * exactly the quadratic blowup banding exists to prevent. A null
+    * band key never equi-joins, so shingle-less docs simply produce no
+    * candidates (the same behavior as [[minhashSigAgg]], where they
+    * have no rows at all). */
   def bandKeys(bands: Int, rows: Int): Seq[Column] =
     (0 until bands).map { b =>
-      concat_ws("-", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as(s"band$b")
+      val parts = (0 until rows).flatMap(r =>
+        Seq(lit("-"), col(s"mh${b * rows + r}"))).tail
+      concat(parts: _*).as(s"band$b")
     }
 
   /** Exact Jaccard over two distinct-element arrays, computed with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,13 +28,22 @@ trait Enricher extends Serializable {
   * (llm_utils.py:53-117, 9 top-level keys — 4 filled, 5 absent) from
   * the inputs alone. Mirrors the reference's skip conditions. */
 object MockEnricher extends Enricher {
+  /** Minimal JSON string escaping — a company name containing a quote
+    * or backslash must still yield valid JSON (PERMISSIVE parse of a
+    * malformed document would silently null every column). */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def enrich(company: String, website: String, about: String): Option[String] =
     if (company == null || about == null || about.isEmpty) None
-    else Some(
-      s"""{"company_overview":{"name":"$company","summary":"$company operates a data platform"},""" +
-        s""""business_model":{"model":"saas","channels":"direct"},""" +
-        s""""leadership":"$company team",""" +
-        s""""executive_brief":"Brief for $company"}""")
+    else {
+      val c = esc(company)
+      Some(
+        s"""{"company_overview":{"name":"$c","summary":"$c operates a data platform"},""" +
+          s""""business_model":{"model":"saas","channels":"direct"},""" +
+          s""""leadership":"$c team",""" +
+          s""""executive_brief":"Brief for $c"}""")
+    }
 }
 
 object Enrichment {
@@ -54,6 +63,30 @@ object Enrichment {
       .replace("<<COMPANY_NAME>>", Option(company).getOrElse(""))
       .replace("<<COMPANY_WEBSITE>>", Option(website).getOrElse(""))
       .replace("<<ABOUT_TEXT>>", Option(about).getOrElse(""))
+
+  /** The template tokenized on its placeholders — shared by
+    * [[promptColumn]] and [[promptSql]] so the registered query, its
+    * oracle, and the Scala function can never drift apart. */
+  private val templateParts: Seq[String] =
+    PromptTemplate.split("(?=<<)|(?<=>>)").toSeq
+
+  /** F-11 as a column expression derived from [[PromptTemplate]]
+    * itself; placeholder columns null-coalesce to "" like [[prompt]]. */
+  def promptColumn(company: Column, website: Column, about: Column): Column = {
+    val subst = Map("<<COMPANY_NAME>>" -> company,
+      "<<COMPANY_WEBSITE>>" -> website, "<<ABOUT_TEXT>>" -> about)
+    concat(templateParts.map(p =>
+      subst.get(p).map(c => coalesce(c.cast("string"), lit(""))).getOrElse(lit(p))): _*)
+  }
+
+  /** DuckDB rendering of the same template over SQL fragments. */
+  def promptSql(company: String, website: String, about: String): String = {
+    val subst = Map("<<COMPANY_NAME>>" -> s"coalesce($company, '')",
+      "<<COMPANY_WEBSITE>>" -> s"coalesce($website, '')",
+      "<<ABOUT_TEXT>>" -> s"coalesce($about, '')")
+    templateParts.map(p =>
+      subst.getOrElse(p, "'" + p.replace("'", "''") + "'")).mkString(" || ")
+  }
 
   /** The prompt-pinned document schema (llm_utils.py:53-117): 9 nullable
     * top-level keys; nested objects only where the mock fills them,

@@ -127,8 +127,10 @@ object DedupQueries extends QueryModule {
       val sigCols = (0 until MinHashK).map { i =>
         s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
       }.mkString(",\n       ")
+      // `||` mirrors Spark-side concat: null components null the key
+      // (concat_ws would silently drop them and collapse band keys)
       val bandCols = (0 until 4).map { b =>
-        s"concat_ws('-', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band$b"
+        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
       }.mkString(",\n       ")
       val stacked = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")

@@ -30,12 +30,13 @@ object EnrichQueries extends QueryModule {
       flatten(enrichMap(in, MockEnricher).toDF()).orderBy("doc_id")
     }),
 
-    // F-11: prompt templating as a pure column expression.
+    // F-11: prompt templating as a column expression derived from
+    // Enrichment.PromptTemplate itself (query and operator can't drift).
     "prompt_render" -> ((s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
-          concat(lit("Analyze "), col("source"),
-            lit(" (https://www."), col("source"), lit(".example.com). Context: "),
+          promptColumn(col("source"),
+            concat(lit("https://www."), col("source"), lit(".example.com")),
             substring(col("text"), 1, 40)).as("prompt"))
         .orderBy("doc_id")),
 
@@ -52,16 +53,22 @@ object EnrichQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = {
+    // to_json(struct_pack(…)) matches Spark's to_json exactly (compact,
+    // schema key order, proper string escaping) — raw '||' interpolation
+    // would diverge the moment a company name held a JSON metacharacter.
+    // Null condition mirrors MockEnricher's full skip rule: null OR
+    // empty about (company is never null in this frame).
     val filled = Map(
       "company_overview" ->
-        """'{"name":"' || company || '","summary":"' || company || ' operates a data platform"}'""",
+        """to_json(struct_pack(name := company, summary := company || ' operates a data platform'))""",
       "business_model" -> """'{"model":"saas","channels":"direct"}'""",
       "leadership" -> "company || ' team'",
       "executive_brief" -> "'Brief for ' || company")
     val keyCols = FlattenKeys.map { k =>
       filled.get(k) match {
-        case Some(exprSql) => s"CASE WHEN about IS NULL THEN NULL ELSE $exprSql END AS $k"
-        case None          => s"CAST(NULL AS VARCHAR) AS $k"
+        case Some(exprSql) =>
+          s"CASE WHEN about IS NULL OR about = '' THEN NULL ELSE $exprSql END AS $k"
+        case None => s"CAST(NULL AS VARCHAR) AS $k"
       }
     }.mkString(",\n       ")
     Map(
@@ -75,10 +82,11 @@ object EnrichQueries extends QueryModule {
            |FROM base ORDER BY doc_id""".stripMargin,
 
       "prompt_render" ->
-        """SELECT doc_id,
-          |       'Analyze ' || source || ' (https://www.' || source ||
-          |       '.example.com). Context: ' || substr(text, 1, 40) AS prompt
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id,
+           |       ${promptSql("source",
+                     "'https://www.' || source || '.example.com'",
+                     "substr(text, 1, 40)")} AS prompt
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "media_stats" ->
         """WITH m AS (

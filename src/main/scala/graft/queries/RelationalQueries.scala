@@ -156,18 +156,18 @@ object RelationalQueries extends QueryModule {
     }),
 
     // SQL entry path + GROUPING SETS (beyond rollup/cube): revenue by
-    // returnflag, by linestatus, and overall, via spark.sql over a view.
-    "grouping_sets_revenue" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    // returnflag, by linestatus, and overall. Reads the parquet path
+    // directly (`parquet.`…``) — registering a temp view here would be
+    // a hidden mutation of the shared session catalog.
+    "grouping_sets_revenue" -> ((s, d) =>
       s.sql(
         s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
            |       coalesce(l_linestatus, 'ALL') AS lstatus,
            |       count(*) AS n_items,
            |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
-           |FROM lineitem_v
+           |FROM parquet.`$d/lineitem.parquet`
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-           |ORDER BY rflag, lstatus""".stripMargin)
-    }),
+           |ORDER BY rflag, lstatus""".stripMargin)),
 
     // ntile window: account-balance quartiles per market segment
     // (deterministic order: balance then custkey).

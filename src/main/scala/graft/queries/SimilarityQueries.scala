@@ -28,8 +28,10 @@ object SimilarityQueries extends QueryModule {
         quantize(col("embedding")).as("qe"))
       .withColumn("nq", dotFx(col("qe"), col("qe")))
 
-  private def scored(cands: DataFrame, qs: DataFrame): DataFrame =
-    cands
+  /** Scores a frame that already pairs candidate (qe, nq) with query
+    * (q_qe, q_nq) columns. */
+  private def scored(paired: DataFrame): DataFrame =
+    paired
       .withColumn("dot_fx", dotFx(col("qe"), col("q_qe")))
       .withColumn("cos", cosFx(col("dot_fx"), col("nq"), col("q_nq")))
 
@@ -55,7 +57,7 @@ object SimilarityQueries extends QueryModule {
       val qs = broadcast(b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("q_qe"), col("nq").as("q_nq")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored(b.filter(col("vec_id") >= 10).crossJoin(qs), qs)
+      scored(b.filter(col("vec_id") >= 10).crossJoin(qs))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -73,7 +75,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("q_id"), col("bucket"),
           col("qe").as("q_qe"), col("nq").as("q_nq")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored(b.filter(col("vec_id") >= 10).join(qs, "bucket"), qs)
+      scored(b.filter(col("vec_id") >= 10).join(qs, "bucket"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= LshK)
         .select(col("q_id"), col("vec_id").as("neighbor_id"),

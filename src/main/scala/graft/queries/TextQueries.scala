@@ -106,7 +106,11 @@ object TextQueries extends QueryModule {
       val total = cnts.agg(sum(col("cnt")).as("total"))
       e.join(broadcast(cnts), "token")
         .crossJoin(broadcast(total))
-        .withColumn("p_fx", expr("cnt * 1000000000000L div total"))
+        // DECIMAL(38) intermediate: cnt·1e12 would overflow a long once
+        // a token tops ~9.2M occurrences (guaranteed at corpus scale);
+        // `div` is the integral divide, exact on decimals.
+        .withColumn("p_fx",
+          expr("CAST(CAST(cnt AS DECIMAL(24,0)) * 1000000000000 div total AS BIGINT)"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("p_fx")).as("sum_fx"))
         .withColumn("lm_score",
@@ -178,7 +182,7 @@ object TextQueries extends QueryModule {
          |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
          |p AS (SELECT t.doc_id,
-         |             CAST((c.cnt * 1000000000000) // tot.total AS BIGINT) AS p_fx
+         |             CAST((CAST(c.cnt AS HUGEINT) * 1000000000000) // tot.total AS BIGINT) AS p_fx
          |      FROM t JOIN c USING (token) CROSS JOIN tot),
          |d AS (SELECT doc_id, count(*) AS n_tokens,
          |             CAST(sum(p_fx) AS BIGINT) AS sum_fx

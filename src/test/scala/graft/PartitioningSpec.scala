@@ -40,7 +40,7 @@ class PartitioningSpec extends SparkSpec {
       val joined = spark.table("orders_b").join(spark.table("customer_b"),
         col("o_custkey") === col("c_custkey"))
       // disable broadcast so the join would normally shuffle both sides
-      val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         joined.queryExecution.executedPlan.toString
       }
       plan should not include "Exchange hashpartitioning"
@@ -53,12 +53,4 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
-  private def withConf[T](kvs: (String, String)*)(f: => T): T = {
-    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 }

@@ -22,4 +22,14 @@ abstract class SparkSpec extends AnyFunSuite with Matchers {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Run `f` with runtime SQL confs set, restoring prior values after. */
+  protected def withSQLConf[T](kvs: (String, String)*)(f: => T): T = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

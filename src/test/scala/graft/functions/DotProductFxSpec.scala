@@ -50,12 +50,4 @@ class DotProductFxSpec extends SparkSpec {
     }
   }
 
-  private def withSQLConf[T](kvs: (String, String)*)(f: => T): T = {
-    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 }

@@ -36,6 +36,20 @@ class AsOfSpec extends SparkSpec {
     out.head.getAs[Long]("asof_click_id") shouldEqual 200L
   }
 
+  test("the latest right ROW wins atomically — no stitching across rows") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, t(20))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, Some("early"), 1L, t(5)),
+      (101L, None: Option[String], 1L, t(10)) // latest row has a null field
+    ).toDF("click_id", "label", "user_id", "ts")
+    val out = AsOf.joinPrior(left, right, "user_id", "ts", "ts",
+      Seq("click_id", "label"), "click_id").collect().head
+    out.getAs[Long]("asof_click_id") shouldEqual 101L
+    // label must be the latest row's null, NOT 'early' from the older row
+    out.isNullAt(out.fieldIndex("asof_label")) shouldEqual true
+  }
+
   test("left payload columns survive unchanged") {
     import spark.implicits._
     val left = Seq((1L, 1L, t(10), "x")).toDF("event_id", "user_id", "ts", "note")
