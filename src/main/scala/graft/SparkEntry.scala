@@ -20,11 +20,11 @@ object SparkEntry {
     EnrichQueries,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's complete pipeline — extraction, mock enrichment,
+    * flatten, 14-column ordered materialization. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Extraction
-      .leadExtract(Tables.documents(spark, "/root/testdata/sf0.001"))
-      .orderBy("doc_id")
+    queries("leadsight_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** Merge module maps, failing fast if two modules register the same
     * name (toMap would silently keep the last one and could pair a query

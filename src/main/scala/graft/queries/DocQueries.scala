@@ -17,13 +17,13 @@ import graft.operators.Extraction
   */
 object DocQueries extends QueryModule {
 
-  private val foundedSql =
+  private[queries] val foundedSql =
     """coalesce(nullif(regexp_extract(tx, '(?i)Founded\s+(?:in\s+)?\d{4}', 0), ''),
       |         nullif(regexp_extract(tx, '(?i)Established\s+(?:in\s+)?\d{4}', 0), ''),
       |         nullif(regexp_extract(tx, '(?i)Since\s+\d{4}', 0), ''))""".stripMargin
-  private val aboutSql =
+  private[queries] val aboutSql =
     """trim(nullif(regexp_extract(tx, '(?i)[^.]*about us[^.]*', 0), ''))"""
-  private val emailSql =
+  private[queries] val emailSql =
     """nullif(regexp_extract(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', 0), '')"""
   private val leadSql =
     s"""WITH t AS (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS tx FROM documents),

@@ -40,6 +40,18 @@ object EnrichQueries extends QueryModule {
             substring(col("text"), 1, 40)).as("prompt"))
         .orderBy("doc_id")),
 
+    // The complete reference pipeline (§3.1): extraction + mock
+    // enrichment + flatten + the exact 14-column OUTPUT_COLUMNS
+    // materialization, in input order.
+    "leadsight_pipeline" -> ((s, d) =>
+      graft.operators.Pipelines.leadSight(
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            concat(col("source"), lit("-"), col("doc_id")).as("company"),
+            concat(lit("https://www."), col("source"), lit(".example.com")).as("website"),
+            col("text")))
+        .orderBy("doc_id")),
+
     // Multimodal metadata aggregation: binary payload sizes by kind
     // (the content bytes themselves are exercised in MultimodalSpec).
     "media_stats" -> ((s, d) =>
@@ -87,6 +99,32 @@ object EnrichQueries extends QueryModule {
                      "'https://www.' || source || '.example.com'",
                      "substr(text, 1, 40)")} AS prompt
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "leadsight_pipeline" -> {
+        val filled = Map(
+          "company_overview" ->
+            """to_json(struct_pack(name := company, summary := company || ' operates a data platform'))""",
+          "business_model" -> """'{"model":"saas","channels":"direct"}'""",
+          "leadership" -> "company || ' team'",
+          "executive_brief" -> "'Brief for ' || company")
+        // about_ctx (page text, min 48 chars) is never null/empty → the
+        // mock always enriches; keys it doesn't fill stay null (K-2)
+        val keyCols = FlattenKeys.map(k =>
+          filled.get(k).map(e => s"$e AS $k")
+            .getOrElse(s"CAST(NULL AS VARCHAR) AS $k")).mkString(",\n       ")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         source || '-' || doc_id AS company,
+           |         'https://www.' || source || '.example.com' AS website,
+           |         regexp_replace(text, '\\s+', ' ', 'g') AS tx
+           |  FROM documents)
+           |SELECT doc_id, company AS "Company Name", website AS "Website",
+           |       ${DocQueries.foundedSql} AS "Founded Info",
+           |       ${DocQueries.aboutSql} AS "About Us",
+           |       $keyCols,
+           |       ${DocQueries.emailSql} AS "Email"
+           |FROM base ORDER BY doc_id""".stripMargin
+      },
 
       "media_stats" ->
         """WITH m AS (
