@@ -53,6 +53,19 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to same-user clicks
+    * within the preceding `window`. Both sides carry watermarks so the
+    * join state is bounded — rows older than the watermark minus the
+    * interval are evicted, which is what keeps a 100 TB/day pair of
+    * streams joinable at all. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", window)
+    val c = clicks.withWatermark("c_ts", window)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
+  }
+
   /** R-4: incremental materialization — every micro-batch lands in the
     * sink directory as its own append (the crash-safe-partial-results
     * semantics of the reference's rewrite-per-row, app.py:303-310, at

@@ -168,6 +168,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStream.purchaseClickJoin(
+      purchasesIn.toDF().toDF("p_id", "p_user", "p_ts"),
+      clicksIn.toDF().toDF("c_id", "c_user", "c_ts"))
+    val q = joined.select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").option("checkpointLocation", tmp("ssjoin")).start()
+    try {
+      clicksIn.addData((10L, 1L, ts(0)), (11L, 1L, ts(30)), (12L, 2L, ts(10)))
+      purchasesIn.addData((1L, 1L, ts(45)))  // clicks @0 and @30 both in [45-60, 45]
+      q.processAllAvailable()
+      // push both watermarks far ahead so results finalize
+      clicksIn.addData((99L, 9L, ts(600))); purchasesIn.addData((98L, 9L, ts(601)))
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      pairs should contain allOf (1L -> 10L, 1L -> 11L)
+      pairs should not contain (1L -> 12L) // other user's click
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-user running counters persist across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
