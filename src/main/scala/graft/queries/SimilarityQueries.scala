@@ -83,6 +83,39 @@ object SimilarityQueries extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF (inverted-file) ANN: vectors are assigned to their nearest of
+    // 8 seed centroids (vec_id < 8 stand in for trained centroids —
+    // deterministic); each query probes its 2 nearest centroids and
+    // scores only those clusters' members. The scan shrinks by
+    // ~nprobe/nlist — the other classic ANN scale path next to LSH.
+    "ivf_topk" -> ((s, d) => {
+      val b = base(s, d)
+      val seeds = broadcast(b.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("qe").as("s_qe"), col("nq").as("s_nq")))
+      // nearest-centroid assignment: argmax cosine, ties to lowest seed
+      def nearest(df: DataFrame, n: Int): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("c").desc, col("seed_id"))
+        df.crossJoin(seeds)
+          .withColumn("c", cosFx(dotFx(col("qe"), col("s_qe")), col("nq"), col("s_nq")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") <= n)
+          .drop("s_qe", "s_nq", "c", "crk")
+      }
+      val assigned = nearest(b.filter(col("vec_id") >= 10), 1)
+        .withColumnRenamed("seed_id", "cluster")
+      val probes = nearest(b.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("q_id"), col("seed_id").as("cluster"),
+          col("qe").as("q_qe"), col("nq").as("q_nq"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored(assigned.join(broadcast(probes), "cluster"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= LshK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("cluster"), col("rk"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Embedding-cosine near-dup pairs, LSH-banded: candidates must
     // share at least one of 4 independent 4-bit sign-projection bands
     // (equi-join on (band_id, band_key) — never an all-pairs product),
@@ -157,6 +190,39 @@ object SimilarityQueries extends QueryModule {
          |              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
          |      FROM sc2)
          |SELECT q_id, neighbor_id, bucket, rk, cos FROM r
+         |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "ivf_topk" -> {
+      def cosSql(aq: String, an: String, bq: String, bn: String) =
+        s"CAST(list_sum(list_transform(range(1, len($aq) + 1), i -> $aq[i] * $bq[i])) AS DOUBLE)" +
+          s" / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))"
+      s"""WITH $baseSql,
+         |seeds AS (SELECT vec_id AS seed_id, qe AS s_qe, nq AS s_nq FROM n WHERE vec_id < 8),
+         |assign0 AS (
+         |  SELECT v.vec_id, v.qe, v.nq, s.seed_id,
+         |         ${cosSql("v.qe", "v.nq", "s.s_qe", "s.s_nq")} AS c
+         |  FROM n v CROSS JOIN seeds s WHERE v.vec_id >= 10),
+         |assigned AS (
+         |  SELECT vec_id, qe, nq, seed_id AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS crk
+         |    FROM assign0) WHERE crk = 1),
+         |probe0 AS (
+         |  SELECT v.vec_id, v.qe, v.nq, s.seed_id,
+         |         ${cosSql("v.qe", "v.nq", "s.s_qe", "s.s_nq")} AS c
+         |  FROM n v CROSS JOIN seeds s WHERE v.vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS q_id, seed_id AS cluster, qe AS q_qe, nq AS q_nq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS crk
+         |    FROM probe0) WHERE crk <= 2),
+         |sc AS (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id, a.cluster,
+         |         ${cosSql("a.qe", "a.nq", "p.q_qe", "p.q_nq")} AS cos
+         |  FROM assigned a JOIN probes p USING (cluster)),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |      FROM sc)
+         |SELECT q_id, neighbor_id, cluster, rk, cos FROM r
          |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
     },
 
