@@ -124,9 +124,12 @@ object Enrichment {
 
   /** F-9/F-10: schema'd parse + per-key flatten. Struct-typed keys
     * re-serialize as compact JSON strings; primitives pass through;
-    * missing keys → null (app.py:237-256). */
+    * missing keys → null (app.py:237-256). Every input column except
+    * `raw_json` passes through unchanged, so callers keep whatever
+    * payload they carried into the enrichment map. */
   def flatten(withRaw: DataFrame): DataFrame = {
     val parsed = withRaw.withColumn("parsed", from_json(col("raw_json"), LlmSchema))
+    val passthrough = withRaw.columns.filterNot(_ == "raw_json").map(col)
     val keyCols = LlmSchema.fields.map { f =>
       val c = col("parsed").getField(f.name)
       f.dataType match {
@@ -134,6 +137,6 @@ object Enrichment {
         case _             => c.as(f.name)
       }
     }
-    parsed.select(col("doc_id") +: col("company") +: keyCols: _*)
+    parsed.select(passthrough ++ keyCols: _*)
   }
 }

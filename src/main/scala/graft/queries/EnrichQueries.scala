@@ -27,7 +27,9 @@ object EnrichQueries extends QueryModule {
           when(col("doc_id") % 7 === 0, lit(null).cast("string"))
             .otherwise(substring(col("text"), 1, 80)).as("about"))
         .as[EnrichIn]
-      flatten(enrichMap(in, MockEnricher).toDF()).orderBy("doc_id")
+      flatten(enrichMap(in, MockEnricher).toDF())
+        .select(col("doc_id") +: col("company") +: FlattenKeys.map(col): _*)
+        .orderBy("doc_id")
     }),
 
     // F-11: prompt templating as a column expression derived from
@@ -100,30 +102,32 @@ object EnrichQueries extends QueryModule {
                      "substr(text, 1, 40)")} AS prompt
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // Enrichment context is the extracted About-Us sentence (or ""),
+      // exactly as the reference prompts (app.py:226) — the same
+      // null-or-empty skip guard as enrich_flatten, applied to the
+      // extracted sentence. Reuses the one `filled` contract above.
       "leadsight_pipeline" -> {
-        val filled = Map(
-          "company_overview" ->
-            """to_json(struct_pack(name := company, summary := company || ' operates a data platform'))""",
-          "business_model" -> """'{"model":"saas","channels":"direct"}'""",
-          "leadership" -> "company || ' team'",
-          "executive_brief" -> "'Brief for ' || company")
-        // about_ctx (page text, min 48 chars) is never null/empty → the
-        // mock always enriches; keys it doesn't fill stay null (K-2)
-        val keyCols = FlattenKeys.map(k =>
-          filled.get(k).map(e => s"$e AS $k")
-            .getOrElse(s"CAST(NULL AS VARCHAR) AS $k")).mkString(",\n       ")
+        val extAbout = DocQueries.aboutSql
+        val keyCols = FlattenKeys.map { k =>
+          filled.get(k) match {
+            case Some(e) =>
+              s"CASE WHEN about IS NULL OR about = '' THEN NULL ELSE $e END AS $k"
+            case None => s"CAST(NULL AS VARCHAR) AS $k"
+          }
+        }.mkString(",\n       ")
         s"""WITH base AS (
            |  SELECT doc_id,
            |         source || '-' || doc_id AS company,
            |         'https://www.' || source || '.example.com' AS website,
            |         regexp_replace(text, '\\s+', ' ', 'g') AS tx
-           |  FROM documents)
+           |  FROM documents),
+           |ext AS (SELECT *, $extAbout AS about FROM base)
            |SELECT doc_id, company AS "Company Name", website AS "Website",
            |       ${DocQueries.foundedSql} AS "Founded Info",
-           |       ${DocQueries.aboutSql} AS "About Us",
+           |       about AS "About Us",
            |       $keyCols,
            |       ${DocQueries.emailSql} AS "Email"
-           |FROM base ORDER BY doc_id""".stripMargin
+           |FROM ext ORDER BY doc_id""".stripMargin
       },
 
       "media_stats" ->

@@ -57,11 +57,13 @@ object EventStream {
     * within the preceding `window`. Both sides carry watermarks so the
     * join state is bounded — rows older than the watermark minus the
     * interval are evicted, which is what keeps a 100 TB/day pair of
-    * streams joinable at all. */
+    * streams joinable at all. `lateness` (allowed event-time lateness)
+    * is a separate knob from the attribution `window`: a wide window
+    * with a tight lateness bound keeps state small and results timely. */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-      window: String = "1 hour"): DataFrame = {
-    val p = purchases.withWatermark("p_ts", window)
-    val c = clicks.withWatermark("c_ts", window)
+      window: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", lateness)
+    val c = clicks.withWatermark("c_ts", lateness)
     p.join(c, expr(
       s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
   }

@@ -13,7 +13,9 @@ class EnrichmentSpec extends SparkSpec {
 
   test("golden E2E: map → parse → flatten produces the 9-key surface") {
     val out = flatten(enrichMap(inputs((1, "acme", "we sell anvils")), MockEnricher).toDF())
-    out.columns.toSeq shouldEqual Seq("doc_id", "company") ++ FlattenKeys
+    // flatten keeps every carried column (all of EnrichOut minus raw_json)
+    out.columns.toSeq shouldEqual
+      Seq("doc_id", "company", "website", "about") ++ FlattenKeys
     val r = out.collect().head
     r.getAs[String]("company_overview") shouldEqual
       """{"name":"acme","summary":"acme operates a data platform"}"""

@@ -38,8 +38,11 @@ class PipelinesSpec extends SparkSpec {
     out.length shouldEqual 2
     out(0).getAs[String]("Founded Info") shouldEqual null
     out(0).getAs[String]("Email") shouldEqual null
-    out(0).getAs[String]("executive_brief") shouldEqual "Brief for a" // enrichment still ran on page text
+    // no About-Us sentence → empty LLM context → enrichment skipped,
+    // matching the reference's about_text = result["About Us"] or ""
+    out(0).getAs[String]("executive_brief") shouldEqual null
     out(1).getAs[String]("Founded Info") shouldEqual "Founded 2001"
+    out(1).getAs[String]("executive_brief") shouldEqual null
   }
 
   test("a skipping enricher leaves enrichment null while extraction survives (J-1)") {
