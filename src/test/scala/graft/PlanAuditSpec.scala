@@ -12,6 +12,13 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("driver contract: entry returns rows and every oracle key has a query") {
+    SparkEntry.entry(spark).count() should be > 0L
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
+    qs.size should be >= 50
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       plan(n).contains("CartesianProduct")
