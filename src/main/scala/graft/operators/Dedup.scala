@@ -37,15 +37,8 @@ object Dedup {
     * The zip pads short slices with null, `concat_ws` drops nulls (so
     * the tail yields truncated shingles), and the final `slice` cuts
     * that tail off — `greatest(size−n+1, 0)` makes short docs empty. */
-  def shingles(toks: Column, n: Int): Column = {
-    val shifted = (toks +: (1 until n).map(k =>
-      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))))
-      .zipWithIndex.map { case (c, k) => c.as(k.toString) }
-    array_distinct(slice(
-      transform(arrays_zip(shifted: _*),
-        s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*)),
-      lit(1), greatest(size(toks) - (n - 1), lit(0))))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngrams(toks, n))
 
   /** MinHash constants: k universal-hash pairs (a_i, b_i), fixed and
     * odd so they're coprime-ish with the modulus; embedded literally in

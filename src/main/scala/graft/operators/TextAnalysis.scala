@@ -34,6 +34,29 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Word n-grams of a token array, in order, multiset (frequency
+    * analysis needs repeats — [[Dedup.shingles]] wraps this with
+    * array_distinct for set semantics). Built from `arrays_zip` of
+    * shifted slices so the lambda touches only its own variable — see
+    * the performance notes on [[Dedup.shingles]]. */
+  def ngrams(toks: Column, n: Int): Column = {
+    val shifted = (toks +: (1 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))))
+      .zipWithIndex.map { case (c, k) => c.as(k.toString) }
+    slice(
+      transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*)),
+      lit(1), greatest(size(toks) - (n - 1), lit(0)))
+  }
+
+  /** Deterministic hash-based sampling bucket in [0, 100): stable under
+    * reruns and cluster layout, unlike rand() — the only sane way to
+    * sample a 100 TB corpus reproducibly. Salt separates independent
+    * sampling decisions on the same keys. */
+  def sampleBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+
   /** Deterministic 56-bit token hash from the md5 hex prefix, reduced
     * mod [[HashMod]]. md5 is bit-identical across engines, which is what
     * makes fingerprints and MinHash oracle-checkable. */

@@ -84,6 +84,29 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "rk")
     }),
 
+    // Bigram (adjacent-pair) frequencies, multiset — the counting core
+    // of a BPE-merge step; top 20 pairs.
+    "bigram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(ngrams(tokens(norm(col("text"))), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)),
+
+    // Deterministic per-language stratified sampling: hash-bucket on
+    // doc_id (stable under reruns/partitioning, unlike rand()) with a
+    // per-stratum keep rate.
+    "stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", sampleBucket(col("doc_id"), "graft-r3"))
+        .withColumn("rate",
+          when(col("lang") === "en", 50)
+            .when(col("lang") === "de", 20).otherwise(10))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")),
+
     // Corpus-level term frequency, top 20 tokens.
     "token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -171,6 +194,23 @@ object TextQueries extends QueryModule {
          |      FROM c)
          |SELECT doc_id, token, cnt, rk FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "bigram_counts" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |      FROM t)
+         |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5('graft-r3' || doc_id), 1, 4) AS BIGINT) % 100 AS bucket,
+        |         CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+        |ORDER BY doc_id""".stripMargin,
 
     "token_counts" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
