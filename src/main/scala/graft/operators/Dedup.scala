@@ -111,6 +111,40 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Connected components over an undirected pair frame (d1, d2):
+    * resolves near-dup PAIRS into dedup CLUSTERS, labeling every member
+    * with the minimum doc_id of its component (the canonical survivor).
+    *
+    * Iterative min-label propagation — each round joins labels to the
+    * (symmetrized) edge list and takes the elementwise min, until a
+    * fixpoint; converges in O(component diameter) rounds, and each
+    * round is one hash join + aggregation (the GraphFrames/Pregel CC
+    * shape, no driver-side graph). `maxIters` bounds the loop; near-dup
+    * components are shallow in practice. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("node") === col("node2"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next.localCheckpoint(eager = true) // cut the growing lineage
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** doc_id + distinct shingle set + shingle-hash array, the shared
     * input frame for the Jaccard/MinHash pipelines. */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =

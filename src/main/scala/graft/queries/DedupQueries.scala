@@ -92,6 +92,17 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     }),
 
+    // Pairs → clusters: connected components over the Jaccard ≥ 0.5
+    // near-dup pairs; every member labeled with its component's minimum
+    // doc_id (the canonical survivor a dedup pass would keep).
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
+        .select("d1", "d2")
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document 16-bit SimHash over the token-hash multiset.
     "simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -122,6 +133,30 @@ object DedupQueries extends QueryModule {
          |FROM p
          |WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // Same pair derivation as ngram_jaccard, then min-label transitive
+    // closure via a recursive CTE (the SQL mirror of the iterative
+    // label propagation in Dedup.connectedComponents).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shSql,
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |      GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM p
+         |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src)
+         |SELECT node AS doc_id, min(label) AS cluster
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "minhash_lsh" -> {
       val sigCols = (0 until MinHashK).map { i =>

@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldEqual 1.0
   }
 
+  test("connectedComponents labels chains and triangles with the component min") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 (with redundant edge), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val cc = connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldEqual Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
   test("simhash: identical for identical docs, different for unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine ten"
