@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline (M3 extension
-  * scope): exact hashing, word-shingle Jaccard, MinHash+LSH banding, and
-  * SimHash — the standard near-dup toolbox at corpus scale.
+  * scope): exact hashing, word-shingle Jaccard (AllPairs prefix
+  * filtering, Bayardo et al., WWW'07), MinHash+LSH banding (Broder,
+  * SEQUENCES'97; banding per Leskovec/Rajaraman/Ullman, MMDS ch.3), and
+  * SimHash (Charikar, STOC'02) — the standard near-dup toolbox at
+  * corpus scale.
   *
   * Scale posture (100 TB): nothing here is an all-pairs comparison.
   *  - Exact dedup is one hash-partitioned groupBy.

@@ -81,4 +81,19 @@ object EventStream {
         batch.write.mode("append").parquet(path)
       }
       .start()
+
+  /** Idempotent variant: each micro-batch lands in its own
+    * `batch_id=<id>` partition directory with overwrite, so a batch
+    * replayed after a failure (foreachBatch is at-least-once) rewrites
+    * its own partition instead of appending duplicates — the standard
+    * exactly-once-by-idempotence recipe for file sinks. */
+  def idempotentParquetSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
 }

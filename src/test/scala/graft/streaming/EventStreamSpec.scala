@@ -62,6 +62,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent sink: a replayed batch overwrites its partition, no duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = tmp("idem-out")
+    val q = EventStream.idempotentParquetSink(in.toDF(), out, tmp("idem-ckpt"))
+    try {
+      in.addData(ev(1, 0), ev(2, 1)); q.processAllAvailable()
+      in.addData(ev(3, 2)); q.processAllAvailable()
+      spark.read.parquet(out).count() shouldEqual 3
+      // simulate a replay of batch 1: same rows, same batch_id partition
+      Seq(ev(3, 2)).toDF().write.mode("overwrite").parquet(s"$out/batch_id=1")
+      spark.read.parquet(out).count() shouldEqual 3 // overwritten, not doubled
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp)]
+    val p = purchasesIn.toDF().toDF("p_id", "p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    val c = clicksIn.toDF().toDF("c_id", "c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val joined = p.join(c, expr(
+      "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"), "left_outer")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssleft").option("checkpointLocation", tmp("ssleft")).start()
+    try {
+      clicksIn.addData((10L, 1L, ts(40)))
+      purchasesIn.addData((1L, 1L, ts(45)), (2L, 7L, ts(45))) // user 7 has no click
+      q.processAllAvailable()
+      clicksIn.addData((99L, 9L, ts(600))); purchasesIn.addData((98L, 9L, ts(601)))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      rows(1L) shouldEqual Some(10L)
+      rows(2L) shouldEqual None // emitted with null click once watermark passed
+    } finally q.stop()
+  }
+
   test("watermarked hourly windows finalize and drop too-late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
