@@ -140,16 +140,20 @@ object Dedup {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("label")).as("nmin"))
+      // carry the changed flag so convergence is read off the already-
+      // materialized frame (counting before the checkpoint would run
+      // the whole join lineage a second time)
       val next = labels.join(neighborMin, labels("node") === col("node2"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next.localCheckpoint(eager = true) // cut the growing lineage
-      converged = changed == 0
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("newl"),
+          (col("label") =!= least(col("label"), coalesce(col("nmin"), col("label"))))
+            .as("chg"))
+        .localCheckpoint(eager = true) // also cuts the growing lineage
+      converged = next.filter(col("chg")).limit(1).count() == 0
+      labels = next.select(col("node"), col("newl").as("label"))
       it += 1
     }
-    labels
+    labels.select("node", "label")
   }
 
   /** doc_id + distinct shingle set + shingle-hash array, the shared
