@@ -17,7 +17,7 @@ object DedupQueries extends QueryModule {
   import Dedup._
 
   /** Shared SQL: normalized tokens → distinct 3-shingles → hashes. */
-  private val shSql =
+  private[queries] val shSql =
     """sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(toks) - 1),

@@ -141,6 +141,35 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // The training-data capstone: compose quality scoring, language-ID,
+    // near-dup clustering, and deterministic sampling into the
+    // "training-ready subset" selection a pretraining corpus runs —
+    // keep docs that score above 'poor', guess as English, are the
+    // canonical member of their dedup cluster, and fall in the sample.
+    "training_subset" -> ((s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val q = docs
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          occurrences(col("toks"), LangProfiles.head._2).as("stop_hits"),
+          langGuess(col("toks")).as("lang_guess"))
+        .withColumn("score",
+          qualityScore(col("n_tokens"), col("n_distinct"), col("stop_hits")))
+        .withColumn("grade", grade(col("score")))
+      val nonCanonical = Dedup
+        .connectedComponents(Dedup.jaccardPairs(docs, 0.5).select("d1", "d2"))
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      q.join(nonCanonical, Seq("doc_id"), "left_anti")
+        .filter(col("grade") =!= "poor" && col("lang_guess") === "en" &&
+          sampleBucket(col("doc_id"), "subset") < 50)
+        .select("doc_id", "n_tokens", "score", "grade")
+        .orderBy("doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document.
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -216,6 +245,54 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // Quality + language + dedup-cluster + sample filters composed; the
+    // cluster arm reuses the recursive-CTE closure from dedup_clusters.
+    "training_subset" ->
+      s"""WITH RECURSIVE ${DedupQueries.shSql},
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |      GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM p
+         |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src),
+         |noncanon AS (
+         |  SELECT node AS doc_id FROM (
+         |    SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+         |  WHERE node <> cluster),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |             CAST(len(toks) AS INTEGER) AS n_tokens,
+         |             CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |             ${occSql(LangProfiles.head._2)} AS stop_hits,
+         |             $profilesSql
+         |      FROM t),
+         |g AS (SELECT *,
+         |             $guessSql AS lang_guess,
+         |             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4)) AS score
+         |      FROM h)
+         |SELECT doc_id, n_tokens, score,
+         |       CASE WHEN score >= 0.6 THEN 'good'
+         |            WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END AS grade
+         |FROM g
+         |WHERE CASE WHEN score >= 0.6 THEN 'good'
+         |           WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END <> 'poor'
+         |  AND lang_guess = 'en'
+         |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)
+         |  AND CAST('0x' || substr(md5('subset' || doc_id), 1, 4) AS BIGINT) % 100 < 50
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_lm_score" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
