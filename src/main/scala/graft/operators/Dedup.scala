@@ -122,9 +122,13 @@ object Dedup {
     * (symmetrized) edge list and takes the elementwise min, until a
     * fixpoint; converges in O(component diameter) rounds, and each
     * round is one hash join + aggregation (the GraphFrames/Pregel CC
-    * shape, no driver-side graph). `maxIters` bounds the loop; near-dup
-    * components are shallow in practice. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * shape, no driver-side graph). Min-propagation needs O(diameter)
+    * rounds; if `maxIters` is hit before the fixpoint the labels would
+    * be silently WRONG (one chain reported as several clusters), so
+    * non-convergence throws instead of truncating. Superseded
+    * checkpoints are unpersisted as the loop advances — only the final
+    * labels frame stays materialized. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Materialize the edge list once: it is consumed every round, and
     // its lineage (a full near-dup pair pipeline) would otherwise be
     // recomputed per iteration — measured 8× slower without this.
@@ -133,6 +137,7 @@ object Dedup {
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
+    var prev: Option[DataFrame] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -149,10 +154,17 @@ object Dedup {
           (col("label") =!= least(col("label"), coalesce(col("nmin"), col("label"))))
             .as("chg"))
         .localCheckpoint(eager = true) // also cuts the growing lineage
+      prev.foreach(_.unpersist())
+      prev = Some(next)
       converged = next.filter(col("chg")).limit(1).count() == 0
       labels = next.select(col("node"), col("newl").as("label"))
       it += 1
     }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(component diameter exceeds the bound); raise maxIters")
     labels.select("node", "label")
   }
 

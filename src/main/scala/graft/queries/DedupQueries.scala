@@ -30,6 +30,28 @@ object DedupQueries extends QueryModule {
       |         list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007) AS hs
       |  FROM sh)""".stripMargin
 
+  /** Pair derivation (Jaccard ≥ 0.5, size-band prune) + recursive
+    * min-label closure. Shared by the dedup_clusters oracle and
+    * training_subset's (TextQueries); splice after [[shSql]] under a
+    * WITH RECURSIVE. */
+  private[queries] val ccSql =
+    """e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+      |             max(a.n) AS n1, max(b.n) AS n2
+      |      FROM e a JOIN e b
+      |        ON a.s = b.s AND a.doc_id < b.doc_id
+      |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM p
+      |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |cc AS (
+      |  SELECT node, node AS label FROM nodes
+      |  UNION
+      |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src)""".stripMargin
+
   private val jaccardSql =
     "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
 
@@ -139,22 +161,7 @@ object DedupQueries extends QueryModule {
     // label propagation in Dedup.connectedComponents).
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shSql,
-         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
-         |             max(a.n) AS n1, max(b.n) AS n2
-         |      FROM e a JOIN e b
-         |        ON a.s = b.s AND a.doc_id < b.doc_id
-         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
-         |      GROUP BY 1, 2),
-         |pairs AS (SELECT d1, d2 FROM p
-         |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |cc AS (
-         |  SELECT node, node AS label FROM nodes
-         |  UNION
-         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src)
+         |$ccSql
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 

@@ -27,6 +27,16 @@ object TextQueries extends QueryModule {
   private val profilesSql: String =
     LangProfiles.map { case (l, ws) => s"${occSql(ws)} AS hits_$l" }.mkString(",\n       ")
 
+  /** Quality-score formula over (n_tokens, n_distinct, stop_hits)
+    * columns — one copy, spliced into text_quality and training_subset
+    * so the two oracles can't drift. */
+  private val scoreSql =
+    """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4))""".stripMargin
+  private val gradeSql =
+    "CASE WHEN score >= 0.6 THEN 'good' WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END"
+
   private val guessSql: String = {
     val langs = LangProfiles.map(_._1)
     val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
@@ -205,13 +215,10 @@ object TextQueries extends QueryModule {
          |             ${occSql(LangProfiles.head._2)} AS stop_hits
          |      FROM t),
          |s AS (SELECT *,
-         |             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4)) AS score
+         |             $scoreSql AS score
          |      FROM b)
          |SELECT doc_id, n_tokens, n_distinct, stop_hits, score,
-         |       CASE WHEN score >= 0.6 THEN 'good'
-         |            WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END AS grade
+         |       $gradeSql AS grade
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "tf_topk" ->
@@ -250,22 +257,7 @@ object TextQueries extends QueryModule {
     // cluster arm reuses the recursive-CTE closure from dedup_clusters.
     "training_subset" ->
       s"""WITH RECURSIVE ${DedupQueries.shSql},
-         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
-         |             max(a.n) AS n1, max(b.n) AS n2
-         |      FROM e a JOIN e b
-         |        ON a.s = b.s AND a.doc_id < b.doc_id
-         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
-         |      GROUP BY 1, 2),
-         |pairs AS (SELECT d1, d2 FROM p
-         |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |cc AS (
-         |  SELECT node, node AS label FROM nodes
-         |  UNION
-         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src),
+         |${DedupQueries.ccSql},
          |noncanon AS (
          |  SELECT node AS doc_id FROM (
          |    SELECT node, min(label) AS cluster FROM cc GROUP BY node)
@@ -279,16 +271,12 @@ object TextQueries extends QueryModule {
          |      FROM t),
          |g AS (SELECT *,
          |             $guessSql AS lang_guess,
-         |             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4)) AS score
+         |             $scoreSql AS score
          |      FROM h)
          |SELECT doc_id, n_tokens, score,
-         |       CASE WHEN score >= 0.6 THEN 'good'
-         |            WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END AS grade
+         |       $gradeSql AS grade
          |FROM g
-         |WHERE CASE WHEN score >= 0.6 THEN 'good'
-         |           WHEN score >= 0.35 THEN 'fair' ELSE 'poor' END <> 'poor'
+         |WHERE $gradeSql <> 'poor'
          |  AND lang_guess = 'en'
          |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)
          |  AND CAST('0x' || substr(md5('subset' || doc_id), 1, 4) AS BIGINT) % 100 < 50

@@ -82,18 +82,26 @@ object EventStream {
       }
       .start()
 
-  /** Idempotent variant: each micro-batch lands in its own
-    * `batch_id=<id>` partition directory with overwrite, so a batch
-    * replayed after a failure (foreachBatch is at-least-once) rewrites
-    * its own partition instead of appending duplicates — the standard
-    * exactly-once-by-idempotence recipe for file sinks. */
+  /** The idempotent per-batch writer: a batch lands in its own
+    * `batch_id=<id>` partition directory with overwrite, so replaying
+    * the same batchId rewrites the partition instead of appending
+    * duplicates. Factored out of the sink so the replay path itself is
+    * unit-testable (calling it twice with one batchId must not change
+    * the row count). */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** Idempotent variant of the incremental sink: foreachBatch is
+    * at-least-once, and [[writeBatchIdempotent]] makes the redelivery
+    * harmless — the standard exactly-once-by-idempotence recipe for
+    * file sinks. */
   def idempotentParquetSink(df: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        writeBatchIdempotent(batch, path, batchId)
       }
       .start()
 }

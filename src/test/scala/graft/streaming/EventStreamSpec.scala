@@ -72,9 +72,12 @@ class EventStreamSpec extends SparkSpec {
       in.addData(ev(1, 0), ev(2, 1)); q.processAllAvailable()
       in.addData(ev(3, 2)); q.processAllAvailable()
       spark.read.parquet(out).count() shouldEqual 3
-      // simulate a replay of batch 1: same rows, same batch_id partition
-      Seq(ev(3, 2)).toDF().write.mode("overwrite").parquet(s"$out/batch_id=1")
-      spark.read.parquet(out).count() shouldEqual 3 // overwritten, not doubled
+      // replay batch 1 through the sink's own writer (foreachBatch
+      // redelivery): same batchId → partition overwritten, not appended
+      import spark.implicits._
+      EventStream.writeBatchIdempotent(Seq(ev(3, 2)).toDF(), out, 1L)
+      EventStream.writeBatchIdempotent(Seq(ev(3, 2)).toDF(), out, 1L)
+      spark.read.parquet(out).count() shouldEqual 3
     } finally q.stop()
   }
 
