@@ -114,46 +114,76 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Materialize an iterative frame, cutting its lineage. When the
+    * session has a checkpoint dir configured (cluster posture:
+    * `sc.setCheckpointDir` to durable storage), use a reliable
+    * `checkpoint` — localCheckpoint truncates lineage to executor-local
+    * blocks, so at the 1000-executor/100 TB posture an executor loss or
+    * dynamic-allocation decommission mid-iteration would make the job
+    * unrecoverable rather than recomputable. Local mode (no checkpoint
+    * dir) keeps the fast executor-local path. */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Connected components over an undirected pair frame (d1, d2):
     * resolves near-dup PAIRS into dedup CLUSTERS, labeling every member
     * with the minimum doc_id of its component (the canonical survivor).
     *
-    * Iterative min-label propagation — each round joins labels to the
-    * (symmetrized) edge list and takes the elementwise min, until a
-    * fixpoint; converges in O(component diameter) rounds, and each
-    * round is one hash join + aggregation (the GraphFrames/Pregel CC
-    * shape, no driver-side graph). Min-propagation needs O(diameter)
-    * rounds; if `maxIters` is hit before the fixpoint the labels would
-    * be silently WRONG (one chain reported as several clusters), so
+    * Iterative min-label HOOKING + POINTER JUMPING (the Shiloach–Vishkin
+    * shape; same O(log n) round family as alternating
+    * large-star/small-star, Kiveris et al., SoCC'14). Each round:
+    *  1. hook: every node takes the min of its own and its neighbors'
+    *     labels (one join + min-aggregation);
+    *  2. jump: every node then replaces its label with its LABEL'S
+    *     label (a self-join on the hooked frame) — path compression,
+    *     which is what turns O(diameter) min-propagation into O(log n):
+    *     on a chain, the distance-to-minimum covered per round doubles
+    *     (d → 2d+2) instead of growing by one.
+    * Labels are always node ids of the same component and monotonically
+    * non-increasing, so the fixpoint is exactly "every member labeled
+    * with the component min" — identical output to plain min-label
+    * propagation, pinned by DedupSpec (including a long-chain fixture
+    * with maxIters ≪ diameter that plain propagation could not pass).
+    * If `maxIters` is hit before the fixpoint the labels would be
+    * silently WRONG (one chain reported as several clusters), so
     * non-convergence throws instead of truncating. Superseded
-    * checkpoints are unpersisted as the loop advances — only the final
-    * labels frame stays materialized. */
+    * materializations are unpersisted as the loop advances — only the
+    * final labels frame stays materialized. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Materialize the edge list once: it is consumed every round, and
     // its lineage (a full near-dup pair pipeline) would otherwise be
     // recomputed per iteration — measured 8× slower without this.
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     var prev: Option[DataFrame] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // 1. hook: l1(v) = min(label(v), min over neighbors' labels)
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("label")).as("nmin"))
-      // carry the changed flag so convergence is read off the already-
+      val hooked = labels.join(neighborMin, labels("node") === col("node2"), "left_outer")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // 2. jump: newl(v) = l1(l1(v)). Every label is itself a node id
+      // (mins over node ids), so the self-join always matches;
+      // left_outer + coalesce guards the invariant anyway. Carry the
+      // changed flag so convergence is read off the already-
       // materialized frame (counting before the checkpoint would run
-      // the whole join lineage a second time)
-      val next = labels.join(neighborMin, labels("node") === col("node2"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("newl"),
-          (col("label") =!= least(col("label"), coalesce(col("nmin"), col("label"))))
-            .as("chg"))
-        .localCheckpoint(eager = true) // also cuts the growing lineage
+      // the whole join lineage a second time).
+      val jumpTo = hooked.select(col("node").as("jn"), col("l1").as("l2"))
+      val next = materialize(
+        hooked.join(jumpTo, col("l1") === col("jn"), "left_outer")
+          .select(col("node"),
+            least(col("l1"), coalesce(col("l2"), col("l1"))).as("newl"),
+            (col("label") =!= least(col("l1"), coalesce(col("l2"), col("l1"))))
+              .as("chg")))
       prev.foreach(_.unpersist())
       prev = Some(next)
       converged = next.filter(col("chg")).limit(1).count() == 0
@@ -164,7 +194,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds " +
-          "(component diameter exceeds the bound); raise maxIters")
+          "(pointer jumping needs ~log2(n); raise maxIters)")
     labels.select("node", "label")
   }
 
@@ -184,11 +214,27 @@ object Dedup {
     * prefix shingle — then verify candidates exactly on the full sets.
     * High-frequency shingles never enter the candidate join, which is
     * what keeps Σdf² (and the shuffle) bounded at corpus scale; the
-    * 2× size-band prune rides along in the join condition. */
-  def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized = shingled(docs)
+    * 2× size-band prune rides along in the join condition.
+    *
+    * `materializeInput` checkpoints the shingled frame before use: it
+    * feeds the pipeline THREE times (candidate explode + both
+    * verification joins) and re-shingling (regex split + per-shingle
+    * md5) at every use would triple the scan-side cost. Exchange reuse
+    * covers the prefix self-join either way; the flag exists so plan
+    * audits can see the full declarative lineage. */
+  def jaccardPairs(docs: DataFrame, t: Double = 0.5,
+      materializeInput: Boolean = true): DataFrame = {
+    val sized0 = shingled(docs)
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
+    jaccardPairsSized(if (materializeInput) materialize(sized0) else sized0, t)
+  }
+
+  /** [[jaccardPairs]] over a pre-built `(doc_id, ss, n)` frame — the
+    * factoring that lets the training-subset capstone shingle once and
+    * feed both its quality arm and this dedup arm from the same
+    * materialized base. */
+  def jaccardPairsSized(sized: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = sized.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
     val dfreq = e.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = e.join(dfreq, "s")

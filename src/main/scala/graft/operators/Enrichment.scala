@@ -28,11 +28,18 @@ trait Enricher extends Serializable {
   * (llm_utils.py:53-117, 9 top-level keys — 4 filled, 5 absent) from
   * the inputs alone. Mirrors the reference's skip conditions. */
 object MockEnricher extends Enricher {
-  /** Minimal JSON string escaping — a company name containing a quote
-    * or backslash must still yield valid JSON (PERMISSIVE parse of a
-    * malformed document would silently null every column). */
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON string escaping — a company name containing a quote,
+    * backslash, or control character (newline, tab, U+0000–U+001F) must
+    * still yield valid JSON: PERMISSIVE parse of a malformed document
+    * would silently null every column while the oracle's to_json emits
+    * valid JSON — a silent cross-engine divergence. */
+  private[operators] def esc(s: String): String =
+    s.flatMap {
+      case '\\'           => "\\\\"
+      case '"'            => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }
 
   def enrich(company: String, website: String, about: String): Option[String] =
     if (company == null || about == null || about.isEmpty) None

@@ -65,28 +65,22 @@ object DedupQueries extends QueryModule {
           max(col("doc_id")).as("max_doc"))
         .orderBy("text_hash")),
 
-    // Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5: shingle
-    // equi-join + pair-count aggregation, with the 2× size-band prune
-    // folded into the join condition. On corpora with skewed shingle
-    // frequencies, Dedup.jaccardPairs (AllPairs prefix filtering) is
-    // the asymptotically safer variant; on this flat-df synthetic
-    // corpus the direct join measures faster, and both are exact.
-    "ngram_jaccard" -> ((s, d) => {
-      val e = shingled(Tables.documents(s, d))
-        .select(col("doc_id"), size(col("ss")).as("n"), explode(col("ss")).as("s"))
-      val p = e.as("a").join(e.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("common"),
-          max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
-      p.withColumn("jac",
-          col("common").cast("double") /
-            (col("n1") + col("n2") - col("common")).cast("double"))
-        .filter(col("jac") >= 0.5)
+    // Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5, candidates from
+    // AllPairs prefix filtering (Dedup.jaccardPairs): only each
+    // document's rarest-first prefix shingles enter the self-join, so a
+    // hot shingle (boilerplate headers, license text — guaranteed in
+    // web-scale corpora) never yields Σdf² candidate pairs. The direct
+    // frequency-unbounded shingle equi-join measures marginally faster
+    // on this flat-df synthetic corpus, but it is exactly the shape
+    // that dies at 100 TB; the registered query is the scale-safe one
+    // and both are exact (only candidate generation differs — the
+    // oracle's direct-join SQL pins that equivalence every round).
+    "ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(Tables.documents(s, d), t = 0.5)
+        // count(*)-shaped oracle emits BIGINT; the set-size intersect is int
+        .withColumn("common", col("common").cast("long"))
         .select("d1", "d2", "n1", "n2", "common", "jac")
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
 
     // MinHash(16) + LSH (4 bands × 4 rows) candidates, then exact-
     // Jaccard verification at ≥ 0.8. Only band-colliding pairs are ever

@@ -158,11 +158,16 @@ object RelationalQueries extends QueryModule {
     // SQL entry path + GROUPING SETS (beyond rollup/cube): revenue by
     // returnflag, by linestatus, and overall. Reads the parquet path
     // directly (`parquet.`…``) — registering a temp view here would be
-    // a hidden mutation of the shared session catalog.
+    // a hidden mutation of the shared session catalog. The 'ALL' label
+    // comes from grouping(), not coalesce(): coalesce would conflate a
+    // genuine NULL data value with the grand-total grouping-set row
+    // (safe on non-null TPC-H columns, wrong as a general pattern — and
+    // both engines would mis-merge identically, so the oracle couldn't
+    // catch it).
     "grouping_sets_revenue" -> ((s, d) =>
       s.sql(
-        s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-           |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        s"""SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+           |       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
            |       count(*) AS n_items,
            |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
            |FROM parquet.`$d/lineitem.parquet`
@@ -198,8 +203,8 @@ object RelationalQueries extends QueryModule {
         |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
 
     "grouping_sets_revenue" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        |       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
         |       count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem

@@ -159,8 +159,13 @@ object TextQueries extends QueryModule {
     "training_subset" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = Tables.documents(s, d)
-      val q = docs
-        .withColumn("toks", tokens(norm(col("text"))))
+      // Tokenize ONCE: the quality arm (counts/lang/score) and the
+      // dedup arm (shingles → prefix-filtered pairs → components) both
+      // derive from this materialized token base — without it each arm
+      // re-runs the scan + regex tokenization on its own lineage.
+      val base = Dedup.materialize(
+        docs.withColumn("toks", tokens(norm(col("text")))).select("doc_id", "toks"))
+      val q = base
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_distinct"),
@@ -169,8 +174,11 @@ object TextQueries extends QueryModule {
         .withColumn("score",
           qualityScore(col("n_tokens"), col("n_distinct"), col("stop_hits")))
         .withColumn("grade", grade(col("score")))
+      val sized = Dedup.materialize(
+        base.withColumn("ss", Dedup.shingles(col("toks"), 3))
+          .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
       val nonCanonical = Dedup
-        .connectedComponents(Dedup.jaccardPairs(docs, 0.5).select("d1", "d2"))
+        .connectedComponents(Dedup.jaccardPairsSized(sized, 0.5).select("d1", "d2"))
         .filter(col("node") =!= col("label"))
         .select(col("node").as("doc_id"))
       q.join(nonCanonical, Seq("doc_id"), "left_anti")

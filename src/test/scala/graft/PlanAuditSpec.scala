@@ -34,9 +34,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("the near-dup pair pipeline (inside the iterative queries) joins on keys") {
-    val p = operators.Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5)
+    // materializeInput=false keeps the full declarative lineage visible
+    val p = operators.Dedup
+      .jaccardPairs(Tables.documents(spark, sf), 0.5, materializeInput = false)
       .queryExecution.executedPlan.toString
     p should not include "CartesianProduct"
+    // the candidate join must be prefix-bounded (AllPairs): the rarest-
+    // first rank window + the ⌈t·n⌉ prefix-length filter (CollapseProject
+    // inlines the `plen` alias, so the CEIL expression is the signature)
+    p should include("row_number")
+    p should include("CEIL")
+  }
+
+  test("ngram_jaccard's registered plan carries the prefix filter (df-bounded candidates)") {
+    val p = plan("ngram_jaccard")
+    p should include("row_number")
+    p should include("CEIL")
   }
 
   test("star-schema queries broadcast their dimension joins") {

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("connectedComponents converges in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // a 300-link chain has diameter 299: plain min-label propagation
+    // needs ~300 rounds; hooking + pointer jumping doubles the covered
+    // distance each round (d → 2d+2), so 16 rounds must suffice
+    val n = 300
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    val cc = connectedComponents(pairs, maxIters = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    cc.length shouldEqual n
+    cc.map(_._2).distinct.toSeq shouldEqual Seq(1L)
+  }
+
   test("simhash: identical for identical docs, different for unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "one two three four five six seven eight nine ten"

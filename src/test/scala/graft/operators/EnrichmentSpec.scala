@@ -57,6 +57,15 @@ class EnrichmentSpec extends SparkSpec {
     FlattenKeys.foreach(k => out.head.getAs[String](k) shouldEqual null)
   }
 
+  test("control characters in company names still yield valid JSON (round-trips)") {
+    // a newline/tab/quote/backslash in the name must survive the mock's
+    // serialization → PERMISSIVE parse round trip instead of nulling out
+    val nasty = "acme\nco\t\"quoted\"\\slash\u0001"
+    val out = flatten(enrichMap(inputs((1, nasty, "about")), MockEnricher).toDF()).collect()
+    out.head.getAs[String]("leadership") shouldEqual s"$nasty team"
+    out.head.getAs[String]("company_overview") should include("\\n") // escaped, not raw
+  }
+
   test("F-11 prompt templating substitutes placeholders, nulls become empty") {
     prompt("acme", "https://a.com", "hello") shouldEqual
       "Analyze acme (https://a.com). Context: hello"
