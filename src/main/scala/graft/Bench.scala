@@ -8,7 +8,13 @@ import org.apache.spark.sql.SparkSession
   * runs before timing so the first measured query doesn't absorb JVM /
   * codegen / Hadoop-client startup, which at sf0.1 otherwise dominates
   * whichever query happens to run first. Failed queries report value
-  * -1.0 and are listed in "failed" — never silently timed. */
+  * -1.0 and are listed in "failed" — never silently timed.
+  *
+  * Timing action: a `noop`-format write, which materializes EVERY
+  * output row through the full physical plan. `count()` would let
+  * Catalyst prune the final sort/projection (count needs neither), and
+  * the sink ordering every query carries is real work worth timing —
+  * Verify writes actual parquet through the same plans. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,7 +33,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

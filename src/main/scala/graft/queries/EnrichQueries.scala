@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Enrichment, MockEnricher, Multimodal}
+import graft.operators.{Enrichers, Enrichment, MockEnricher, Multimodal}
 
 /** O-9/O-11 enrichment pipeline and multimodal plumbing as
   * oracle-checked queries.
@@ -27,7 +27,9 @@ object EnrichQueries extends QueryModule {
           when(col("doc_id") % 7 === 0, lit(null).cast("string"))
             .otherwise(substring(col("text"), 1, 80)).as("about"))
         .as[EnrichIn]
-      flatten(enrichMap(in, MockEnricher).toDF())
+      // Enrichers.fromConf: the mock unless spark.graft.enricher.url is
+      // set — the oracle below is only valid for the deterministic mock.
+      flatten(enrichMap(in, Enrichers.fromConf(s)).toDF())
         .select(col("doc_id") +: col("company") +: FlattenKeys.map(col): _*)
         .orderBy("doc_id")
     }),
@@ -47,7 +49,8 @@ object EnrichQueries extends QueryModule {
     // materialization, in input order.
     "leadsight_pipeline" -> ((s, d) =>
       graft.operators.Pipelines.leadSight(
-          Tables.documents(s, d).select(
+          enricher = Enrichers.fromConf(s),
+          docs = Tables.documents(s, d).select(
             col("doc_id"),
             concat(col("source"), lit("-"), col("doc_id")).as("company"),
             concat(lit("https://www."), col("source"), lit(".example.com")).as("website"),

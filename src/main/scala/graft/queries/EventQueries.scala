@@ -87,6 +87,24 @@ object EventQueries extends QueryModule {
         .orderBy("n_name")
     }),
 
+    // The skew posture exercised on a registered plan (not just the
+    // SkewSpec fixture): the event fact joined to the customer dim
+    // through the salted equi-join — each fact row carries a random
+    // salt in [0,8), the dim is exploded 8×, and the join key becomes
+    // (user_id, salt), spreading any hot user over 8 reducers. Row-set
+    // identical to the unsalted join (every salt value exists on the
+    // dim side), which is exactly what the plain-SQL oracle pins.
+    "salted_user_value" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(Tables.events(s, d), dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.decSum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // As-of join (operators.AsOf): each purchase attributed to the
     // user's most recent click at-or-before it — one shuffle + window,
     // no range-join blowup.
@@ -173,6 +191,16 @@ object EventQueries extends QueryModule {
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Salting changes partitioning, not semantics: the oracle is the
+    // plain unsalted join.
+    "salted_user_value" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       ${Exact.sqlDecSum("value")} AS sum_value
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Same union+window reconstruction; right (click) rows sort before
     // left (purchase) rows at equal ts via tag, and tb (= click_id)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Structured-Streaming surface (SURVEY §2.9 R-1..R-4 + the extension
   * windows/watermark/session ops).
@@ -67,6 +67,52 @@ object EventStream {
     p.join(c, expr(
       s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
   }
+
+  /** The reference's SSE event shape ({type, data, ts} appended to a
+    * queue — server.py:69-75) as the payload of the Spark-native
+    * progress feed. */
+  case class ProgressEvent(eventType: String, data: Map[String, String], ts: Long)
+
+  /** A-4/R-2 progress parity: the reference POLLS its event queue every
+    * 0.3 s (server.py:337-358); a StreamingQueryListener is the
+    * Spark-native inversion — start/step/done/error events are PUSHED
+    * at micro-batch cadence with real batch progress (rows per batch,
+    * per-second rates), no shared-dict state and no poll loop. Pair
+    * with [[trigger300ms]] so steps arrive at the same sub-second
+    * cadence the reference's UI feed has. `emit` must be thread-safe:
+    * the listener bus delivers asynchronously. */
+  class ProgressListener(emit: ProgressEvent => Unit) extends StreamingQueryListener {
+    import StreamingQueryListener._
+    private def now(): Long = System.currentTimeMillis()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      emit(ProgressEvent("start",
+        Map("id" -> e.id.toString, "name" -> Option(e.name).getOrElse("")), now()))
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      emit(ProgressEvent("step", Map(
+        "id" -> e.progress.id.toString,
+        "batchId" -> e.progress.batchId.toString,
+        "numInputRows" -> e.progress.numInputRows.toString,
+        "inputRowsPerSecond" -> e.progress.inputRowsPerSecond.toString), now()))
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      emit(ProgressEvent(
+        if (e.exception.isDefined) "error" else "done",
+        Map("id" -> e.id.toString) ++ e.exception.map("error" -> _), now()))
+  }
+
+  /** R-2 cadence parity: a 300 ms processing-time trigger — the same
+    * 0.3 s step the reference's poll loop uses, but as the micro-batch
+    * schedule itself. */
+  val trigger300ms: Trigger = Trigger.ProcessingTime("300 milliseconds")
+
+  /** Update-mode per-type counters on the 300 ms trigger, feeding a
+    * memory sink (the stat-tile feed A-1/A-2 with R-2's cadence). */
+  def typeCountsLive(events: DataFrame, queryName: String,
+      checkpoint: String): StreamingQuery =
+    typeCounts(events).writeStream
+      .outputMode("update").format("memory").queryName(queryName)
+      .trigger(trigger300ms)
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** R-4: incremental materialization — every micro-batch lands in the
     * sink directory as its own append (the crash-safe-partial-results

@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     p should include("CEIL")
   }
 
+  test("the salted-join query joins on (key, salt) — hot keys spread over buckets") {
+    plan("salted_user_value") should include("__salt")
+  }
+
   test("star-schema queries broadcast their dimension joins") {
     Seq("revenue_by_nation", "brand_revenue", "rollup_region_nation",
         "user_value_by_nation").foreach { q =>

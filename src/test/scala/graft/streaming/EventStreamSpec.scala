@@ -265,6 +265,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progress listener emits start/step/done with batch progress (300 ms trigger)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EventStream.ProgressEvent]
+    val listener = new EventStream.ProgressListener(e => buf.synchronized { buf += e })
+    def snap = buf.synchronized { buf.toList }
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Ev]
+    val q = EventStream.typeCountsLive(in.toDF(), "live300", tmp("live300"))
+    try {
+      in.addData(ev(1, 0), ev(2, 1), ev(3, 2, typ = "buy"))
+      q.processAllAvailable()
+      // the listener bus delivers asynchronously — wait, don't assert a race
+      await(snap.exists(_.eventType == "start") && snap.exists(_.eventType == "step"))
+      snap.map(_.eventType) should contain("start")
+      val steps = snap.filter(_.eventType == "step")
+      steps should not be empty
+      steps.map(_.data("numInputRows").toLong).sum should be >= 3L
+      steps.head.data should contain key "batchId"
+    } finally {
+      q.stop()
+      await(snap.exists(_.eventType == "done"))
+      spark.streams.removeListener(listener)
+    }
+    // clean stop (no exception) → the reference's "done", not "error"
+    snap.map(_.eventType) should contain("done")
+    snap.map(_.eventType) should not contain "error"
+  }
+
   test("batch ≡ stream: typeCounts totals match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
