@@ -91,15 +91,24 @@ object Extraction {
     * (SURVEY T-4); the oracle-facing query wrapper adds orderBy(doc_id). */
   def leadExtract(docs: DataFrame): DataFrame = {
     val t = normalizeWs(col("text"))
-    docs
-      .withColumn("founded_info", extractFounded(t))
-      .withColumn("about_us", sentenceNear(t, "about us"))
-      .withColumn("email", extractEmail(t))
-      .withColumn("completeness",
-        completeness(Seq(col("founded_info"), col("about_us"), col("email"))))
-      .withColumn("status", status(col("completeness"), 3))
-      .select("doc_id", "founded_info", "about_us", "email",
-        "completeness", "status")
+    // All three extractions in ONE project: runtime subexpression
+    // elimination then evaluates the shared whitespace-normalize pass
+    // once per row. A withColumn chain splits them into separate
+    // projects that CollapseProject declines to merge (expensive exprs),
+    // leaving the normalize regex re-run per extraction — measured ~2×
+    // on the text-heavy path.
+    val extracted = docs.select(
+      col("doc_id"),
+      extractFounded(t).as("founded_info"),
+      sentenceNear(t, "about us").as("about_us"),
+      extractEmail(t).as("email"))
+    // Second project sees only cheap attribute refs; the regex aliases
+    // are referenced 3× (output + completeness + status), which is
+    // exactly the multi-use case CollapseProject's guard keeps
+    // un-inlined, so nothing below recomputes an extraction.
+    val comp = completeness(Seq(col("founded_info"), col("about_us"), col("email")))
+    extracted.select(col("doc_id"), col("founded_info"), col("about_us"),
+      col("email"), comp.as("completeness"), status(comp, 3).as("status"))
   }
 
   /** A-1/A-2: global conditional non-null counts over the extraction

@@ -46,11 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     p should include("CEIL")
   }
 
-  test("ngram_jaccard's registered plan carries the prefix filter (df-bounded candidates)") {
-    val p = plan("ngram_jaccard")
-    p should include("row_number")
-    p should include("CEIL")
-  }
+  // ngram_jaccard's registered form materializes the (tiny) prefix frame
+  // before the self-join, so its executedPlan truncates at the checkpoint;
+  // the declarative audit above IS the candidate-generation gate, and
+  // DedupSpec pins that the materialized and declarative forms agree
+  // row-for-row.
 
   test("the salted-join query joins on (key, salt) — hot keys spread over buckets") {
     plan("salted_user_value") should include("__salt")

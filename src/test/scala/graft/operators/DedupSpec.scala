@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldEqual 1.0
   }
 
+  test("jaccardPairs: materialized and declarative forms agree row-for-row") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val docs = df(1 -> base, 2 -> near, 3 -> base)
+    def rows(materialized: Boolean) =
+      jaccardPairs(docs, t = 0.5, materializeInput = materialized)
+        .orderBy("d1", "d2").collect().map(_.toSeq).toSeq
+    rows(materialized = true) shouldEqual rows(materialized = false)
+  }
+
   test("connectedComponents labels chains and triangles with the component min") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 (with redundant edge), pair 20-21
