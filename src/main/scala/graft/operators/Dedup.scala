@@ -243,13 +243,30 @@ object Dedup {
       .withColumn("plen",
         (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
       .filter(col("rk") <= col("plen"))
-      .select("doc_id", "n", "s")
+      .select("doc_id", "n", "s", "rk")
+    // Candidate pairs + PPJoin positional filter (Xiao et al., WWW'08):
+    // ranks are positions in the GLOBAL rarest-first order, so every
+    // shared shingle other than the first common one ranks after it in
+    // BOTH lists — overlap ≤ 1 + min(n1 − i, n2 − j) at the first
+    // match (i, j). J ≥ t needs overlap ≥ ⌈t·(n1+n2)/(1+t)⌉; pairs
+    // whose bound can't reach it are pruned BEFORE the verify join has
+    // to haul their full shingle arrays. min(struct(rk_a, rk_b)) picks
+    // the first match consistently: the globally-smallest shared
+    // shingle minimizes both ranks at once. Replaces distinct() — the
+    // aggregation dedups and filters in the same shuffle.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n").cast("double") >= col("b.n") * lit(t) &&
           col("b.n").cast("double") >= col("a.n") * lit(t))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        struct(col("a.rk").as("i"), col("b.rk").as("j")).as("pos"))
+      .groupBy("d1", "d2")
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        min(col("pos")).as("fm"))
+      .filter(lit(1) + least(col("na") - col("fm.i"), col("nb") - col("fm.j")) >=
+        ceil((col("na") + col("nb")) * lit(t) / lit(1 + t)))
+      .select("d1", "d2")
     cand
       .join(sized.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
       .join(sized.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
