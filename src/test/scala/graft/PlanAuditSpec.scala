@@ -56,6 +56,16 @@ class PlanAuditSpec extends SparkSpec {
     plan("salted_user_value") should include("__salt")
   }
 
+  test("CPU-dense fact tables fan out past a single-split file layout") {
+    // single-row-group local files scan as ONE task; the loaders must
+    // repartition to session parallelism or every per-row operator
+    // (regex, shingle md5, embedding math) runs single-threaded
+    val p = spark.sparkContext.defaultParallelism
+    Tables.documents(spark, sf).rdd.getNumPartitions should be >= p
+    Tables.embeddings(spark, sf).rdd.getNumPartitions should be >= p
+    Tables.lineitem(spark, sf).rdd.getNumPartitions should be >= p
+  }
+
   test("star-schema queries broadcast their dimension joins") {
     Seq("revenue_by_nation", "brand_revenue", "rollup_region_nation",
         "user_value_by_nation").foreach { q =>
