@@ -86,7 +86,10 @@ object DedupQueries extends QueryModule {
     // Jaccard verification at ≥ 0.8. Only band-colliding pairs are ever
     // compared — the 100 TB-safe shape (candidates ≪ n²).
     "minhash_lsh" -> ((s, d) => {
-      val sh = shingled(Tables.documents(s, d))
+      // materialized once: feeds signature aggregation AND both exact-
+      // verify joins — re-shingling (regex + per-shingle md5) at every
+      // use would triple the scan-side cost (same shape as jaccardPairs)
+      val sh = materialize(shingled(Tables.documents(s, d)))
       val sig = minhashSigAgg(
         sh.select(col("doc_id"), explode(col("ss")).as("s")))
       val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
