@@ -139,7 +139,10 @@ object Dedup {
     *     label (a self-join on the hooked frame) — path compression,
     *     which is what turns O(diameter) min-propagation into O(log n):
     *     on a chain, the distance-to-minimum covered per round doubles
-    *     (d → 2d+2) instead of growing by one.
+    *     (d → 2d+2) instead of growing by one. (A second jump per
+    *     round was measured: it cannot cut rounds below the
+    *     1-plus-no-change floor that small-diameter dedup components
+    *     already sit at, so it only added a join per round.)
     * Labels are always node ids of the same component and monotonically
     * non-increasing, so the fixpoint is exactly "every member labeled
     * with the component min" — identical output to plain min-label
