@@ -3,6 +3,16 @@ package graft.operators
 import graft.SparkSpec
 import java.util.concurrent.atomic.AtomicInteger
 
+/** Serializable stub transport for the distributed-map test: defined at
+  * file scope so it captures no spec internals (an inner class would
+  * drag the non-serializable suite into the task closure). */
+private class CannedTransport(goodBody: String) extends HttpEnricher.Transport {
+  def post(url: String, headers: Map[String, String], body: String,
+      timeoutMs: Long): (Int, String) =
+    if (body.contains("boom")) throw new java.io.IOException("connect reset")
+    else (200, goodBody)
+}
+
 /** O-11 failure semantics (llm_utils.py:137-163) pinned against a
   * stubbed transport — no network in any test. */
 class HttpEnricherSpec extends SparkSpec {
@@ -63,6 +73,21 @@ class HttpEnricherSpec extends SparkSpec {
     node.path("model").asText() shouldEqual "model-x"
     node.path("messages").path(0).path("content").asText() should include("line1\nline2")
     node.path("messages").path(0).path("content").asText() should include("""ac"me""")
+  }
+
+  test("HttpEnricher serializes into a distributed enrichMap (per-executor seam)") {
+    import spark.implicits._
+    val e = new HttpEnricher("http://unit.test", "key", "m",
+      transport = new CannedTransport(goodBody))
+    val in = Seq(
+      Enrichment.EnrichIn(1, "acme", "w", "fine"),
+      Enrichment.EnrichIn(2, "boom", "w", "boom trigger"),
+      Enrichment.EnrichIn(3, "gamma", "w", "")).toDS().repartition(3)
+    val out = Enrichment.flatten(Enrichment.enrichMap(in, e).toDF())
+      .orderBy("doc_id").collect()
+    out(0).getAs[String]("leadership") shouldEqual "acme team"
+    out(1).getAs[String]("leadership") shouldEqual null // transport failure → null row
+    out(2).getAs[String]("leadership") shouldEqual null // null-skip (empty about)
   }
 
   test("Enrichers.fromConf: mock by default, HTTP only when a url is configured") {

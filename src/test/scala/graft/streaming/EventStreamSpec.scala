@@ -298,6 +298,35 @@ class EventStreamSpec extends SparkSpec {
     snap.map(_.eventType) should not contain "error"
   }
 
+  test("progress listener reports a failing query as error, not done") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EventStream.ProgressEvent]
+    val listener = new EventStream.ProgressListener(e => buf.synchronized { buf += e })
+    def snap = buf.synchronized { buf.toList }
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Ev]
+    val q = in.toDF()
+      .withColumn("bad", expr("assert_true(value < 0)")) // every row fails
+      .writeStream.outputMode("append").format("memory")
+      .queryName("failing").option("checkpointLocation", tmp("failing")).start()
+    try {
+      in.addData(ev(1, 0))
+      intercept[Exception](q.processAllAvailable())
+    } finally {
+      scala.util.Try(q.stop())
+      await(snap.exists(e => e.eventType == "error" || e.eventType == "done"))
+      spark.streams.removeListener(listener)
+    }
+    val last = snap.filter(e => e.eventType == "error" || e.eventType == "done")
+    last.map(_.eventType) should contain("error")
+    last.find(_.eventType == "error").get.data.keySet should contain("error")
+  }
+
   test("batch ≡ stream: typeCounts totals match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
