@@ -188,6 +188,25 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk): per-language token streams
+    // concatenated in doc_id order and cut at a fixed 2048-token
+    // boundary — each document gets the training-chunk id where it
+    // STARTS and its offset within that chunk (the GPT-style packing a
+    // pretraining loader performs). One window over a hash-partitioned
+    // lang key; no stateful scan — the chunk id is pure arithmetic on
+    // the running total, so it distributes and parallelizes freely.
+    "sequence_pack" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val T = 2048
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(norm(col("text")))))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / T).as("seq_id"),
+          ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document.
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -303,6 +322,19 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_tokens, sum_fx,
          |       CAST(sum_fx AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS lm_score
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len($toksSql) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+         |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
