@@ -45,7 +45,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val note = "timing action is a noop-format write (full materialization incl. " +
+      "final sort/projection); rounds <= 3 timed count(), which let Catalyst prune " +
+      "those — totals are not comparable across that change"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"action":"noop-write","note":"$note","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
