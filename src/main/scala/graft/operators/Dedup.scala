@@ -157,9 +157,15 @@ object Dedup {
     // Materialize the edge list once: it is consumed every round, and
     // its lineage (a full near-dup pair pipeline) would otherwise be
     // recomputed per iteration — measured 8× slower without this.
+    // Pre-partitioned on the hook-join key BEFORE the checkpoint: the
+    // materialized frame keeps its outputPartitioning, so every round's
+    // edges-side exchange vanishes — edges is the big frame of the
+    // loop, and shuffling it O(log n) times instead of once is the
+    // kind of cost that only shows at cluster scale.
     val edges = materialize(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .repartition(col("src")))
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     var prev: Option[DataFrame] = None
