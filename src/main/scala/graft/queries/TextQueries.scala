@@ -191,8 +191,8 @@ object TextQueries extends QueryModule {
     // Sequence packing (concat-and-chunk): per-language token streams
     // concatenated in doc_id order and cut at a fixed 2048-token
     // boundary — each document gets the training-chunk id where it
-    // STARTS and its offset within that chunk (the GPT-style packing a
-    // pretraining loader performs). One window over a hash-partitioned
+    // STARTS and its offset within that chunk (the concat-and-chunk
+    // packing a pretraining loader performs). One window over a hash-partitioned
     // lang key; no stateful scan — the chunk id is pure arithmetic on
     // the running total, so it distributes and parallelizes freely.
     "sequence_pack" -> ((s, d) => {
