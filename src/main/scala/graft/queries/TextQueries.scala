@@ -207,6 +207,25 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag training documents that share a
+    // 5-gram shingle with the held-out "benchmark" slice (doc_id % 10
+    // = 0 plays the eval set). The benchmark side is BROADCAST — eval
+    // sets are tiny by definition while the training corpus is the
+    // 100 TB side, so the contamination sweep is a map-side hash probe
+    // per shingle, never a shuffle of the corpus.
+    "decontaminate" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          explode(array_distinct(ngrams(col("toks"), 5))).as("s"))
+      val bench = e.filter(col("doc_id") % 10 === 0).select("s").distinct()
+      e.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint per document.
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -335,6 +354,19 @@ object TextQueries extends QueryModule {
          |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
          |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(toks) - 3),
+         |           i -> array_to_string(toks[i:i+4], ' '))) AS ss
+         |       FROM t),
+         |e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % 10 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM e JOIN bench USING (s)
+         |WHERE doc_id % 10 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
