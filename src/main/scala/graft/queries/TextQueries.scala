@@ -226,6 +226,46 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Intra-document repetition stats (the Gopher-style repetition
+    // filters a pretraining cleanup pass runs): most-frequent-token
+    // mass fraction and duplicate-bigram fraction, with a composite
+    // flag. Token mass via explode → two-level agg (map-side partial
+    // combine); bigram dup fraction is a pure narrow map on the token
+    // array — no shuffle. Fractions are single IEEE divisions of exact
+    // ints, so both engines derive identical doubles.
+    "repetition_stats" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+      val tokMass = base
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
+          .as("top_token_frac"))
+      val bigramDup = base
+        .withColumn("bgs", ngrams(col("toks"), 2))
+        .select(col("doc_id"),
+          when(size(col("bgs")) > 0,
+            lit(1.0) - size(array_distinct(col("bgs"))).cast("double") /
+              size(col("bgs")).cast("double"))
+            .otherwise(0.0).as("dup_bigram_frac"))
+      tokMass.join(bigramDup, "doc_id")
+        .withColumn("flagged",
+          col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: redact email-shaped tokens (the one PII class this
+    // corpus can carry) and report the redaction count plus a hash of
+    // the scrubbed text — pure per-row codegen'd expressions.
+    "pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(graft.operators.Extraction.emailPattern), lit(0))).as("n_emails"),
+          md5(regexp_replace(col("text"),
+            graft.operators.Extraction.emailPattern, "[EMAIL]")).as("scrubbed_hash"))
+        .orderBy("doc_id")),
+
     // Order-sensitive rolling-hash fingerprint per document.
     "doc_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -367,6 +407,31 @@ object TextQueries extends QueryModule {
          |FROM e JOIN bench USING (s)
          |WHERE doc_id % 10 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |c AS (SELECT doc_id, token, count(*) AS n FROM e GROUP BY 1, 2),
+         |ts AS (SELECT doc_id,
+         |         CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_token_frac
+         |       FROM c GROUP BY 1),
+         |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+         |        i -> array_to_string(toks[i:i+1], ' ')) AS bgs FROM t),
+         |bf AS (SELECT doc_id,
+         |         CASE WHEN len(bgs) > 0
+         |              THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE)
+         |                         / CAST(len(bgs) AS DOUBLE)
+         |              ELSE 0.0 END AS dup_bigram_frac
+         |       FROM b)
+         |SELECT ts.doc_id, top_token_frac, dup_bigram_frac,
+         |       (top_token_frac > 0.2 OR dup_bigram_frac > 0.5) AS flagged
+         |FROM ts JOIN bf USING (doc_id) ORDER BY ts.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${graft.operators.Extraction.emailPattern}')) AS INTEGER) AS n_emails,
+         |       md5(regexp_replace(text, '${graft.operators.Extraction.emailPattern}', '[EMAIL]', 'g')) AS scrubbed_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
