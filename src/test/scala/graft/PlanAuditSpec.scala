@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkSpec {
     plan("salted_user_value") should include("__salt")
   }
 
+  test("decontaminate probes a broadcast benchmark set — the corpus side never shuffles for the join") {
+    plan("decontaminate") should include("BroadcastHashJoin")
+  }
+
+  test("sequence_pack windows over a hash-partitioned language key, not a global sort") {
+    plan("sequence_pack") should include("hashpartitioning(lang")
+  }
+
   test("CPU-dense fact tables fan out past a single-split file layout") {
     // single-row-group local files scan as ONE task; the loaders must
     // repartition to session parallelism or every per-row operator
