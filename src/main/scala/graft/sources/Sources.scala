@@ -17,6 +17,13 @@ object Sources {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-lines scan (the pretraining-corpus interchange format) with
+    * an explicit schema — same no-inference rule as CSV: inference is a
+    * full extra pass, and `columnNameOfCorruptRecord` rows surface
+    * malformed lines instead of silently dropping them. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** P-6: schema-subset pre-flight check (server.py:309-313) — fail
     * before any job runs, not after a day of cluster time. */
   def requireColumns(df: DataFrame, required: Set[String]): DataFrame = {

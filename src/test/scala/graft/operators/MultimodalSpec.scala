@@ -53,6 +53,19 @@ class MultimodalSpec extends SparkSpec {
       Sources.requireColumns(back, Set("doc_id", "missing_col"))
   }
 
+  test("S-2b: JSON-lines round-trips the full documents table with an explicit schema") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("jsonl-src").toString + "/docs"
+    docs.write.mode("overwrite").json(dir) // JSONL: one object per line
+    val back = Sources.jsonLines(spark, dir, docs.schema)
+    back.count() shouldEqual docs.count()
+    back.schema shouldEqual docs.schema
+    // text (arbitrary content incl. quotes) must survive the round trip
+    val a = docs.orderBy("doc_id").select("text").collect().map(_.getString(0))
+    val b = back.orderBy("doc_id").select("text").collect().map(_.getString(0))
+    b shouldEqual a
+  }
+
   test("K-4: jsonRows serializes every row as one compact JSON object") {
     import spark.implicits._
     val rows = Sinks.jsonRows(Seq((1, "a"), (2, null)).toDF("id", "s")).collect()
