@@ -188,20 +188,25 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Sequence packing (concat-and-chunk): per-language token streams
-    // concatenated in doc_id order and cut at a fixed 2048-token
-    // boundary — each document gets the training-chunk id where it
-    // STARTS and its offset within that chunk (the concat-and-chunk
-    // packing a pretraining loader performs). One window over a hash-partitioned
-    // lang key; no stateful scan — the chunk id is pure arithmetic on
-    // the running total, so it distributes and parallelizes freely.
+    // Sequence packing (concat-and-chunk): token streams concatenated
+    // in doc_id order and cut at a fixed 2048-token boundary — each
+    // document gets the training-chunk id where it STARTS and its
+    // offset within that chunk (the packing a pretraining loader
+    // performs). Packing strata are (lang, shard), NOT lang alone: a
+    // running total is inherently sequential within its stratum, so a
+    // per-language window would funnel each language's entire corpus
+    // through one task at scale. Sharding by a doc_id hash gives every
+    // stratum an independent stream that packs in parallel — the same
+    // recipe distributed loaders use — and chunk ids are shard-local by
+    // construction.
     "sequence_pack" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       val T = 2048
       Tables.documents(s, d)
         .withColumn("n_tokens", size(tokens(norm(col("text")))))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / T).as("seq_id"),
           ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
         .orderBy("doc_id")
@@ -383,14 +388,14 @@ object TextQueries extends QueryModule {
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "sequence_pack" ->
-      s"""WITH t AS (SELECT doc_id, lang,
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
          |             CAST(len($toksSql) AS INTEGER) AS n_tokens
          |           FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |c AS (SELECT doc_id, lang, shard, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM t)
-         |SELECT doc_id, lang, n_tokens,
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
          |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
          |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,

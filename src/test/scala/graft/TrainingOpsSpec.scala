@@ -14,9 +14,9 @@ class TrainingOpsSpec extends SparkSpec {
     val r = q("sequence_pack")
     r.filter(col("seq_offset") < 0 || col("seq_offset") >= 2048).count() shouldEqual 0
     r.filter(col("seq_id") < 0).count() shouldEqual 0
-    // within a language, chunk ids never decrease as doc_id advances
+    // within a packing stratum, chunk ids never decrease as doc_id advances
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
+      .partitionBy("lang", "shard").orderBy("doc_id")
     r.withColumn("prev", lag(col("seq_id"), 1).over(w))
       .filter(col("prev").isNotNull && col("seq_id") < col("prev"))
       .count() shouldEqual 0
