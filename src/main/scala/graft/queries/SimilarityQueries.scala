@@ -51,15 +51,17 @@ object SimilarityQueries extends QueryModule {
 
   def defs: Map[String, Q] = Map(
     // Brute-force cosine top-5 per query vector. Queries broadcast; the
-    // candidate scan is scored map-side, then one window on q_id.
+    // candidate scan is scored map-side, then exact two-phase top-k
+    // (operators.Rank): a q_id-only window would hold the whole scored
+    // corpus in each query's partition — the pre-prune keyed by the
+    // physical scan partition keeps every sort slice-bounded.
     "knn_cosine" -> ((s, d) => {
       val b = base(s, d)
       val qs = broadcast(b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("q_qe"), col("nq").as("q_nq")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored(b.filter(col("vec_id") >= 10).crossJoin(qs))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
+      graft.operators.Rank.topKPerGroup(
+          scored(b.filter(col("vec_id") >= 10).crossJoin(qs)),
+          K, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("rk"), col("dot_fx"), col("cos"))
         .orderBy("q_id", "rk")
@@ -74,10 +76,9 @@ object SimilarityQueries extends QueryModule {
       val qs = broadcast(b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("bucket"),
           col("qe").as("q_qe"), col("nq").as("q_nq")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored(b.filter(col("vec_id") >= 10).join(qs, "bucket"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= LshK)
+      graft.operators.Rank.topKPerGroup(
+          scored(b.filter(col("vec_id") >= 10).join(qs, "bucket")),
+          LshK, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("bucket"), col("rk"), col("cos"))
         .orderBy("q_id", "rk")
@@ -107,10 +108,9 @@ object SimilarityQueries extends QueryModule {
       val probes = nearest(b.filter(col("vec_id") < 10), 2)
         .select(col("vec_id").as("q_id"), col("seed_id").as("cluster"),
           col("qe").as("q_qe"), col("nq").as("q_nq"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored(assigned.join(broadcast(probes), "cluster"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= LshK)
+      graft.operators.Rank.topKPerGroup(
+          scored(assigned.join(broadcast(probes), "cluster")),
+          LshK, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("cluster"), col("rk"), col("cos"))
         .orderBy("q_id", "rk")

@@ -64,6 +64,14 @@ class PlanAuditSpec extends SparkSpec {
     plan("sequence_pack") should include("hashpartitioning(lang")
   }
 
+  test("similarity top-k pre-prunes per physical partition before the per-query window") {
+    // a q_id-only window would hold the whole scored corpus per query;
+    // the two-phase Rank shape keys the first pass by SPARK_PARTITION_ID
+    Seq("knn_cosine", "ann_lsh_bucket", "ivf_topk").foreach { q =>
+      withClue(q) { plan(q) should include("SPARK_PARTITION_ID") }
+    }
+  }
+
   test("CPU-dense fact tables fan out past a single-split file layout") {
     // single-row-group local files scan as ONE task; the loaders must
     // repartition to session parallelism or every per-row operator
