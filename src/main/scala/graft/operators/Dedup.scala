@@ -104,15 +104,18 @@ object Dedup {
     common.cast("double") / (size(a) + size(b) - common).cast("double")
   }
 
-  /** 16-bit SimHash over a (multiset) token-hash array: bit j is set
-    * when the sum of ±1 votes from each hash's bit j is positive. */
+  /** n-bit SimHash over a (multiset) token-hash array: bit j is set
+    * when the sum of ±1 votes from each hash's bit j is positive. The
+    * token hashes are mod 1e9+7 (< 2^30), so 30 is the widest sketch
+    * the single hash supports. */
   val SimHashBits = 16
-  def simhash(tokenHashes: Column): Column =
-    (0 until SimHashBits).map { j =>
+  def simhashN(tokenHashes: Column, nbits: Int): Column =
+    (0 until nbits).map { j =>
       val vote = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  def simhash(tokenHashes: Column): Column = simhashN(tokenHashes, SimHashBits)
 
   /** Materialize an iterative frame, cutting its lineage. When the
     * session has a checkpoint dir configured (cluster posture:

@@ -130,6 +130,39 @@ object DedupQueries extends QueryModule {
             t => TextAnalysis.tokenHash(t)))
         .select(col("doc_id"), simhash(col("hs")).as("sh16"))
         .orderBy("doc_id")),
+
+    // SimHash near-dup PAIRS: 30-bit sketch (the full entropy of the
+    // mod-1e9+7 token hashes — the 16-bit display sketch collides
+    // constantly on a statistically homogeneous corpus), 2 bands of 15
+    // bits. Hamming distance ≤ 1 flips at most 1 band (pigeonhole), so
+    // every qualifying pair collides on at least one band and the
+    // candidate join is an equi-join on (band_id, band_value), never
+    // all-pairs; survivors verify exactly with bit_count(xor). Exact
+    // recall at the ≤ 1 threshold, same banding guarantee minhash_lsh
+    // relies on; band width is the dial keeping chance collisions
+    // (~n²/2^15 per band) proportional to true near-dups.
+    "simhash_neardup" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("hs",
+          transform(TextAnalysis.tokens(TextAnalysis.norm(col("text"))),
+            t => TextAnalysis.tokenHash(t)))
+        .select(col("doc_id"), simhashN(col("hs"), 30).as("sh30"))
+      val stacked = sh.select(col("doc_id"), col("sh30"),
+        posexplode(array((0 until 2).map(b =>
+          shiftright(col("sh30"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_id", "band_val")))
+      stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.sh30").as("s1"), col("y.sh30").as("s2"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+        .filter(col("hamming") <= 1)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -194,6 +227,33 @@ object DedupQueries extends QueryModule {
          |JOIN shh b ON p.d2 = b.doc_id
          |WHERE $jaccardSql >= 0.8
          |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    "simhash_neardup" -> {
+      val votes = (0 until 30).map { j =>
+        s"list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS w$j"
+      }.mkString(",\n       ")
+      val bits = (0 until 30)
+        .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |             list_transform(
+         |               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |               s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007) AS hs
+         |           FROM documents),
+         |w AS (SELECT doc_id,
+         |       $votes
+         |FROM t),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh30 FROM w),
+         |bands AS (SELECT doc_id, sh30, b, (sh30 >> (b * 15)) & 32767 AS bv
+         |          FROM s, range(2) t(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |                 x.sh30 AS s1, y.sh30 AS s2
+         |          FROM bands x JOIN bands y
+         |            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(s1, s2)) <= 1
+         |ORDER BY d1, d2""".stripMargin
     },
 
     "simhash" -> {
