@@ -114,6 +114,19 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Backfill mode: process everything currently available — across as
+    * many rate-limited micro-batches as needed — then terminate. The
+    * drain-and-stop counterpart of [[trigger300ms]]'s live feed (the
+    * reference's "run the job over what's accumulated" mode,
+    * server.py:326-334 kicking off one bounded scrape run). */
+  def drainAvailable(transformed: DataFrame, queryName: String,
+      checkpoint: String): StreamingQuery =
+    transformed.writeStream
+      .outputMode("update").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** R-4: incremental materialization — every micro-batch lands in the
     * sink directory as its own append (the crash-safe-partial-results
     * semantics of the reference's rewrite-per-row, app.py:303-310, at

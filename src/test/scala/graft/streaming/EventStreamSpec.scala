@@ -298,6 +298,23 @@ class EventStreamSpec extends SparkSpec {
     snap.map(_.eventType) should not contain "error"
   }
 
+  test("AvailableNow drains everything then terminates on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, 0), ev(2, 1), ev(3, 2, typ = "buy"))
+    val q = EventStream.drainAvailable(
+      EventStream.typeCounts(in.toDF()), "drain", tmp("drain"))
+    try {
+      q.awaitTermination(60000) shouldBe true // self-terminates when drained
+      val counts = spark.table("drain").groupBy("event_type")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts shouldEqual Map("click" -> 2L, "buy" -> 1L)
+      q.isActive shouldBe false
+    } finally scala.util.Try(q.stop())
+  }
+
   test("progress listener reports a failing query as error, not done") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
