@@ -51,6 +51,23 @@ object DocQueries extends QueryModule {
       Extraction.orderedProjection(Tables.documents(s, d), outputCols)
         .orderBy("doc_id")),
 
+    // Fuzzy entity matching on the DISTINCT source domain: pairs of
+    // source names within Levenshtein distance 1 (the typo/variant
+    // resolution step of an entity-cleanup pass). Fuzzy comparison is
+    // quadratic by nature, so it runs on the deduplicated value domain
+    // — cardinality ≪ row count — where a broadcast nested-loop over a
+    // tiny frame is the standard bounded shape; for large domains the
+    // engine's q-gram/LSH blocking family (X-7/X-8) is the scale path.
+    "fuzzy_source_match" -> ((s, d) => {
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      srcs.as("a").join(srcs.as("b"),
+          col("a.source") < col("b.source") &&
+            levenshtein(col("a.source"), col("b.source")) <= 1)
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          levenshtein(col("a.source"), col("b.source")).as("dist"))
+        .orderBy("s1", "s2")
+    }),
+
     // F-12: truncate-with-ellipsis preview (n=120, as the reference UI).
     "truncate_preview" -> ((s, d) =>
       Tables.documents(s, d)
@@ -62,6 +79,14 @@ object DocQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "lead_extract" -> s"$leadSql ORDER BY doc_id",
+
+    "fuzzy_source_match" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS s1, b.source AS s2,
+        |       CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+        |FROM s a JOIN s b
+        |  ON a.source < b.source AND levenshtein(a.source, b.source) <= 1
+        |ORDER BY s1, s2""".stripMargin,
 
     "extract_stats" ->
       s"""WITH lead AS ($leadSql)

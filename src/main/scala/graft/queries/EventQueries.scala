@@ -55,6 +55,18 @@ object EventQueries extends QueryModule {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour")),
 
+    // Wide-format reshaping: days × event types as a PIVOT with an
+    // explicit value list (an implicit list would need an extra
+    // distinct pass over the data and make the output schema
+    // data-dependent — both wrong at scale). A day with no events of a
+    // type pivots to NULL, which the conditional-sum oracle reproduces.
+    "daily_type_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy("day")),
+
     // Gap-based sessionization (30 min inactivity ends a session):
     // lag + conditional sum, all window functions — no groupByKey state.
     "user_sessions" -> ((s, d) => {
@@ -174,6 +186,15 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "daily_type_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     // ts truncated to micros (CAST from TIMESTAMP_NS) so the 30-minute
     // gap test and lag ordering run at the same precision as Spark.
