@@ -55,6 +55,26 @@ object EventQueries extends QueryModule {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour")),
 
+    // Relational set ops (distinct from the anti/semi JOIN shapes the
+    // star queries cover), over behavioral cohorts: heavy buyers
+    // (≥ 15 purchases) EXCEPT / INTERSECT error-prone users (≥ 15
+    // errors). Distinct-set semantics, each planning as one aggregated
+    // join shuffled on user_id.
+    "buyers_not_errorprone" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def cohort(t: String) = ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15).select("user_id")
+      cohort("purchase").except(cohort("error")).orderBy("user_id")
+    }),
+    "buyers_and_errorprone" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def cohort(t: String) = ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15).select("user_id")
+      cohort("purchase").intersect(cohort("error")).orderBy("user_id")
+    }),
+
     // Wide-format reshaping: days × event types as a PIVOT with an
     // explicit value list (an implicit list would need an extra
     // distinct pass over the data and make the output schema
@@ -186,6 +206,22 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "buyers_not_errorprone" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id HAVING count(*) >= 15),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'
+        |      GROUP BY user_id HAVING count(*) >= 15)
+        |SELECT user_id FROM p EXCEPT SELECT user_id FROM e
+        |ORDER BY user_id""".stripMargin,
+
+    "buyers_and_errorprone" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id HAVING count(*) >= 15),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'
+        |      GROUP BY user_id HAVING count(*) >= 15)
+        |SELECT user_id FROM p INTERSECT SELECT user_id FROM e
+        |ORDER BY user_id""".stripMargin,
 
     "daily_type_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
