@@ -128,6 +128,20 @@ class PropertySpec extends SparkSpec {
     cc shouldEqual truth
   }
 
+  test("jaccardPairs is invariant to the input's physical layout") {
+    import spark.implicits._
+    // determinism at scale means results can't depend on partitioning;
+    // run the same corpus through 1, 3, and 8 partitions
+    val base = (1 to 25).map(i => i -> ((1 to 30).map(j => s"w${(i * j) % 40}")).mkString(" "))
+    val docs = base.toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.jaccardPairs(docs.repartition(parts), t = 0.3)
+        .orderBy("d1", "d2").collect().map(_.toSeq).toSeq
+    val one = run(1)
+    run(3) shouldEqual one
+    run(8) shouldEqual one
+  }
+
   test("quantize: fixed-point value within one ulp of x·1e7, sign preserved") {
     import spark.implicits._
     val fGen = Gen.choose(-1.0f, 1.0f)

@@ -66,6 +66,17 @@ class MultimodalSpec extends SparkSpec {
     b shouldEqual a
   }
 
+  test("S-2b: a malformed JSONL line surfaces as a null-field row, not a dropped one") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl-bad").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      "{\"id\": 1, \"s\": \"ok\"}\nnot json at all\n{\"id\": 3, \"s\": \"also ok\"}\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val rows = Sources.jsonLines(spark, dir, schema).collect()
+    rows.length shouldEqual 3 // PERMISSIVE: the bad line is a row of nulls
+    rows.count(_.isNullAt(0)) shouldEqual 1
+  }
+
   test("K-4: jsonRows serializes every row as one compact JSON object") {
     import spark.implicits._
     val rows = Sinks.jsonRows(Seq((1, "a"), (2, null)).toDF("id", "s")).collect()
