@@ -68,6 +68,20 @@ object DocQueries extends QueryModule {
         .orderBy("s1", "s2")
     }),
 
+    // F-13: presentation functions as engine columns — slug ids, HTML-
+    // escaped previews, human-readable sizes (value/unit decomposed so
+    // the oracle compares exact doubles, not engine-formatted strings).
+    // `bytes` spreads doc sizes across all three unit branches.
+    "present_format" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bytes", col("n_chars").cast("long") * (col("doc_id") * 37 + 1))
+        .select(col("doc_id"),
+          graft.operators.Present.slugify(col("source")).as("slug"),
+          graft.operators.Present.htmlEscape(substring(col("text"), 1, 40)).as("esc_preview"),
+          graft.operators.Present.sizeUnit(col("bytes")).as("size_unit"),
+          graft.operators.Present.sizeValue(col("bytes")).as("size_value"))
+        .orderBy("doc_id")),
+
     // F-12: truncate-with-ellipsis preview (n=120, as the reference UI).
     "truncate_preview" -> ((s, d) =>
       Tables.documents(s, d)
@@ -79,6 +93,21 @@ object DocQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "lead_extract" -> s"$leadSql ORDER BY doc_id",
+
+    "present_format" ->
+      """WITH b AS (SELECT doc_id, source, text,
+        |             CAST(n_chars AS BIGINT) * (doc_id * 37 + 1) AS bytes
+        |           FROM documents)
+        |SELECT doc_id,
+        |       lower(regexp_replace(source, '[^a-zA-Z0-9]', '-', 'g')) AS slug,
+        |       replace(replace(replace(replace(coalesce(substr(text, 1, 40), ''),
+        |         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') AS esc_preview,
+        |       CASE WHEN bytes < 1024 THEN 'B'
+        |            WHEN bytes < 1048576 THEN 'KB' ELSE 'MB' END AS size_unit,
+        |       CASE WHEN bytes < 1024 THEN CAST(bytes AS DOUBLE)
+        |            WHEN bytes < 1048576 THEN round(bytes / 1024.0, 1)
+        |            ELSE round(bytes / 1048576.0, 1) END AS size_value
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "fuzzy_source_match" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
