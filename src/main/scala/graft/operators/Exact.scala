@@ -37,6 +37,15 @@ object Exact {
     sum(dec(extPrice) * (lit(1) - dec(discount)) * (lit(1) + dec(tax)))
       .cast("double")
 
+  /** Exact second moments for variance/correlation: Σx² and Σxy as
+    * DECIMAL sums cast to double. Spark's stddev_samp/corr accumulate
+    * doubles in partition order — nondeterministic under a hash gate —
+    * while moments are order-independent, and the closed-form double
+    * evaluation on top is a fixed IEEE expression both engines compute
+    * bit-identically. */
+  def decSumSq(c: Column): Column = sum(dec(c) * dec(c)).cast("double")
+  def decSumProd(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast("double")
+
   /** DuckDB SQL fragments mirroring the expressions above. */
   def sqlDec(c: String): String = s"CAST($c AS DECIMAL(12,2))"
   def sqlDecSum(c: String): String = s"CAST(SUM(${sqlDec(c)}) AS DOUBLE)"
@@ -46,4 +55,8 @@ object Exact {
     s"CAST(SUM(${sqlDec(ep)} * (1 - ${sqlDec(disc)})) AS DOUBLE)"
   def sqlCharge(ep: String, disc: String, tax: String): String =
     s"CAST(SUM(${sqlDec(ep)} * (1 - ${sqlDec(disc)}) * (1 + ${sqlDec(tax)})) AS DOUBLE)"
+  def sqlDecSumSq(c: String): String =
+    s"CAST(SUM(${sqlDec(c)} * ${sqlDec(c)}) AS DOUBLE)"
+  def sqlDecSumProd(a: String, b: String): String =
+    s"CAST(SUM(${sqlDec(a)} * ${sqlDec(b)}) AS DOUBLE)"
 }

@@ -55,6 +55,35 @@ object EventQueries extends QueryModule {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour")),
 
+    // Statistical moments per event type: mean, sample stddev, and the
+    // value↔k correlation — from EXACT decimal moments (Σx, Σx², Σxy),
+    // not Spark's stddev_samp/corr, whose double accumulation is
+    // partition-order-dependent. The closed-form double formula on top
+    // is written with identical structure in the oracle, so both
+    // engines produce bit-identical results at any parallelism.
+    "value_moments" -> ((s, d) => {
+      val m = Tables.events(s, d)
+        .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Exact.decSum(col("value")).as("sx"),
+          Exact.decSumSq(col("value")).as("sxx"),
+          sum(col("k")).cast("double").as("sy"),
+          sum(col("k") * col("k")).cast("double").as("syy"),
+          Exact.decSumProd(col("value"), col("k")).as("sxy"))
+      val nd = col("n").cast("double")
+      m.select(col("event_type"), col("n"),
+          (col("sx") / nd).as("mean_value"),
+          sqrt((nd * col("sxx") - col("sx") * col("sx")) / (nd * (nd - 1)))
+            .as("stddev_value"),
+          ((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+              sqrt(nd * col("syy") - col("sy") * col("sy"))))
+            .as("corr_value_k"))
+        .orderBy("event_type")
+    }),
+
     // Relational set ops (distinct from the anti/semi JOIN shapes the
     // star queries cover), over behavioral cohorts: heavy buyers
     // (≥ 15 purchases) EXCEPT / INTERSECT error-prone users (≥ 15
@@ -206,6 +235,24 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "value_moments" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |             CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+         |           FROM events),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             ${Exact.sqlDecSum("value")} AS sx,
+         |             ${Exact.sqlDecSumSq("value")} AS sxx,
+         |             CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) AS sy,
+         |             CAST(CAST(sum(k * k) AS BIGINT) AS DOUBLE) AS syy,
+         |             ${Exact.sqlDecSumProd("value", "k")} AS sxy
+         |      FROM e WHERE k IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n,
+         |       sx / CAST(n AS DOUBLE) AS mean_value,
+         |       sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_value,
+         |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_value_k
+         |FROM m ORDER BY event_type""".stripMargin,
 
     "buyers_not_errorprone" ->
       """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
