@@ -174,6 +174,30 @@ object RelationalQueries extends QueryModule {
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY rflag, lstatus""".stripMargin)),
 
+    // Exact per-group median via rank selection: the middle one or two
+    // rows by position, averaged with decimal exactness. Interpolating
+    // percentile functions differ across engines; rank selection is
+    // exact in both. Like ntile, an exact quantile inherently sorts
+    // each group — fine for bounded report dimensions (5 priorities);
+    // sketches (t-digest / approx_percentile) are the high-cardinality
+    // scale path.
+    "median_order_value" -> ((s, d) => {
+      val byP = Window.partitionBy("o_orderpriority")
+      val w = byP.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byP))
+        // middle positions: ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (equal when n is
+        // odd); `div` keeps the arithmetic integral — `/` on longs is
+        // double division in Spark
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(max(col("n")).as("n_orders"),
+          Exact.decAvg(col("o_totalprice")).as("median_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ntile window: account-balance quartiles per market segment
     // (deterministic order: balance then custkey).
     "customer_quartiles" -> ((s, d) => {
@@ -210,6 +234,19 @@ object RelationalQueries extends QueryModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "median_order_value" ->
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+         |              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+         |  FROM orders)
+         |SELECT o_orderpriority, max(n) AS n_orders,
+         |       ${Exact.sqlDecAvg("o_totalprice")} AS median_price
+         |FROM r
+         |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "customer_quartiles" ->
       s"""WITH q AS (
