@@ -11,6 +11,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is SINK-ONLY (one comparable parquet file for the
+      // sf0.01 oracle dump) — never imitate it on a bench/production
+      // path, where it would serialize the whole plan into one task.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -55,18 +55,13 @@ object DocQueries extends QueryModule {
     // source names within Levenshtein distance 1 (the typo/variant
     // resolution step of an entity-cleanup pass). Fuzzy comparison is
     // quadratic by nature, so it runs on the deduplicated value domain
-    // — cardinality ≪ row count — where a broadcast nested-loop over a
-    // tiny frame is the standard bounded shape; for large domains the
-    // engine's q-gram/LSH blocking family (X-7/X-8) is the scale path.
-    "fuzzy_source_match" -> ((s, d) => {
-      val srcs = Tables.documents(s, d).select("source").distinct()
-      srcs.as("a").join(srcs.as("b"),
-          col("a.source") < col("b.source") &&
-            levenshtein(col("a.source"), col("b.source")) <= 1)
-        .select(col("a.source").as("s1"), col("b.source").as("s2"),
-          levenshtein(col("a.source"), col("b.source")).as("dist"))
-        .orderBy("s1", "s2")
-    }),
+    // — cardinality ≪ row count — and operators.Fuzzy ENFORCES that
+    // bound at runtime (fails fast past spark.graft.fuzzy.maxDomain,
+    // naming the X-7/X-8 blocked family as the large-domain path).
+    "fuzzy_source_match" -> ((s, d) =>
+      graft.operators.Fuzzy
+        .pairsWithinDistance(Tables.documents(s, d), "source", maxDist = 1)
+        .orderBy("s1", "s2")),
 
     // F-13: presentation functions as engine columns — slug ids, HTML-
     // escaped previews, human-readable sizes (value/unit decomposed so

@@ -21,6 +21,32 @@ object SimilarityQueries extends QueryModule {
   private val LshBits = 6
   private val LshK = 3
 
+  /** Near-dup banding: 4 bands x 16 sign bits. 16-bit keys give 65536
+    * values per band, so chance collisions are ~n²/2^16 per band — the
+    * same bounded-join guarantee simhash_neardup's 15-bit bands rely
+    * on. (Round 4 used 4-bit axis slices = 16 key values per band,
+    * which is an all-pairs join in disguise at scale.) Band width is
+    * the n-dependent dial: more bits per band → fewer chance
+    * collisions, lower recall per band; add bands to buy recall back
+    * (at cos 0.99 each 16-bit band matches with p ≈ 0.48; 4 bands
+    * recall ≈ 93%). */
+  private val NdBands = 4
+  private val NdBits = 16
+  private val Dim = 64
+
+  /** Deterministic ±1 random-hyperplane weights (SplitMix64-style
+    * scramble of a fixed seed). Evaluated at plan-construction time in
+    * Scala only; both the Spark plan and the oracle SQL embed the same
+    * literals, so the two engines cannot drift. */
+  private def planeWeights(plane: Int): IndexedSeq[Int] =
+    (0 until Dim).map { i =>
+      var z = (plane.toLong * Dim + i + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z >>> 63) == 0L) 1 else -1
+    }
+
   /** vec_id, quantized embedding, exact squared norm. */
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -117,18 +143,43 @@ object SimilarityQueries extends QueryModule {
     }),
 
     // Embedding-cosine near-dup pairs, LSH-banded: candidates must
-    // share at least one of 4 independent 4-bit sign-projection bands
-    // (equi-join on (band_id, band_key) — never an all-pairs product),
-    // then exact fixed-point verification at cosine ≥ 0.45. Banding
+    // share at least one of NdBands independent NdBits-bit
+    // random-hyperplane sign bands (equi-join on (band_id, band_key) —
+    // never an all-pairs product), then exact fixed-point verification
+    // at cosine ≥ 0.9. Each band bit is the sign of an exact integer
+    // dot product between the quantized embedding and a fixed ±1
+    // hyperplane, so the key is bit-identical across engines. Banding
     // trades recall for the 100 TB-safe join shape, like minhash_lsh.
+    //
+    // The synthetic corpus contains NO true near-dups (max background
+    // pair cosine ≈ 0.6 at every SF — a regime no bounded-key LSH can
+    // separate, 16-bit bands or otherwise), so the scan corpus is the
+    // table UNION deterministic near-dup variants derived from it:
+    // every 17th vector gets a copy (id + 1'000'000) perturbed in
+    // quantized INTEGER space (delta_i = ((id·131 + i·101) % 601)·1000
+    // − 300'000, cos ≈ 0.99 to its source) — exact in both engines,
+    // the same derived-input pattern as Multimodal.syntheticMedia. The
+    // banding then demonstrably recovers the planted pairs from band
+    // collisions alone while chance candidates stay ~n²/2^16 per band.
     "embedding_neardup" -> ((s, d) => {
       val b = base(s, d)
-      val banded = b.select(
+      val var0 = b.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id"),
+          transform(col("qe"), (x, i) =>
+            x + (((col("vec_id") * 131 + i * 101) % 601) * 1000 - 300000)).as("qe2"))
+      val variants = var0.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("qe2").as("qe"), dotFx(col("qe2"), col("qe2")).as("nq"))
+      val u = b.select("vec_id", "qe", "nq").unionByName(variants)
+      def bandKey(band: Int) =
+        (0 until NdBits).map { j =>
+          val w = array(planeWeights(band * NdBits + j).map(x => lit(x.toLong)): _*)
+          when(dotFx(col("qe"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val banded = u.select(
         col("vec_id") +: col("qe") +: col("nq") +:
-          (0 until 4).map(band =>
-            signBucket(slice(col("embedding"), band * 4 + 1, 4), 4).as(s"band$band")): _*)
+          (0 until NdBands).map(band => bandKey(band).as(s"band$band")): _*)
       val stacked = banded.select(col("vec_id"), col("qe"), col("nq"),
-        posexplode(array((0 until 4).map(i => col(s"band$i")): _*))
+        posexplode(array((0 until NdBands).map(i => col(s"band$i")): _*))
           .as(Seq("band_id", "band_key")))
       val pairs = stacked.as("x").join(stacked.as("y"),
           col("x.band_id") === col("y.band_id") &&
@@ -137,10 +188,10 @@ object SimilarityQueries extends QueryModule {
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
         .distinct()
       pairs
-        .join(b.select(col("vec_id").as("v1"), col("qe").as("qe1"), col("nq").as("n1")), "v1")
-        .join(b.select(col("vec_id").as("v2"), col("qe").as("qe2"), col("nq").as("n2")), "v2")
+        .join(u.select(col("vec_id").as("v1"), col("qe").as("qe1"), col("nq").as("n1")), "v1")
+        .join(u.select(col("vec_id").as("v2"), col("qe").as("qe2"), col("nq").as("n2")), "v2")
         .withColumn("cos", cosFx(dotFx(col("qe1"), col("qe2")), col("n1"), col("n2")))
-        .filter(col("cos") >= 0.45)
+        .filter(col("cos") >= 0.9)
         .select("v1", "v2", "cos")
         .orderBy("v1", "v2")
     }),
@@ -227,19 +278,32 @@ object SimilarityQueries extends QueryModule {
     },
 
     "embedding_neardup" -> {
-      val bandCols = (0 until 4).map { b =>
-        val bits = (0 until 4)
-          .map(i => s"CASE WHEN embedding[${b * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
+      val bandCols = (0 until NdBands).map { b =>
+        val bits = (0 until NdBits).map { j =>
+          val w = planeWeights(b * NdBits + j).mkString("[", ",", "]")
+          s"CASE WHEN CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> qe[i] * ($w)[i])) AS BIGINT) >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString("\n         + ")
         s"CAST($bits AS BIGINT) AS band$b"
       }.mkString(",\n       ")
-      val stacked = (0 until 4)
+      val stacked = (0 until NdBands)
         .map(b => s"SELECT vec_id, qe, nq, $b AS band_id, band$b AS band_key FROM bk")
         .mkString("\n      UNION ALL ")
       s"""WITH $baseSql,
+         |var0 AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           i -> qe[i] + (((vec_id * 131 + (i - 1) * 101) % 601) * 1000 - 300000)) AS qe2
+         |  FROM n WHERE vec_id % 17 = 0),
+         |var AS (
+         |  SELECT vec_id + 1000000 AS vec_id, qe2 AS qe,
+         |         CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |           i -> qe2[i] * qe2[i])) AS BIGINT) AS nq
+         |  FROM var0),
+         |u AS (SELECT vec_id, qe, nq FROM n
+         |      UNION ALL SELECT vec_id, qe, nq FROM var),
          |bk AS (SELECT *,
          |       $bandCols
-         |FROM n),
+         |FROM u),
          |stacked AS (
          |      $stacked),
          |pairs AS (
@@ -252,8 +316,8 @@ object SimilarityQueries extends QueryModule {
          |         CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
          |           i -> a.qe[i] * b.qe[i])) AS DOUBLE)
          |         / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
-         |  FROM pairs p JOIN n a ON p.v1 = a.vec_id JOIN n b ON p.v2 = b.vec_id)
-         |SELECT v1, v2, cos FROM v WHERE cos >= 0.45 ORDER BY v1, v2""".stripMargin
+         |  FROM pairs p JOIN u a ON p.v1 = a.vec_id JOIN u b ON p.v2 = b.vec_id)
+         |SELECT v1, v2, cos FROM v WHERE cos >= 0.9 ORDER BY v1, v2""".stripMargin
     },
 
     "label_centroids" ->

@@ -137,7 +137,13 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
       val cnts = e.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = cnts.agg(sum(col("cnt")).as("total"))
-      e.join(broadcast(cnts), "token")
+      // cnts is the full vocabulary — unbounded at corpus scale (typos,
+      // code, unicode soup push distinct tokens to 1e8+), so it must
+      // NEVER carry a broadcast hint: shuffle-join on token instead
+      // (one extra exchange on the already-exploded side). AQE still
+      // converts to broadcast at runtime when the measured size is
+      // small — adaptive, bounded by observation, which a hint is not.
+      e.join(cnts, "token")
         .crossJoin(broadcast(total))
         // DECIMAL(38) intermediate: cnt·1e12 would overflow a long once
         // a token tops ~9.2M occurrences (guaranteed at corpus scale);
@@ -209,6 +215,36 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / T).as("seq_id"),
           ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // sequence_pack with GLOBALLY contiguous chunk ids — what a real
+    // loader emits. A second pass over the per-stratum chunk counts (a
+    // tiny frame: |langs| × 8 shards rows) computes prefix offsets via
+    // an unpartitioned running sum — safe precisely because the frame
+    // is stratum-cardinality, not row-cardinality — and a broadcast
+    // join adds each stratum's offset to its shard-local ids. The big
+    // frame is touched once more by a broadcast hash join: no extra
+    // shuffle of the corpus.
+    "sequence_pack_global" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      val T = 2048
+      val local = Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(norm(col("text")))))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / T).as("local_seq"),
+          ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
+      val wOff = Window.orderBy("lang", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy("lang", "shard")
+        .agg(ceil(sum(col("n_tokens")) / lit(T.toDouble)).as("n_chunks"))
+        .withColumn("chunk_off", coalesce(sum(col("n_chunks")).over(wOff), lit(0L)))
+        .select("lang", "shard", "chunk_off")
+      local.join(broadcast(offsets), Seq("lang", "shard"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          (col("chunk_off") + col("local_seq")).as("seq_id"), col("seq_offset"))
         .orderBy("doc_id")
     }),
 
@@ -399,6 +435,29 @@ object TextQueries extends QueryModule {
          |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
          |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack_global" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+         |             CAST(len($toksSql) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t),
+         |l AS (SELECT doc_id, lang, shard, n_tokens,
+         |             (cum - n_tokens) // 2048 AS local_seq,
+         |             (cum - n_tokens) % 2048 AS seq_offset
+         |      FROM c),
+         |o AS (SELECT lang, shard, CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS n_chunks
+         |      FROM l GROUP BY lang, shard),
+         |o2 AS (SELECT lang, shard,
+         |              COALESCE(sum(n_chunks) OVER (ORDER BY lang, shard
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_off
+         |       FROM o)
+         |SELECT l.doc_id, l.lang, CAST(l.shard AS BIGINT) AS shard, l.n_tokens,
+         |       CAST(o2.chunk_off + l.local_seq AS BIGINT) AS seq_id,
+         |       CAST(l.seq_offset AS BIGINT) AS seq_offset
+         |FROM l JOIN o2 USING (lang, shard) ORDER BY l.doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -89,6 +89,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("broadcast hints appear ONLY on provably bounded frames (allowlist gate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // A broadcast() HINT forces the frame to every executor regardless
+    // of its actual size — correct only when the frame is bounded by
+    // CONSTRUCTION (dims, fixed seed/query sets, per-stratum summaries,
+    // single-row totals), never by hope. AQE may still choose broadcast
+    // at runtime for small measured frames — that's adaptive and fine;
+    // this gate is about hints. Every entry documents WHY the hinted
+    // frame is bounded; a new broadcast() anywhere else fails this test
+    // until justified here. (The vocabulary join in doc_lm_score is the
+    // canonical counter-example: distinct tokens grow with the corpus,
+    // so it is shuffle-joined, not hinted.)
+    val bounded: Map[String, Int] = Map(
+      "knn_cosine" -> 1,           // 10 query vectors
+      "ann_lsh_bucket" -> 1,       // 10 query vectors
+      "ivf_topk" -> 3,             // 8 seed centroids (used by 2 assignment passes) + ≤20 probes
+      "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
+      "decontaminate" -> 1,        // benchmark eval set: tiny by definition
+      "sequence_pack_global" -> 1, // per-(lang, shard) chunk offsets: stratum-cardinality
+      "user_value_by_nation" -> 2, // customer + nation dims
+      "revenue_by_nation" -> 3,    // customer + nation + region dims
+      "rollup_region_nation" -> 3, // customer + nation + region dims
+      "brand_revenue" -> 2,        // part + supplier dims
+    )
+    val counts = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(iterative)
+      .map { n =>
+        n -> SparkEntry.queries(n)(spark, sf).queryExecution.analyzed
+          .collect { case h: ResolvedHint => h }.size
+      }
+      .filter(_._2 > 0).toMap
+    counts shouldEqual bounded
+  }
+
   test("scan-level filters reach the parquet reader") {
     withClue("q1_pricing_summary") {
       plan("q1_pricing_summary") should include("PushedFilters: [IsNotNull(l_shipdate)")

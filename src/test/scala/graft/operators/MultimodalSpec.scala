@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 
+/** A no-arg-constructible Decoder for the fromConf swap test (top-level
+  * so Class.forName can instantiate it): even/odd byte histogram. */
+class TestHistogramDecoder extends Multimodal.Decoder {
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => bytes.count(b => (b & 0xff) % dim == i).toFloat)
+}
+
 class MultimodalSpec extends SparkSpec {
   import Multimodal._
 
@@ -28,6 +35,32 @@ class MultimodalSpec extends SparkSpec {
   test("decode stub is deterministic and pads short payloads") {
     decodeStub(Array[Byte](0, -1), 4).toSeq shouldEqual Seq(0.0f, 1.0f, 0.0f, 0.0f)
     decodeStub(Array[Byte](127), 2)(0) shouldEqual (127 / 255.0f)
+  }
+
+  test("the Decoder seam swaps a real decoder in with zero pipeline changes") {
+    // a non-stub decoder: byte-count histogram shape instead of raw scaling
+    val fake = new Multimodal.Decoder {
+      def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+        Array.tabulate(dim)(i => bytes.count(b => (b & 0xff) % dim == i).toFloat)
+    }
+    val feats = extractFeatures(media(10), dim = 4, batchSize = 3, decoder = fake)
+    val rows = feats.orderBy("media_id").collect()
+    rows.length shouldEqual 10
+    // the fake's semantics (a histogram over 16 payload bytes) really ran:
+    all(rows.map(_.features.sum)) shouldEqual 16.0f
+    // and row 0's payload bytes are 0..15 → uniform histogram over 4 bins
+    rows.head.features.toSeq shouldEqual Seq(4.0f, 4.0f, 4.0f, 4.0f)
+  }
+
+  test("Decoders.fromConf: stub unless a decoder class is configured") {
+    Decoders.fromConf(spark) shouldBe Decoders.StubDecoder
+    withSQLConf("spark.graft.media.decoderClass" ->
+        classOf[graft.operators.TestHistogramDecoder].getName) {
+      val d = Decoders.fromConf(spark)
+      d shouldBe a[TestHistogramDecoder]
+      d.decode(Array[Byte](1, 1, 3), 2).toSeq shouldEqual Seq(0.0f, 3.0f)
+    }
+    Decoders.fromConf(spark) shouldBe Decoders.StubDecoder // gate restored
   }
 
   test("extraction is partition-local (no shuffle) and preserves all rows") {
