@@ -122,6 +122,40 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Exact substring-duplication spans (the dedup-literature pass that
+    // removes verbatim repeated sequences from pretraining data): for
+    // each document, how many of its 20-token windows appear verbatim
+    // in at least one OTHER document. Shape: explode window hashes →
+    // df per window hash → join back → count per doc. The df frame is
+    // capped at 100 docs per window (boilerplate/license spans would
+    // otherwise fan a single hot hash into df² join rows at corpus
+    // scale — the same reason jaccardPairs prefix-filters); the cap is
+    // the dial, and capped-out spans are boilerplate by definition.
+    "substring_dup_spans" -> ((s, d) => {
+      val K = 20
+      val DfCap = 100
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(TextAnalysis.norm(col("text"))))
+      val g = docs
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("toks"), K)).as("gram"))
+        .withColumn("h", TextAnalysis.tokenHash(col("gram"))).drop("gram")
+      val hdf = g.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("gdf"))
+        .filter(col("gdf") >= 2 && col("gdf") <= DfCap)
+        .select("h")
+      val dup = g.join(hdf, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      docs.select(col("doc_id"),
+          greatest(size(col("toks")) - (K - 1), lit(0)).as("n_windows"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+        .withColumn("dup_frac",
+          when(col("n_windows") > 0,
+            col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+            .otherwise(0.0))
+        .orderBy("doc_id")
+    }),
+
     // Per-document 16-bit SimHash over the token-hash multiset.
     "simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -194,6 +228,25 @@ object DedupQueries extends QueryModule {
          |$ccSql
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "substring_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(greatest(CAST(len(toks) AS INTEGER) - 19, 0) AS INTEGER) AS n_windows,
+        |        list_transform(range(1, greatest(len(toks) - 19, CAST(0 AS BIGINT)) + 1),
+        |          i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+19], ' ')), 1, 14) AS BIGINT) % 1000000007) AS hs
+        |      FROM t),
+        |g AS (SELECT doc_id, unnest(hs) AS h FROM b),
+        |hdf AS (SELECT h FROM g GROUP BY h
+        |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100),
+        |dup AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |        FROM g JOIN hdf USING (h) GROUP BY g.doc_id)
+        |SELECT b.doc_id, b.n_windows,
+        |       CAST(COALESCE(dup.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |       CASE WHEN b.n_windows > 0
+        |            THEN CAST(COALESCE(dup.n_dup_windows, 0) AS DOUBLE) / b.n_windows
+        |            ELSE 0.0 END AS dup_frac
+        |FROM b LEFT JOIN dup USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "minhash_lsh" -> {
       val sigCols = (0 until MinHashK).map { i =>

@@ -170,14 +170,24 @@ object SimilarityQueries extends QueryModule {
       val variants = var0.select((col("vec_id") + 1000000L).as("vec_id"),
         col("qe2").as("qe"), dotFx(col("qe2"), col("qe2")).as("nq"))
       val u = b.select("vec_id", "qe", "nq").unionByName(variants)
-      def bandKey(band: Int) =
-        (0 until NdBits).map { j =>
-          val w = array(planeWeights(band * NdBits + j).map(x => lit(x.toLong)): _*)
-          when(dotFx(col("qe"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val banded = u.select(
+      // All 64 hyperplanes ride in ONE nested-array literal and one
+      // `dots` projection: spelling them as 64 separate dotFx calls
+      // each with its own 64-literal array put ~4k literal nodes into
+      // the plan (× every lineage reuse), and re-optimizing that tree
+      // dominated the query's bench time at this data size.
+      val wlit = typedLit((0 until NdBands * NdBits)
+        .map(p => planeWeights(p).map(_.toLong)))
+      val powers = typedLit((0 until NdBits).map(j => 1L << j))
+      val dotted = u.withColumn("dots",
+        transform(wlit, w => dotFx(col("qe"), w)))
+      val banded = dotted.select(
         col("vec_id") +: col("qe") +: col("nq") +:
-          (0 until NdBands).map(band => bandKey(band).as(s"band$band")): _*)
+          (0 until NdBands).map { band =>
+            aggregate(
+              zip_with(slice(col("dots"), band * NdBits + 1, NdBits), powers,
+                (dd, p) => when(dd >= 0, p).otherwise(lit(0L))),
+              lit(0L), _ + _).as(s"band$band")
+          }: _*)
       val stacked = banded.select(col("vec_id"), col("qe"), col("nq"),
         posexplode(array((0 until NdBands).map(i => col(s"band$i")): _*))
           .as(Seq("band_id", "band_key")))

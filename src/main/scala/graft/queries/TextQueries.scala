@@ -157,6 +157,44 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BM25 relevance scoring (the search-rank op a corpus/RAG pipeline
+    // runs): per-document score over a fixed query-term set, k1 = 1.2,
+    // b = 0.75. Everything is EXACT integer arithmetic so the per-doc
+    // sum is order-independent: idf is the ln-free rational variant
+    // (N − df + ½)/(df + ½) (ln is libm-dependent and not bit-identical
+    // across engines), and the tf normalization is multiplied through
+    // by 10·total_tokens to clear every fraction:
+    //   tfc = 22·tf·TT / (10·tf·TT + 3·TT + 9·dl·N)        (× 1e9 fx)
+    // DECIMAL(38) intermediates — the products overflow a long at
+    // corpus scale. One double division at the end, bit-identical.
+    // Scale shape: two aggs + one shuffle-join of the tf frame; the
+    // per-term df frame is bounded by the literal query (broadcast),
+    // corpus stats are one row.
+    "bm25_score" -> ((s, d) => {
+      val terms = Seq("data", "stream", "vector")
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+      val dl = e.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      val tf = e.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_fx", expr(
+          "CAST(CAST((n_docs - df) * 2 + 1 AS DECIMAL(38,0)) * 1000000000 div (df * 2 + 1) AS BIGINT)"))
+        .withColumn("tfc_fx", expr(
+          "CAST(CAST(22 * tf AS DECIMAL(38,0)) * total_tokens * 1000000000 " +
+            "div (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT)"))
+        .withColumn("term_fx", expr(
+          "CAST(CAST(idf_fx AS DECIMAL(38,0)) * tfc_fx div 1000000000 AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("term_fx")).as("score_fx"))
+        .withColumn("bm25", col("score_fx").cast("double") / 1000000000L)
+        .orderBy("doc_id")
+    }),
+
     // The training-data capstone: compose quality scoring, language-ID,
     // near-dup clustering, and deterministic sampling into the
     // "training-ready subset" selection a pretraining corpus runs —
@@ -379,6 +417,27 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "bm25_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+         |       WHERE token IN ('data', 'stream', 'vector') GROUP BY 1, 2),
+         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |p AS (SELECT tf.doc_id, tf.tf, dft.df, dl.dl, st.n_docs, st.total_tokens
+         |      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+         |x AS (SELECT doc_id,
+         |        CAST(CAST((n_docs - df) * 2 + 1 AS HUGEINT) * 1000000000 // (df * 2 + 1) AS BIGINT) AS idf_fx,
+         |        CAST(CAST(22 * tf AS HUGEINT) * total_tokens * 1000000000
+         |             // (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT) AS tfc_fx
+         |      FROM p),
+         |sc AS (SELECT doc_id, count(*) AS n_terms,
+         |         CAST(sum(CAST(idf_fx AS HUGEINT) * tfc_fx // 1000000000) AS BIGINT) AS score_fx
+         |       FROM x GROUP BY doc_id)
+         |SELECT doc_id, n_terms, score_fx,
+         |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // Quality + language + dedup-cluster + sample filters composed; the
     // cluster arm reuses the recursive-CTE closure from dedup_clusters.

@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native `.xlsx` scan (S-1's workbook on-ramp, app.py:282 /
+  * server.py:308) with ZERO dependencies: xlsx is a zip of
+  * SpreadsheetML XML, and the JDK ships both the zip codec and a StAX
+  * pull parser — no third-party reader needed even in this offline
+  * environment. Supports the subset a data on-ramp actually meets:
+  * shared strings, inline strings, numbers, booleans, blank-cell gaps,
+  * and a header row mapped to schema fields by NAME (like
+  * `pd.read_excel` + the reference's column validation,
+  * server.py:309-313 — missing schema columns fail fast).
+  *
+  * Distribution posture: xlsx is an unsplittable row-at-a-time format,
+  * so parallelism is across FILES, never within one. The scan lists
+  * workbooks via Spark's `binaryFile` source and parses each in its
+  * own task (`flatMap` on executors — the driver never touches file
+  * content). One multi-GB workbook is a single-task bottleneck by
+  * format design; INGEST.md still documents convert-at-the-edge as the
+  * preferred path for anything large, but small operational workbooks
+  * (the reference's `companies.xlsx`) now load directly.
+  */
+object Xlsx {
+
+  /** Read all `.xlsx` files at `path` into `schema`, locating columns
+    * by header-row name. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    files.flatMap { case (p, bytes) =>
+      try parseWorkbook(bytes, schema)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"malformed xlsx at $p: ${e.getMessage}", e)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Parse one workbook: first sheet, header row → schema-ordered rows. */
+  private[sources] def parseWorkbook(bytes: Array[Byte],
+      schema: StructType): Iterator[Row] = {
+    val shared = zipEntry(bytes, _ == "xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(Vector.empty)
+    val sheet = zipEntry(bytes,
+        n => n.matches("xl/worksheets/sheet1\\.xml") ||
+          n.matches("xl/worksheets/sheet\\d+\\.xml"))
+      .getOrElse(throw new IllegalArgumentException("no worksheet entry"))
+    val raw = parseSheet(sheet, shared)
+    if (raw.isEmpty) return Iterator.empty
+    val header = raw.head.map(v => if (v == null) "" else v.trim)
+    val colIdx = schema.fields.map { f =>
+      val i = header.indexOf(f.name)
+      require(i >= 0,
+        s"xlsx is missing required column '${f.name}' (header: ${header.mkString(", ")})")
+      i
+    }
+    raw.iterator.drop(1).map { cells =>
+      Row.fromSeq(schema.fields.zip(colIdx).toSeq.map { case (f, i) =>
+        castCell(if (i < cells.length) cells(i) else null, f.dataType)
+      })
+    }
+  }
+
+  /** First zip entry matching `pred`, fully read. */
+  private def zipEntry(bytes: Array[Byte],
+      pred: String => Boolean): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .collectFirst { case e if pred(e.getName) => zin.readAllBytes() }
+    } finally zin.close()
+  }
+
+  /** Hardened StAX reader: no DTDs, no external entities (workbooks are
+    * untrusted input). */
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** `<si>` entries; rich-text runs concatenate their `<t>` pieces. */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = xmlReader(bytes)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+        cur = new StringBuilder
+      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" && cur != null =>
+        cur.append(r.getElementText) // advances past </t>
+      case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+        out += cur.toString; cur = null
+      case _ => ()
+    }
+    r.close()
+    out.result()
+  }
+
+  /** Sheet rows as raw string cells, positioned by their `r="BC12"`
+    * reference (blank cells are simply absent in the XML → null). */
+  private def parseSheet(bytes: Array[Byte],
+      shared: Vector[String]): Vector[Array[String]] = {
+    val r = xmlReader(bytes)
+    val rows = Vector.newBuilder[Array[String]]
+    var row: ArrayBuffer[(Int, String)] = null
+    var cellCol = -1
+    var cellType: String = null
+    var cellVal: String = null
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => row = ArrayBuffer.empty
+        case "c" if row != null =>
+          cellCol = colIndex(Option(r.getAttributeValue(null, "r"))
+            .getOrElse(throw new IllegalArgumentException("cell without r= ref")))
+          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+          cellVal = null
+        case "v" if cellCol >= 0 => cellVal = r.getElementText
+        case "t" if cellCol >= 0 => cellVal = r.getElementText // inlineStr
+        case _ => ()
+      }
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "c" if cellCol >= 0 =>
+          val resolved = cellType match {
+            case "s" => if (cellVal == null) null else shared(cellVal.toInt)
+            case _   => cellVal // n, str, inlineStr, b carry their text
+          }
+          row += ((cellCol, resolved)); cellCol = -1
+        case "row" =>
+          if (row.nonEmpty) {
+            val width = row.map(_._1).max + 1
+            val arr = new Array[String](width)
+            row.foreach { case (i, v) => arr(i) = v }
+            rows += arr
+          }
+          row = null
+        case _ => ()
+      }
+      case _ => ()
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** "BC12" → 54: base-26 letters prefix, 1-indexed digits ignored. */
+  private[sources] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    require(letters.nonEmpty, s"bad cell ref '$ref'")
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
+  }
+
+  /** Cell text → schema type; numerics go through BigDecimal because
+    * SpreadsheetML stores every number as decimal text ("3" or "3.0"). */
+  private def castCell(v: String, dt: DataType): Any =
+    if (v == null || v.isEmpty) null
+    else dt match {
+      case StringType  => v
+      case LongType    => new java.math.BigDecimal(v).longValue()
+      case IntegerType => new java.math.BigDecimal(v).intValue()
+      case DoubleType  => v.toDouble
+      case FloatType   => v.toFloat
+      case BooleanType => v == "1" || v.equalsIgnoreCase("true")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported xlsx schema type $other")
+    }
+}

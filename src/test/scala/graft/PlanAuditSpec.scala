@@ -106,6 +106,7 @@ class PlanAuditSpec extends SparkSpec {
       "ann_lsh_bucket" -> 1,       // 10 query vectors
       "ivf_topk" -> 3,             // 8 seed centroids (used by 2 assignment passes) + ≤20 probes
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
+      "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
       "decontaminate" -> 1,        // benchmark eval set: tiny by definition
       "sequence_pack_global" -> 1, // per-(lang, shard) chunk offsets: stratum-cardinality
       "user_value_by_nation" -> 2, // customer + nation dims

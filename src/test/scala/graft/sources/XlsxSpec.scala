@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** The spec ships its own minimal SpreadsheetML WRITER (zip + XML by
+  * hand) so the reader is exercised against real workbook structure —
+  * shared strings, inline strings, rich-text runs, numbers, booleans,
+  * sparse rows — without any xlsx library in the environment. */
+class XlsxSpec extends SparkSpec {
+
+  private def esc(s: String) =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Cells: Left(sharedStringIndex is managed here) for strings,
+    * Right(rawXml) for anything else; None = blank (absent) cell. */
+  private def writeXlsx(file: java.io.File, rows: Seq[Seq[Option[(String, String)]]],
+      richTextRun: Boolean = false): Unit = {
+    val sharedVals = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def sharedIdx(s: String) = sharedVals.getOrElseUpdate(s, sharedVals.size)
+    def ref(r: Int, c: Int): String = {
+      var n = c + 1; var s = ""
+      while (n > 0) { s = ('A' + (n - 1) % 26).toChar.toString + s; n = (n - 1) / 26 }
+      s + (r + 1)
+    }
+    val sheetRows = rows.zipWithIndex.map { case (cells, r) =>
+      val cs = cells.zipWithIndex.collect { case (Some((t, v)), c) =>
+        t match {
+          case "s"   => s"""<c r="${ref(r, c)}" t="s"><v>${sharedIdx(v)}</v></c>"""
+          case "is"  => s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+          case "n"   => s"""<c r="${ref(r, c)}"><v>$v</v></c>"""
+          case "b"   => s"""<c r="${ref(r, c)}" t="b"><v>$v</v></c>"""
+          case "str" => s"""<c r="${ref(r, c)}" t="str"><v>${esc(v)}</v></c>"""
+        }
+      }.mkString
+      s"""<row r="${r + 1}">$cs</row>"""
+    }.mkString
+    val sheetXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>$sheetRows</sheetData></worksheet>""".stripMargin
+    val ssXml = {
+      val sis = sharedVals.keys.map { s =>
+        if (richTextRun && s.contains(" "))
+          // rich-text: the string split across two runs, must concatenate
+          s.split(" ", 2) match {
+            case Array(a, b) => s"<si><r><t xml:space=\"preserve\">${esc(a)} </t></r><r><t>${esc(b)}</t></r></si>"
+          }
+        else s"<si><t>${esc(s)}</t></si>"
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedVals.size}" uniqueCount="${sharedVals.size}">$sis</sst>""".stripMargin
+    }
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(file))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    put("xl/workbook.xml", workbookXml)
+    put("xl/sharedStrings.xml", ssXml)
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    zout.close()
+  }
+
+  private val schema = StructType(Seq(
+    StructField("company_name", StringType),
+    StructField("website", StringType),
+    StructField("employees", LongType),
+    StructField("score", DoubleType),
+    StructField("active", BooleanType)))
+
+  private def s(v: String) = Some(("s", v))
+  private def header = Seq(s("company_name"), s("website"), s("employees"), s("score"), s("active"))
+
+  test("reads shared/inline/str strings, numbers, booleans; blanks are null; header maps by name") {
+    val dir = Files.createTempDirectory("xlsx").toFile
+    writeXlsx(new java.io.File(dir, "companies.xlsx"), Seq(
+      header,
+      Seq(s("Acme & Sons"), Some(("is", "https://acme.example")), Some(("n", "250")), Some(("n", "0.5")), Some(("b", "1"))),
+      Seq(Some(("str", "Globex")), None, Some(("n", "3.0")), None, Some(("b", "0")))))
+    // schema field order ≠ sheet column order is fine — mapping is by header name
+    val shuffled = StructType(schema.fields.reverse)
+    val out = Xlsx.read(spark, dir.getAbsolutePath, shuffled)
+      .orderBy("company_name").collect()
+    out.length shouldEqual 2
+    val acme = out.head
+    acme.getAs[String]("company_name") shouldEqual "Acme & Sons" // XML unescaped
+    acme.getAs[String]("website") shouldEqual "https://acme.example"
+    acme.getAs[Long]("employees") shouldEqual 250L
+    acme.getAs[Double]("score") shouldEqual 0.5
+    acme.getAs[Boolean]("active") shouldEqual true
+    val globex = out(1)
+    globex.getAs[String]("company_name") shouldEqual "Globex"
+    globex.isNullAt(globex.fieldIndex("website")) shouldEqual true  // absent cell
+    globex.getAs[Long]("employees") shouldEqual 3L                  // "3.0" numeric text
+    globex.isNullAt(globex.fieldIndex("score")) shouldEqual true
+    globex.getAs[Boolean]("active") shouldEqual false
+  }
+
+  test("rich-text shared strings concatenate their runs") {
+    val dir = Files.createTempDirectory("xlsx-rich").toFile
+    writeXlsx(new java.io.File(dir, "r.xlsx"), Seq(
+      Seq(s("company_name")),
+      Seq(s("Initech Industrial"))), richTextRun = true)
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+      .head.getString(0) shouldEqual "Initech Industrial"
+  }
+
+  test("a missing required column fails fast with the header names") {
+    val dir = Files.createTempDirectory("xlsx-miss").toFile
+    writeXlsx(new java.io.File(dir, "m.xlsx"), Seq(
+      Seq(s("company_name")), Seq(s("Acme"))))
+    val e = the[Exception] thrownBy
+      Xlsx.read(spark, dir.getAbsolutePath, schema).collect()
+    e.getMessage should include("website")
+  }
+
+  test("parallelism is across files: a directory of workbooks unions") {
+    val dir = Files.createTempDirectory("xlsx-many").toFile
+    (0 until 3).foreach { i =>
+      writeXlsx(new java.io.File(dir, s"part$i.xlsx"), Seq(
+        Seq(s("company_name"), s("employees")),
+        Seq(s(s"co-$i-a"), Some(("n", s"${i * 10 + 1}"))),
+        Seq(s(s"co-$i-b"), Some(("n", s"${i * 10 + 2}")))))
+    }
+    val two = StructType(Seq(
+      StructField("company_name", StringType), StructField("employees", LongType)))
+    val out = Xlsx.read(spark, dir.getAbsolutePath, two)
+    out.count() shouldEqual 6
+    out.rdd.getNumPartitions should be >= 1
+    out.orderBy("employees").collect().map(_.getLong(1)).toSeq shouldEqual
+      Seq(1L, 2L, 11L, 12L, 21L, 22L)
+  }
+
+  test("column-ref arithmetic: A, Z, AA, BC") {
+    Xlsx.colIndex("A1") shouldEqual 0
+    Xlsx.colIndex("Z9") shouldEqual 25
+    Xlsx.colIndex("AA12") shouldEqual 26
+    Xlsx.colIndex("BC7") shouldEqual 54
+  }
+}
