@@ -145,6 +145,12 @@ class XlsxSpec extends SparkSpec {
       Seq(1L, 2L, 11L, 12L, 21L, 22L)
   }
 
+  test("a header-only workbook yields an empty frame, not a crash") {
+    val dir = Files.createTempDirectory("xlsx-empty").toFile
+    writeXlsx(new java.io.File(dir, "e.xlsx"), Seq(header))
+    Xlsx.read(spark, dir.getAbsolutePath, schema).count() shouldEqual 0L
+  }
+
   test("column-ref arithmetic: A, Z, AA, BC") {
     Xlsx.colIndex("A1") shouldEqual 0
     Xlsx.colIndex("Z9") shouldEqual 25
