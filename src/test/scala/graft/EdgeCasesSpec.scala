@@ -37,4 +37,53 @@ class EdgeCasesSpec extends SparkSpec {
     val e = Seq.empty[(Long, String)].toDF("doc_id", "s")
     Dedup.minhashSigAgg(e).count() shouldEqual 0
   }
+
+  /** A documents.parquet dir with degenerate rows: short docs (below the
+    * 20-token window), a doc carrying none of the bm25 query terms, and
+    * two docs sharing a verbatim 20-token span. */
+  private lazy val tinyDocsDir: String = {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "srcA", s"$span data stream"),        // shares span with doc 2
+      (2L, "en", "srcB", s"prefix $span vector"),      // shares span with doc 1
+      (3L, "en", "srcC", "tiny doc below window"),     // 4 tokens → 0 windows
+      (4L, "en", "srcD", "no query terms here at all " + (1 to 20).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text"))) // `length` is shadowed by Matchers
+    val dir = java.nio.file.Files.createTempDirectory("edge-docs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("substring_dup_spans: shared 20-token spans count; short docs report 0 windows") {
+    val out = SparkEntry.queries("substring_dup_spans")(spark, tinyDocsDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // doc1: 27 tokens → 8 windows; 6 of them lie inside the shared 25-token span
+    out(1L)._1 shouldEqual 8
+    out(2L)._1 shouldEqual 8 // 27 tokens as well (prefix + span + vector)
+    out(1L)._2 shouldEqual 6 // windows fully inside the shared span
+    out(2L)._2 shouldEqual 6
+    out(3L) shouldEqual ((0, 0L)) // below the window: 0 windows, 0 dups
+    out(4L)._2 shouldEqual 0L     // unique content: no dup windows
+  }
+
+  test("bm25_score: only docs carrying a query term appear; scores are positive") {
+    val out = SparkEntry.queries("bm25_score")(spark, tinyDocsDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    out.keySet shouldEqual Set(1L, 2L) // docs 3 & 4 carry no query term
+    all(out.values) should be > 0.0
+  }
+
+  test("sequence_pack_global: chunk ids are globally contiguous across strata") {
+    val out = SparkEntry.queries("sequence_pack_global")(spark, tinyDocsDir)
+      .collect()
+    out.length shouldEqual 4
+    // every stratum here is tiny (≪ 2048 tokens), so each (lang, shard)
+    // stratum contributes exactly one chunk and ids are 0..n_strata-1
+    val ids = out.map(_.getAs[Long]("seq_id")).toSet
+    ids shouldEqual (0L until ids.size).toSet
+    all(out.map(_.getAs[Long]("seq_offset"))) should be >= 0L
+  }
 }
