@@ -256,23 +256,43 @@ object Dedup {
         (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
       .filter(col("rk") <= col("plen"))
       .select("doc_id", "n", "s", "rk")
-    // Candidate pairs + PPJoin positional filter (Xiao et al., WWW'08):
-    // ranks are positions in the GLOBAL rarest-first order, so every
-    // shared shingle other than the first common one ranks after it in
-    // BOTH lists — overlap ≤ 1 + min(n1 − i, n2 − j) at the first
-    // match (i, j). J ≥ t needs overlap ≥ ⌈t·(n1+n2)/(1+t)⌉; pairs
-    // whose bound can't reach it are pruned BEFORE the verify join has
-    // to haul their full shingle arrays. min(struct(rk_a, rk_b)) picks
+    // Candidate pairs via the INVERTED-INDEX formulation of AllPairs:
+    // group the prefix postings by shingle (one shuffle) and emit the
+    // pairs inside each doc-list with array functions — the equivalent
+    // prefix SELF-JOIN plans both sides as full copies of the
+    // explode+df-join+window lineage (profiled as the two hottest
+    // stages of the whole bench: exchange reuse does not cover a
+    // broadcast join's stream side), while this shape computes the
+    // lineage ONCE. Postings lists are df-bounded by prefix filtering
+    // exactly as the join's Σdf² was, so nothing new can blow up.
+    // The size-band prune (2×) rides in the pair-generation filter.
+    val byShingle = prefix
+      .groupBy("s")
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("rk"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val gen = byShingle.select(explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+            struct(
+              when(x("doc_id") < y("doc_id"), x).otherwise(y).as("a"),
+              when(x("doc_id") < y("doc_id"), y).otherwise(x).as("b")))))
+      ).as("p"))
+      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"),
+        struct(col("p.a.rk").as("i"), col("p.b.rk").as("j")).as("pos"))
+      .filter(col("na").cast("double") >= col("nb") * lit(t) &&
+        col("nb").cast("double") >= col("na") * lit(t))
+    // PPJoin positional filter (Xiao et al., WWW'08): ranks are
+    // positions in the GLOBAL rarest-first order, so every shared
+    // shingle other than the first common one ranks after it in BOTH
+    // lists — overlap ≤ 1 + min(n1 − i, n2 − j) at the first match
+    // (i, j). J ≥ t needs overlap ≥ ⌈t·(n1+n2)/(1+t)⌉; pairs whose
+    // bound can't reach it are pruned BEFORE the verify join has to
+    // haul their full shingle arrays. min(struct(rk_a, rk_b)) picks
     // the first match consistently: the globally-smallest shared
-    // shingle minimizes both ranks at once. Replaces distinct() — the
-    // aggregation dedups and filters in the same shuffle.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n").cast("double") >= col("b.n") * lit(t) &&
-          col("b.n").cast("double") >= col("a.n") * lit(t))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("na"), col("b.n").as("nb"),
-        struct(col("a.rk").as("i"), col("b.rk").as("j")).as("pos"))
+    // shingle minimizes both ranks at once; the aggregation dedups and
+    // filters in the same shuffle.
+    val cand = gen
       .groupBy("d1", "d2")
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
         min(col("pos")).as("fm"))
