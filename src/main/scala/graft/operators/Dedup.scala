@@ -160,14 +160,20 @@ object Dedup {
     // Materialize the edge list once: it is consumed every round, and
     // its lineage (a full near-dup pair pipeline) would otherwise be
     // recomputed per iteration — measured 8× slower without this.
-    // Pre-partitioned on the hook-join key BEFORE the checkpoint: the
-    // materialized frame keeps its outputPartitioning, so every round's
-    // edges-side exchange vanishes — edges is the big frame of the
-    // loop, and shuffling it O(log n) times instead of once is the
-    // kind of cost that only shows at cluster scale.
+    // Both orientations come from ONE explode, not a self-union: a
+    // union's two branches each re-run the whole upstream pair
+    // pipeline (profiled as the hottest stage of this query — 2× the
+    // candidate volume), while explode duplicates rows after a single
+    // pass. Pre-partitioned on the hook-join key BEFORE the
+    // checkpoint: the materialized frame keeps its outputPartitioning,
+    // so every round's edges-side exchange vanishes — edges is the big
+    // frame of the loop, and shuffling it O(log n) times instead of
+    // once is the kind of cost that only shows at cluster scale.
     val edges = materialize(
-      pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      pairs.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("src")))
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
