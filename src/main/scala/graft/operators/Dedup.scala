@@ -296,8 +296,15 @@ object Dedup {
     // bound can't reach it are pruned BEFORE the verify join has to
     // haul their full shingle arrays. min(struct(rk_a, rk_b)) picks
     // the first match consistently: the globally-smallest shared
-    // shingle minimizes both ranks at once; the aggregation dedups and
-    // filters in the same shuffle.
+    // shingle minimizes both ranks at once (both posting lists follow
+    // the same global order, so the lex-min IS the componentwise min
+    // and carries the pair's maximal bound); the aggregation dedups
+    // and filters in the same shuffle. (Applying the bound
+    // per-occurrence BEFORE the shuffle was tried and is a measured
+    // full-bench regression: it keeps ~45% of occurrences on this
+    // corpus — the bound is pair-level tight but occurrence-level
+    // loose — and the extra map-side expression cost exceeds the
+    // shuffle rows saved.)
     val cand = gen
       .groupBy("d1", "d2")
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
