@@ -206,6 +206,52 @@ object SimilarityQueries extends QueryModule {
         .orderBy("v1", "v2")
     }),
 
+    // K-means training iterations (Lloyd's): 2 unrolled rounds of
+    // assign-to-nearest + centroid recompute, seeded from vec_id < 8 —
+    // the step that turns ivf_topk's seed "centroids" into trained
+    // ones. Scale shape per round: centroids broadcast (8 rows), one
+    // corpus scan for assignment, one (cluster, pos) aggregation for
+    // the update — the canonical iterative-ML pattern on Spark.
+    // Cross-engine exactness: assignment compares cosines built from
+    // identical integers (bit-identical doubles, ties to the lowest
+    // cluster); the centroid mean is floor(exact-int-sum / count) — a
+    // single IEEE division of identical operands, so both engines
+    // floor the same double. Empty clusters simply drop out of the
+    // next round (both engines aggregate only over existing groups).
+    "kmeans_centroids" -> ((s, d) => {
+      val b = base(s, d)
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
+        b.crossJoin(broadcast(cents))
+          .withColumn("c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("qe"), col("cluster"))
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("val",
+            floor(col("sv").cast("double") / col("cnt").cast("double")).cast("long"))
+      def toArrays(cp: DataFrame): DataFrame =
+        cp.groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+            x => x("val")).as("ce"))
+          .withColumn("nc", dotFx(col("ce"), col("ce")))
+      val c0 = b.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("qe").as("ce"), col("nq").as("nc"))
+      val a1 = assign(c0)
+      val c1 = toArrays(update(a1))
+      val a2 = assign(c1)
+      val u2 = update(a2)
+      val counts = a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      u2.select(col("cluster"), col("pos"), col("val").as("c_fx"))
+        .join(counts, "cluster")
+        .select("cluster", "pos", "c_fx", "n_members")
+        .orderBy("cluster", "pos")
+    }),
+
     // Exact fixed-point centroid sums per (label, dimension): the
     // aggregation shape of embedding analytics, partial+final over one
     // shuffle on (label, pos).
@@ -328,6 +374,35 @@ object SimilarityQueries extends QueryModule {
          |         / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
          |  FROM pairs p JOIN u a ON p.v1 = a.vec_id JOIN u b ON p.v2 = b.vec_id)
          |SELECT v1, v2, cos FROM v WHERE cos >= 0.9 ORDER BY v1, v2""".stripMargin
+    },
+
+    "kmeans_centroids" -> {
+      def dotSql2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+      def assignSql(cents: String) =
+        s"""(SELECT vec_id, qe, cluster FROM (
+           |   SELECT v.vec_id, v.qe, c.cluster,
+           |          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |            CAST(${dotSql2("v.qe", "c.ce")} AS DOUBLE)
+           |              / sqrt(CAST(v.nq AS DOUBLE) * CAST(c.nc AS DOUBLE)) DESC,
+           |            c.cluster) AS crk
+           |   FROM n v CROSS JOIN $cents c)
+           | WHERE crk = 1)""".stripMargin
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |a1 AS ${assignSql("c0")},
+         |u1 AS (SELECT cluster, CAST(i - 1 AS INTEGER) AS pos,
+         |         CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |       FROM a1, range(1, ${Dim + 1}) r(i) GROUP BY cluster, pos),
+         |c1a AS (SELECT cluster, list(val ORDER BY pos) AS ce FROM u1 GROUP BY cluster),
+         |c1 AS (SELECT cluster, ce, ${dotSql2("ce", "ce")} AS nc FROM c1a),
+         |a2 AS ${assignSql("c1")},
+         |u2 AS (SELECT cluster, CAST(i - 1 AS INTEGER) AS pos,
+         |         CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c_fx
+         |       FROM a2, range(1, ${Dim + 1}) r(i) GROUP BY cluster, pos),
+         |counts AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
+         |SELECT u2.cluster, u2.pos, u2.c_fx, counts.n_members
+         |FROM u2 JOIN counts USING (cluster) ORDER BY u2.cluster, u2.pos""".stripMargin
     },
 
     "label_centroids" ->
