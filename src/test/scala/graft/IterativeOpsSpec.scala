@@ -1,0 +1,71 @@
+package graft
+
+/** Independent reference implementations (plain Scala, no Spark) of the
+  * two iterative operators, compared EXACTLY against the registered
+  * queries at sf0.001 — a third implementation alongside the Spark plan
+  * and the DuckDB oracle, so a shared misreading of the algorithm can't
+  * slip through two engines that were written to mirror each other. */
+class IterativeOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val Scale = 1000000000000L
+
+  test("link_pagerank matches a plain-Scala fixed-point power iteration") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val ids = docIds.toSet
+    // same derived graph: 3 hash targets per doc (may include self-loops)
+    val edges = docIds.flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (_, dst) => ids.contains(dst) }
+    var r = docIds.map(d => d -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupMapReduce(_._2)(e => r(e._1) / 3)(_ + _)
+      r = docIds.map(d =>
+        d -> ((Scale / n) * 15 / 100 + contrib.getOrElse(d, 0L) * 85 / 100)).toMap
+    }
+    val got = SparkEntry.queries("link_pagerank")(spark, sf)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    got shouldEqual r
+    // sanity: total mass stays in the right ballpark (trunc div only loses dust)
+    val total = r.values.sum.toDouble / Scale
+    total should (be > 0.9 and be <= 1.0)
+  }
+
+  test("kmeans_centroids matches a plain-Scala Lloyd iteration") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e7).toLong).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      vecs.map { case (id, qe) =>
+        // max cosine, ties to the lowest cluster id — minBy keeps the
+        // FIRST minimum in iteration order, matching row_number's tiebreak
+        id -> cents.toSeq.sortBy(_._1).minBy { case (_, ce) => -cos(qe, ce) }._1
+      }.toMap
+    val qById = vecs.toMap
+    def update(a: Map[Long, Long]): Map[Long, Array[Long]] =
+      a.groupBy(_._2).map { case (c, members) =>
+        val qs = members.keys.toSeq.map(qById)
+        c -> Array.tabulate(64)(i =>
+          math.floor(qs.map(_(i)).sum.toDouble / qs.size).toLong)
+      }
+    val c0 = vecs.filter(_._1 < 8).map { case (id, qe) => id -> qe }.toMap
+    val a1 = assign(c0)
+    val c1 = update(a1)
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    val counts = a2.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("kmeans_centroids")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = c2.toSeq.flatMap { case (c, arr) =>
+      arr.zipWithIndex.map { case (v, pos) => (c, pos) -> ((v, counts(c))) }
+    }.toMap
+    got shouldEqual want
+  }
+}
