@@ -198,6 +198,45 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // Exact p90 by rank selection (percentile_disc semantics): the
+    // value AT rank ⌈0.9·n⌉ — no interpolation, no arithmetic, so the
+    // result is an actual data value both engines agree on exactly.
+    // Same two-window shape as the median; sketches (t-digest) are the
+    // documented path when per-group rows no longer fit a sort.
+    "order_value_p90" -> ((s, d) => {
+      val byP = Window.partitionBy("o_orderpriority")
+      val w = byP.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byP))
+        .filter(col("rn") === expr("(9 * n + 9) div 10"))
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
+          col("o_totalprice").as("p90_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Trailing 7-day revenue: a RANGE-frame window (interval framing,
+    // the one window frame shape the suite didn't yet cover) over the
+    // DAILY aggregate — the window runs on stratum-cardinality rows
+    // (one per date), never the raw orders, which is why the
+    // unpartitioned ordering is safe at scale. Sums stay DECIMAL
+    // through the frame (order-independent), one double cast at the
+    // sink.
+    "rolling_revenue_7d" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev_dec"))
+        .withColumn("day_num",
+          datediff(col("day"), lit(java.sql.Date.valueOf("1992-01-01"))))
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .withColumn("rev_7d_dec", sum(col("rev_dec")).over(w))
+        .withColumn("days_in_win", count(lit(1)).over(w))
+        .select(col("day"), col("rev_dec").cast("double").as("day_revenue"),
+          col("rev_7d_dec").cast("double").as("rev_7d"), col("days_in_win"))
+        .orderBy("day")
+    }),
+
     // ntile window: account-balance quartiles per market segment
     // (deterministic order: balance then custkey).
     "customer_quartiles" -> ((s, d) => {
@@ -234,6 +273,34 @@ object RelationalQueries extends QueryModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "order_value_p90" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, n AS n_orders, o_totalprice AS p90_price
+        |FROM r WHERE rn = (9 * n + 9) // 10
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "rolling_revenue_7d" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+        |         date_diff('day', DATE '1992-01-01', o_orderdate) AS day_num
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (
+        |  SELECT day, rev_dec,
+        |         SUM(rev_dec) OVER (ORDER BY day_num
+        |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d_dec,
+        |         CAST(count(*) OVER (ORDER BY day_num
+        |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_win
+        |  FROM daily)
+        |SELECT day, CAST(rev_dec AS DOUBLE) AS day_revenue,
+        |       CAST(rev_7d_dec AS DOUBLE) AS rev_7d, days_in_win
+        |FROM w ORDER BY day""".stripMargin,
 
     "median_order_value" ->
       s"""WITH r AS (
