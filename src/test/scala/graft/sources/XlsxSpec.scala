@@ -151,6 +151,26 @@ class XlsxSpec extends SparkSpec {
     Xlsx.read(spark, dir.getAbsolutePath, schema).count() shouldEqual 0L
   }
 
+  test("a workbook carrying a DTD (XXE shape) is rejected, not resolved") {
+    // workbooks are untrusted input; the StAX reader runs with DTD
+    // support off, so a DOCTYPE with an external entity must fail fast
+    // instead of ever being fetched/expanded
+    val dir = Files.createTempDirectory("xlsx-xxe").toFile
+    val sheetXml =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE worksheet [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>&xxe;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "evil.xlsx")))
+    zout.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(sheetXml.getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    val e = the[Exception] thrownBy Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+    e.getMessage should include("malformed xlsx")
+  }
+
   test("column-ref arithmetic: A, Z, AA, BC") {
     Xlsx.colIndex("A1") shouldEqual 0
     Xlsx.colIndex("Z9") shouldEqual 25
