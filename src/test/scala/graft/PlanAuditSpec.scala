@@ -126,6 +126,30 @@ class PlanAuditSpec extends SparkSpec {
     counts shouldEqual bounded
   }
 
+  test("unpartitioned windows run ONLY over stratum-cardinality frames (allowlist gate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // A window with no PARTITION BY funnels its whole input through one
+    // task — a scale killer over row-cardinality frames, but fine (and
+    // sometimes necessary) over frames whose size is bounded by a
+    // stratum count. Every allowlisted query documents what bounds the
+    // windowed frame; a new unpartitioned window anywhere else fails
+    // here until justified.
+    val allowed = Set(
+      "running_daily_ratio",  // ≤ |days| rows (daily aggregate)
+      "rolling_revenue_7d",   // ≤ |days| rows (daily aggregate)
+      "sequence_pack_global"  // ≤ |langs|×8 rows (stratum chunk offsets)
+    )
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(iterative)
+      .filter { n =>
+        // logical plan: AQE wraps the physical tree and hides WindowExec
+        SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+          .collect { case w: LogicalWindow if w.partitionSpec.isEmpty => w }
+          .nonEmpty
+      }
+    offenders.toSet shouldEqual allowed
+  }
+
   test("scan-level filters reach the parquet reader") {
     withClue("q1_pricing_summary") {
       plan("q1_pricing_summary") should include("PushedFilters: [IsNotNull(l_shipdate)")
