@@ -126,6 +126,26 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
 
+    // HLL cardinality sketch vs exact distinct (X-55): at 100 TB,
+    // countDistinct shuffles every distinct value to its group;
+    // approx_count_distinct (HyperLogLog++) keeps a fixed-size
+    // mergeable sketch per partition — the only shape that survives a
+    // billion-token vocabulary. Both are computed side-by-side with
+    // the realized relative error, on per-language token streams.
+    // Spark's HLL++ is deterministic for given data but not
+    // reproducible in DuckDB, so this query has NO oracle entry — the
+    // driver records its documented rows-only check instead.
+    "approx_distinct_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(norm(col("text")))).as("token"))
+        .groupBy("lang")
+        .agg(countDistinct(col("token")).as("exact_distinct"),
+          approx_count_distinct(col("token"), 0.02).as("approx_distinct"))
+        .withColumn("rel_err",
+          abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+            col("exact_distinct").cast("double"))
+        .orderBy("lang")),
+
     // Corpus-statistics LM scoring (the "filter by language-model
     // likelihood" pretraining op): per-doc mean unigram probability.
     // Probabilities are integer fixed-point (cnt·1e12 div total) so the
