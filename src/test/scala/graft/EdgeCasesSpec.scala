@@ -57,6 +57,38 @@ class EdgeCasesSpec extends SparkSpec {
     dir
   }
 
+  /** A tiny orders.parquet with known values and a calendar gap. */
+  private lazy val tinyOrdersDir: String = {
+    import spark.implicits._
+    val rows =
+      // ten urgent orders priced 1..10 on day 1, plus a day-2 order and
+      // one after a >6-day gap (pins RANGE- vs ROWS-frame semantics)
+      (1 to 10).map(i => (i.toLong, "1-URGENT", i.toDouble, "2020-01-01")) ++ Seq(
+        (11L, "2-HIGH", 50.0, "2020-01-02"),
+        (12L, "2-HIGH", 25.0, "2020-01-10"))
+    val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+    val dir = java.nio.file.Files.createTempDirectory("edge-orders").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("order_value_p90 selects the value AT rank ceil(0.9n) — no interpolation") {
+    val out = SparkEntry.queries("order_value_p90")(spark, tinyOrdersDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out("1-URGENT") shouldEqual ((10L, 9.0)) // rank ceil(9.0) = 9 of 1..10
+    out("2-HIGH") shouldEqual ((2L, 50.0))   // rank ceil(1.8) = 2 of (25, 50)
+  }
+
+  test("rolling_revenue_7d is a RANGE frame: calendar gaps shrink the window") {
+    val out = SparkEntry.queries("rolling_revenue_7d")(spark, tinyOrdersDir)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(2), r.getLong(3)))
+    out.toSeq shouldEqual Seq(
+      ("2020-01-01", 55.0, 1L),  // 1+2+…+10
+      ("2020-01-02", 105.0, 2L), // previous day in range
+      ("2020-01-10", 25.0, 1L))  // 8-day gap: a ROWS frame would say 130
+  }
+
   test("substring_dup_spans: shared 20-token spans count; short docs report 0 windows") {
     val out = SparkEntry.queries("substring_dup_spans")(spark, tinyDocsDir)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
