@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Exact, Relational}
+import graft.operators.{Exact, Quantile, Relational}
 
 /** M2 relational surface: star-schema joins, group-by aggregation,
   * rollup/cube, window functions, semi/anti joins, date functions and set
@@ -174,46 +174,41 @@ object RelationalQueries extends QueryModule {
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY rflag, lstatus""".stripMargin)),
 
-    // Exact per-group median via rank selection: the middle one or two
-    // rows by position, averaged with decimal exactness. Interpolating
-    // percentile functions differ across engines; rank selection is
-    // exact in both. Like ntile, an exact quantile inherently sorts
-    // each group — fine for bounded report dimensions (5 priorities);
-    // sketches (t-digest / approx_percentile) are the high-cardinality
-    // scale path.
-    "median_order_value" -> ((s, d) => {
-      val byP = Window.partitionBy("o_orderpriority")
-      val w = byP.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(byP))
-        // middle positions: ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (equal when n is
-        // odd); `div` keeps the arithmetic integral — `/` on longs is
-        // double division in Spark
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(n + 2) div 2"))
+    // Exact per-group median via TWO-PHASE rank selection (Quantile):
+    // the middle one or two rows by position, averaged with decimal
+    // exactness. Interpolating percentile functions differ across
+    // engines; rank selection is exact in both. The two-phase shape
+    // (histogram locates the rank's bucket, only that bucket is
+    // ranked) keeps parallelism data-bound — a plain
+    // partitionBy(priority) window would sort n/5 rows per task
+    // forever. The oracle mirrors the SEMANTICS with the one-window
+    // form, which is fine at oracle scale.
+    "median_order_value" -> ((s, d) =>
+      Quantile.selectRanks(
+        Tables.orders(s, d)
+          .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n + lit(2L), 2)))
         .groupBy("o_orderpriority")
-        .agg(max(col("n")).as("n_orders"),
+        .agg(max(col("__n")).as("n_orders"),
           Exact.decAvg(col("o_totalprice")).as("median_price"))
-        .orderBy("o_orderpriority")
-    }),
+        .orderBy("o_orderpriority")),
 
     // Exact p90 by rank selection (percentile_disc semantics): the
     // value AT rank ⌈0.9·n⌉ — no interpolation, no arithmetic, so the
     // result is an actual data value both engines agree on exactly.
-    // Same two-window shape as the median; sketches (t-digest) are the
-    // documented path when per-group rows no longer fit a sort.
-    "order_value_p90" -> ((s, d) => {
-      val byP = Window.partitionBy("o_orderpriority")
-      val w = byP.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(byP))
-        .filter(col("rn") === expr("(9 * n + 9) div 10"))
-        .select(col("o_orderpriority"), col("n").as("n_orders"),
+    // Same two-phase Quantile selection as the median. The sketch
+    // companion (order_value_p90_sketch) shows the fixed-size path
+    // for when even bucket-bounded exactness is not worth a re-scan.
+    "order_value_p90" -> ((s, d) =>
+      Quantile.selectRanks(
+        Tables.orders(s, d)
+          .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+        n => Seq(Quantile.idiv(n * lit(9L) + lit(9L), 10)))
+        .select(col("o_orderpriority"), col("__n").as("n_orders"),
           col("o_totalprice").as("p90_price"))
-        .orderBy("o_orderpriority")
-    }),
+        .orderBy("o_orderpriority")),
 
     // Trailing 7-day revenue: a RANGE-frame window (interval framing,
     // the one window frame shape the suite didn't yet cover) over the
@@ -237,13 +232,31 @@ object RelationalQueries extends QueryModule {
         .orderBy("day")
     }),
 
-    // ntile window: account-balance quartiles per market segment
-    // (deterministic order: balance then custkey).
+    // Account-balance quartiles per market segment, with exact
+    // ntile(4) SEMANTICS but no per-segment sort: a plain
+    // `ntile(4).over(partitionBy(c_mktsegment))` funnels each segment
+    // through one task (the same 5-key scale trap as the old median).
+    // Instead the three tile-cutoff ROWS are found by two-phase rank
+    // selection, broadcast per segment, and each row's quartile is
+    // 1 + the number of cutoff rows strictly below it in the same
+    // total order (balance, then custkey) — exact including ntile's
+    // uneven-tile tie-splitting, because rank comparisons against the
+    // cutoff rows are value comparisons under a total order. The
+    // oracle keeps the literal ntile form.
     "customer_quartiles" -> ((s, d) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      val cust = Tables.customer(s, d)
+        .select("c_mktsegment", "c_acctbal", "c_custkey")
+      val cuts = Quantile.selectRanks(cust, "c_mktsegment", "c_acctbal",
+          "c_custkey", Quantile.ntileCutoffs(4))
+        .groupBy("c_mktsegment")
+        .agg(collect_set(struct(col("c_acctbal").as("bal"),
+          col("c_custkey").as("key"))).as("__cuts"))
+      cust.join(broadcast(cuts), "c_mktsegment")
+        .withColumn("quartile",
+          (lit(1) + size(filter(col("__cuts"), b =>
+            b("bal") < col("c_acctbal") ||
+              (b("bal") === col("c_acctbal") && b("key") < col("c_custkey")))))
+            .cast("int"))
         .groupBy("c_mktsegment", "quartile")
         .agg(count(lit(1)).as("n_customers"),
           Exact.decSum(col("c_acctbal")).as("sum_bal"),

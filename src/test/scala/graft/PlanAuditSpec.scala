@@ -115,6 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       "revenue_by_nation" -> 3,    // customer + nation + region dims
       "rollup_region_nation" -> 3, // customer + nation + region dims
       "brand_revenue" -> 2,        // part + supplier dims
+      // two-phase Quantile: per-group stats (|groups| rows, hinted in
+      // both the histogram and selection passes — the target frame's
+      // lineage re-embeds the histogram's hint) + target buckets
+      // (≤ |groups|·|ranks| rows)
+      "median_order_value" -> 3,
+      "order_value_p90" -> 3,
+      "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -148,6 +155,37 @@ class PlanAuditSpec extends SparkSpec {
           .nonEmpty
       }
     offenders.toSet shouldEqual allowed
+  }
+
+  test("no window partitions a raw base-table scan on a tiny report key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LW}
+    // A window partitioned SOLELY on a handful-of-values report
+    // dimension pins parallelism at that handful forever — each task
+    // sorts n/|key| rows no matter how big n grows (the round-5 exact-
+    // quantile finding). Such keys may only partition windows over
+    // already-reduced frames: below the window there must be an
+    // Aggregate (histogram/stratum frames) or a Join (rank-selected
+    // bucket subsets), never a bare scan+filter+project lineage. The
+    // two-phase Quantile operator is the compliant way to compute
+    // exact per-report-key order statistics.
+    val lowCard = Set( // sub-16-distinct-value columns in the testdata
+      "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+      "c_mktsegment", "event_type", "lang", "r_name", "media_type")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(iterative)
+      .flatMap { n =>
+        SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+          .collect {
+            case w: LW if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+                .forall(lowCard) &&
+              w.child.collectFirst {
+                case a: Aggregate => a: Any
+                case j: Join => j: Any
+              }.isEmpty => n
+          }
+      }
+    offenders shouldBe empty
   }
 
   test("scan-level filters reach the parquet reader") {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Quantile
+
+/** Two-phase exact rank selection (X-47/X-53 scale fix): the histogram-
+  * bucketed plan must agree row-for-row with the naive one-window rank
+  * selection it replaces, including on degenerate groups the histogram
+  * math could mishandle (single-row groups, all-equal-value groups,
+  * values landing exactly on bucket boundaries). */
+class QuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random mix (no Math.random in specs). */
+  private def mix(i: Int): Double = ((i * 2654435761L) % 10007L).toDouble / 7.0
+
+  private lazy val df: DataFrame = {
+    val rows =
+      (1 to 997).map(i => (s"g${i % 7}", mix(i), i.toLong)) ++      // 7 mid-size groups
+      Seq(("single", 42.0, 10001L)) ++                              // n = 1
+      (1 to 9).map(i => ("flat", 5.0, 10100L + i)) ++               // hi == lo
+      (1 to 64).map(i => ("grid", (i % 8).toDouble, 10200L + i))    // heavy value ties
+    rows.toDF("g", "v", "k").repartition(8)
+  }
+
+  private def naiveRanks(ranks: Long => Seq[Long]): Set[(String, Long)] = {
+    val byG = Window.partitionBy("g")
+    val w = byG.orderBy(col("v"), col("k"))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      .collect()
+      .filter(r => ranks(r.getAs[Long]("n")).contains(r.getAs[Long]("rn")))
+      .map(r => (r.getString(0), r.getAs[Long]("k"))).toSet
+  }
+
+  test("selectRanks matches the naive window for median ranks on every group shape") {
+    val got = Quantile.selectRanks(df, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n + lit(2L), 2)))
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldEqual naiveRanks(n => Seq((n + 1) / 2, (n + 2) / 2).distinct)
+  }
+
+  test("selectRanks matches the naive window for min, p90 and max ranks") {
+    val got = Quantile.selectRanks(df, "g", "v", "k",
+        n => Seq(lit(1L), Quantile.idiv(n * lit(9L) + lit(9L), 10), n))
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldEqual naiveRanks(n => Seq(1L, (9 * n + 9) / 10, n).distinct)
+  }
+
+  test("selected rows carry the exact global rank and group count") {
+    val out = Quantile.selectRanks(df.filter(col("g") === "grid"), "g", "v", "k",
+        n => Seq(lit(17L)))
+      .select("__n", "__grank", "k").collect()
+    out.length shouldEqual 1
+    out.head.getLong(0) shouldEqual 64L
+    out.head.getLong(1) shouldEqual 17L
+    // rank 17 of 64 under (v = i%8, tiebreak k): values 0..7 each ×8;
+    // rank 17 is the first k in the third value class (v=2 → i∈{2,10,…})
+    out.head.getLong(2) shouldEqual 10202L
+  }
+
+  test("ntile cutoffs + boundary compare reproduce Spark's ntile exactly") {
+    // quartile via the broadcast-compare shape used by customer_quartiles
+    val cuts = Quantile.selectRanks(df, "g", "v", "k", Quantile.ntileCutoffs(4))
+      .groupBy("g")
+      .agg(collect_set(struct(col("v").as("bv"), col("k").as("bk"))).as("cuts"))
+    val emulated = df.join(broadcast(cuts), "g")
+      .withColumn("tile", (lit(1) + org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(col("cuts"),
+          (b: org.apache.spark.sql.Column) =>
+            b("bv") < col("v") || (b("bv") === col("v") && b("bk") < col("k")))))
+        .cast("int"))
+      .select("g", "k", "tile").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val real = df.withColumn("tile",
+        ntile(4).over(Window.partitionBy("g").orderBy(col("v"), col("k"))))
+      .select("g", "k", "tile").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    emulated shouldEqual real
+  }
+}
