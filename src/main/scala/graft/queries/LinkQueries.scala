@@ -66,13 +66,19 @@ object LinkQueries extends QueryModule {
     // PageRank over the document link graph (X-52): the iterative
     // graph op next to connected components, 3 unrolled power
     // iterations at damping 0.85. The graph is synthesized
-    // deterministically (each doc links to 3 hash-derived targets —
-    // same derived-input pattern as the candidate frame above); the
-    // OPERATOR shape is the real thing: the edge list is materialized
-    // once and pre-partitioned on src exactly like the CC loop (it is
-    // consumed by every iteration's join), contributions aggregate per
-    // dst, and dangling/unlinked nodes pick up only the base term via
-    // left join. All arithmetic is integer fixed-point (rank·1e12,
+    // deterministically — each doc links to 3 hash-derived targets,
+    // EXCEPT every 7th doc, which emits nothing: a SINK. Sinks are
+    // what make the dangling-mass term real — without it, their rank
+    // would simply vanish each hop and Σrank would decay ~12%/round
+    // on this graph. The operator shape is the production one: the
+    // edge list is materialized once and pre-partitioned on src
+    // exactly like the CC loop (it is consumed by every iteration's
+    // join); each round materializes its rank frame (consumed twice —
+    // contributions + dangling sum — and real deployments run tens of
+    // rounds, so lineage must stay flat); contributions aggregate per
+    // dst; the dangling mass is ONE tiny aggregate broadcast to all
+    // nodes; no-inbound nodes pick up base + dangling share via left
+    // join. All arithmetic is integer fixed-point (rank·1e12,
     // truncating div on non-negative operands) so three rounds of
     // mass-splitting reproduce bit-identically in both engines.
     "link_pagerank" -> ((s, d) => {
@@ -81,18 +87,25 @@ object LinkQueries extends QueryModule {
       val stats = docs.agg(count(lit(1)).as("n"))
       val edges = graft.operators.Dedup.materialize(
         docs.crossJoin(broadcast(stats))
+          .filter(col("doc_id") % 7 =!= 0) // 1-in-7 docs are sinks
           .select(col("doc_id").as("src"),
             explode(array((1 to 3).map(j =>
               (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
           .repartition(col("src")))
-      def iterate(r: DataFrame): DataFrame = {
+      def iterate(rIn: DataFrame): DataFrame = {
+        val r = graft.operators.Dedup.materialize(rIn)
         val contrib = edges.join(r, edges("src") === r("doc_id"))
           .select(col("dst"), expr("r div 3").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("dsum"))
-        docs.crossJoin(broadcast(stats))
+        // the rank mass sitting on sink nodes this round, spread
+        // evenly over all n nodes (the standard dangling-node term)
+        val dangling = r.filter(col("doc_id") % 7 === 0)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        docs.crossJoin(broadcast(stats)).crossJoin(broadcast(dangling))
           .join(contrib, docs("doc_id") === contrib("dst"), "left_outer")
           .select(col("doc_id"),
-            expr(s"(($Scale div n) * 15) div 100 + coalesce(dsum, 0L) * 85 div 100").as("r"))
+            expr(s"(($Scale div n) * 15) div 100 " +
+              "+ (coalesce(dsum, 0L) + dmass div n) * 85 div 100").as("r"))
       }
       val r0 = docs.crossJoin(broadcast(stats))
         .select(col("doc_id"), expr(s"$Scale div n").as("r"))
@@ -118,22 +131,26 @@ object LinkQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "link_pagerank" -> {
-      def iterSql(prev: String, cn: String, rn: String) =
+      def iterSql(prev: String, cn: String, dn: String, rn: String) =
         s"""$cn AS (SELECT e.dst, CAST(sum(r.r // 3) AS BIGINT) AS dsum
            |       FROM edges e JOIN $prev r ON e.src = r.doc_id GROUP BY e.dst),
+           |$dn AS (SELECT COALESCE(CAST(sum(r.r) AS BIGINT), 0) AS dmass
+           |       FROM $prev r WHERE r.doc_id % 7 = 0),
            |$rn AS (SELECT d.doc_id,
            |         CAST(((1000000000000 // st.n) * 15) // 100
-           |              + COALESCE($cn.dsum, 0) * 85 // 100 AS BIGINT) AS r
-           |       FROM docs d CROSS JOIN st LEFT JOIN $cn ON d.doc_id = $cn.dst)""".stripMargin
+           |              + (COALESCE($cn.dsum, 0) + $dn.dmass // st.n) * 85 // 100 AS BIGINT) AS r
+           |       FROM docs d CROSS JOIN st CROSS JOIN $dn
+           |       LEFT JOIN $cn ON d.doc_id = $cn.dst)""".stripMargin
       s"""WITH docs AS (SELECT doc_id FROM documents),
          |st AS (SELECT count(*) AS n FROM docs),
          |edges AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
-         |          FROM docs CROSS JOIN st, range(1, 4) t(j)),
+         |          FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |          WHERE doc_id % 7 <> 0),
          |r0 AS (SELECT doc_id, CAST(1000000000000 // n AS BIGINT) AS r
          |       FROM docs CROSS JOIN st),
-         |${iterSql("r0", "c1", "r1")},
-         |${iterSql("r1", "c2", "r2")},
-         |${iterSql("r2", "c3", "r3")}
+         |${iterSql("r0", "c1", "d1", "r1")},
+         |${iterSql("r1", "c2", "d2", "r2")},
+         |${iterSql("r2", "c3", "d3", "r3")}
          |SELECT doc_id, r AS rank_fx, CAST(r AS DOUBLE) / 1000000000000 AS rank
          |FROM r3 ORDER BY doc_id""".stripMargin
     },

@@ -15,21 +15,30 @@ class IterativeOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     val n = docIds.length.toLong
     val ids = docIds.toSet
-    // same derived graph: 3 hash targets per doc (may include self-loops)
-    val edges = docIds.flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+    // same derived graph: 3 hash targets per non-sink doc (may include
+    // self-loops); every 7th doc is a SINK with no outbound edges
+    val edges = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
       .filter { case (_, dst) => ids.contains(dst) }
     var r = docIds.map(d => d -> Scale / n).toMap
     for (_ <- 1 to 3) {
       val contrib = edges.groupMapReduce(_._2)(e => r(e._1) / 3)(_ + _)
+      val dmass = docIds.filter(_ % 7 == 0).map(r).sum
       r = docIds.map(d =>
-        d -> ((Scale / n) * 15 / 100 + contrib.getOrElse(d, 0L) * 85 / 100)).toMap
+        d -> ((Scale / n) * 15 / 100
+          + (contrib.getOrElse(d, 0L) + dmass / n) * 85 / 100)).toMap
     }
     val got = SparkEntry.queries("link_pagerank")(spark, sf)
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
     got shouldEqual r
-    // sanity: total mass stays in the right ballpark (trunc div only loses dust)
-    val total = r.values.sum.toDouble / Scale
-    total should (be > 0.9 and be <= 1.0)
+    // Σrank is CONSERVED up to truncation dust: every fixed-point div
+    // drops < 1 unit (of 1e-12) per row/edge, so three iterations lose
+    // at most ~6n units each — nothing like the ~0.85·|sinks|/n ≈ 12%
+    // per round that vanishes without the dangling-mass term.
+    val total = r.values.sum
+    val dustBound = 6L * n * 3
+    total should be <= Scale
+    total should be >= (Scale - dustBound)
   }
 
   test("kmeans_centroids matches a plain-Scala Lloyd iteration") {

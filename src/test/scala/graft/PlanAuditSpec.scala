@@ -106,7 +106,7 @@ class PlanAuditSpec extends SparkSpec {
       "ann_lsh_bucket" -> 1,       // 10 query vectors
       "ivf_topk" -> 3,             // 8 seed centroids (used by 2 assignment passes) + ≤20 probes
       "kmeans_centroids" -> 4,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint, and the final count join re-embeds the assignment tree
-      "link_pagerank" -> 4,        // single-row count frame: r0 + one per unrolled iteration (edges' own hint is behind the checkpoint)
+      "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
       "decontaminate" -> 1,        // benchmark eval set: tiny by definition
