@@ -61,6 +61,45 @@ object SimilarityQueries extends QueryModule {
       .withColumn("dot_fx", dotFx(col("qe"), col("q_qe")))
       .withColumn("cos", cosFx(col("dot_fx"), col("nq"), col("q_nq")))
 
+  // ── Lloyd-iteration building blocks, shared by kmeans_centroids
+  //    (training as the deliverable) and ivf_topk (training feeding the
+  //    index). Scale shape per round: centroids broadcast (≤8 rows by
+  //    construction — cluster ids ⊆ the 8 seeds), one corpus scan for
+  //    assignment, one (cluster, pos) aggregation for the update. ──
+
+  /** Top-`n` nearest centroids per vector (max cosine, ties to lowest
+    * cluster id); `cents` must carry (cluster, ce, nc). */
+  private def nearestClusters(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= n)
+      .drop("ce", "nc", "c", "crk")
+  }
+
+  /** Centroid recompute: floor(exact-int-sum / count) per (cluster,
+    * pos) — a single IEEE division of identical operands, so both
+    * engines floor the same double. */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("val",
+        floor(col("sv").cast("double") / col("cnt").cast("double")).cast("long"))
+
+  /** (cluster, pos, val) rows back into (cluster, ce, nc) arrays. */
+  private def centroidArrays(cp: DataFrame): DataFrame =
+    cp.groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+        x => x("val")).as("ce"))
+      .withColumn("nc", dotFx(col("ce"), col("ce")))
+
+  /** vec_id < 8 as the deterministic seed centroids. */
+  private def seedCentroids(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"), col("qe").as("ce"), col("nq").as("nc"))
+
   /** Shared oracle CTE: quantized embeddings + exact norms. */
   private val baseSql =
     """q AS (SELECT vec_id, embedding,
@@ -74,6 +113,31 @@ object SimilarityQueries extends QueryModule {
 
   private val dotSql =
     "CAST(list_sum(list_transform(range(1, len(c.qe) + 1), i -> c.qe[i] * qq.qe[i])) AS BIGINT)"
+
+  private def dotSql2(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** SQL mirror of [[nearestClusters]]: top-`krk` clusters per vector. */
+  private def nearestSql(cents: String, where: String, krk: Int) =
+    s"""(SELECT vec_id, qe, nq, cluster FROM (
+       |   SELECT v.vec_id, v.qe, v.nq, c.cluster,
+       |          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |            CAST(${dotSql2("v.qe", "c.ce")} AS DOUBLE)
+       |              / sqrt(CAST(v.nq AS DOUBLE) * CAST(c.nc AS DOUBLE)) DESC,
+       |            c.cluster) AS crk
+       |   FROM n v CROSS JOIN $cents c $where)
+       | WHERE crk <= $krk)""".stripMargin
+
+  /** SQL mirror of one Lloyd round: assign against `prev`, floor-mean
+    * update, back to (cluster, ce, nc) arrays. */
+  private def lloydRoundSql(prev: String, aN: String, uN: String,
+      cNa: String, cN: String) =
+    s"""$aN AS ${nearestSql(prev, "", 1)},
+       |$uN AS (SELECT cluster, CAST(i - 1 AS INTEGER) AS pos,
+       |         CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+       |       FROM $aN, range(1, ${Dim + 1}) r(i) GROUP BY cluster, pos),
+       |$cNa AS (SELECT cluster, list(val ORDER BY pos) AS ce FROM $uN GROUP BY cluster),
+       |$cN AS (SELECT cluster, ce, ${dotSql2("ce", "ce")} AS nc FROM $cNa)""".stripMargin
 
   def defs: Map[String, Q] = Map(
     // Brute-force cosine top-5 per query vector. Queries broadcast; the
@@ -110,29 +174,22 @@ object SimilarityQueries extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
-    // IVF (inverted-file) ANN: vectors are assigned to their nearest of
-    // 8 seed centroids (vec_id < 8 stand in for trained centroids —
-    // deterministic); each query probes its 2 nearest centroids and
-    // scores only those clusters' members. The scan shrinks by
-    // ~nprobe/nlist — the other classic ANN scale path next to LSH.
+    // IVF (inverted-file) ANN over TRAINED centroids: two Lloyd rounds
+    // from the deterministic seeds (exactly kmeans_centroids' recipe —
+    // shared helpers, so the index probes the very centroids that
+    // query reports), then vectors are assigned to their nearest
+    // trained centroid and each query probes its 2 nearest; only those
+    // clusters' members are scored. The scan shrinks by ~nprobe/nlist
+    // — the other classic ANN scale path next to LSH. Training is what
+    // an IVF index build IS; at deployment scale it runs once and is
+    // reused across queries.
     "ivf_topk" -> ((s, d) => {
       val b = base(s, d)
-      val seeds = broadcast(b.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("seed_id"), col("qe").as("s_qe"), col("nq").as("s_nq")))
-      // nearest-centroid assignment: argmax cosine, ties to lowest seed
-      def nearest(df: DataFrame, n: Int): DataFrame = {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("c").desc, col("seed_id"))
-        df.crossJoin(seeds)
-          .withColumn("c", cosFx(dotFx(col("qe"), col("s_qe")), col("nq"), col("s_nq")))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") <= n)
-          .drop("s_qe", "s_nq", "c", "crk")
-      }
-      val assigned = nearest(b.filter(col("vec_id") >= 10), 1)
-        .withColumnRenamed("seed_id", "cluster")
-      val probes = nearest(b.filter(col("vec_id") < 10), 2)
-        .select(col("vec_id").as("q_id"), col("seed_id").as("cluster"),
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = centroidArrays(lloydUpdate(nearestClusters(b, c1, 1)))
+      val assigned = nearestClusters(b.filter(col("vec_id") >= 10), c2, 1)
+      val probes = nearestClusters(b.filter(col("vec_id") < 10), c2, 2)
+        .select(col("vec_id").as("q_id"), col("cluster"),
           col("qe").as("q_qe"), col("nq").as("q_nq"))
       graft.operators.Rank.topKPerGroup(
           scored(assigned.join(broadcast(probes), "cluster")),
@@ -220,31 +277,9 @@ object SimilarityQueries extends QueryModule {
     // next round (both engines aggregate only over existing groups).
     "kmeans_centroids" -> ((s, d) => {
       val b = base(s, d)
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
-        b.crossJoin(broadcast(cents))
-          .withColumn("c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("qe"), col("cluster"))
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos")
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-          .withColumn("val",
-            floor(col("sv").cast("double") / col("cnt").cast("double")).cast("long"))
-      def toArrays(cp: DataFrame): DataFrame =
-        cp.groupBy("cluster")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
-            x => x("val")).as("ce"))
-          .withColumn("nc", dotFx(col("ce"), col("ce")))
-      val c0 = b.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cluster"), col("qe").as("ce"), col("nq").as("nc"))
-      val a1 = assign(c0)
-      val c1 = toArrays(update(a1))
-      val a2 = assign(c1)
-      val u2 = update(a2)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val a2 = nearestClusters(b, c1, 1)
+      val u2 = lloydUpdate(a2)
       val counts = a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
       u2.select(col("cluster"), col("pos"), col("val").as("c_fx"))
         .join(counts, "cluster")
@@ -300,38 +335,24 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
     },
 
-    "ivf_topk" -> {
-      def cosSql(aq: String, an: String, bq: String, bn: String) =
-        s"CAST(list_sum(list_transform(range(1, len($aq) + 1), i -> $aq[i] * $bq[i])) AS DOUBLE)" +
-          s" / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))"
+    "ivf_topk" ->
       s"""WITH $baseSql,
-         |seeds AS (SELECT vec_id AS seed_id, qe AS s_qe, nq AS s_nq FROM n WHERE vec_id < 8),
-         |assign0 AS (
-         |  SELECT v.vec_id, v.qe, v.nq, s.seed_id,
-         |         ${cosSql("v.qe", "v.nq", "s.s_qe", "s.s_nq")} AS c
-         |  FROM n v CROSS JOIN seeds s WHERE v.vec_id >= 10),
-         |assigned AS (
-         |  SELECT vec_id, qe, nq, seed_id AS cluster FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS crk
-         |    FROM assign0) WHERE crk = 1),
-         |probe0 AS (
-         |  SELECT v.vec_id, v.qe, v.nq, s.seed_id,
-         |         ${cosSql("v.qe", "v.nq", "s.s_qe", "s.s_nq")} AS c
-         |  FROM n v CROSS JOIN seeds s WHERE v.vec_id < 10),
-         |probes AS (
-         |  SELECT vec_id AS q_id, seed_id AS cluster, qe AS q_qe, nq AS q_nq FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS crk
-         |    FROM probe0) WHERE crk <= 2),
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |assigned AS ${nearestSql("c2", "WHERE v.vec_id >= 10", 1)},
+         |probes0 AS ${nearestSql("c2", "WHERE v.vec_id < 10", 2)},
+         |probes AS (SELECT vec_id AS q_id, cluster, qe AS q_qe, nq AS q_nq FROM probes0),
          |sc AS (
          |  SELECT p.q_id, a.vec_id AS neighbor_id, a.cluster,
-         |         ${cosSql("a.qe", "a.nq", "p.q_qe", "p.q_nq")} AS cos
+         |         CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> a.qe[i] * p.q_qe[i])) AS DOUBLE)
+         |           / sqrt(CAST(a.nq AS DOUBLE) * CAST(p.q_nq AS DOUBLE)) AS cos
          |  FROM assigned a JOIN probes p USING (cluster)),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
          |      FROM sc)
          |SELECT q_id, neighbor_id, cluster, rk, cos FROM r
-         |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
-    },
+         |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin,
 
     "embedding_neardup" -> {
       val bandCols = (0 until NdBands).map { b =>
@@ -376,34 +397,17 @@ object SimilarityQueries extends QueryModule {
          |SELECT v1, v2, cos FROM v WHERE cos >= 0.9 ORDER BY v1, v2""".stripMargin
     },
 
-    "kmeans_centroids" -> {
-      def dotSql2(a: String, b: String) =
-        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
-      def assignSql(cents: String) =
-        s"""(SELECT vec_id, qe, cluster FROM (
-           |   SELECT v.vec_id, v.qe, c.cluster,
-           |          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |            CAST(${dotSql2("v.qe", "c.ce")} AS DOUBLE)
-           |              / sqrt(CAST(v.nq AS DOUBLE) * CAST(c.nc AS DOUBLE)) DESC,
-           |            c.cluster) AS crk
-           |   FROM n v CROSS JOIN $cents c)
-           | WHERE crk = 1)""".stripMargin
+    "kmeans_centroids" ->
       s"""WITH $baseSql,
          |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
-         |a1 AS ${assignSql("c0")},
-         |u1 AS (SELECT cluster, CAST(i - 1 AS INTEGER) AS pos,
-         |         CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
-         |       FROM a1, range(1, ${Dim + 1}) r(i) GROUP BY cluster, pos),
-         |c1a AS (SELECT cluster, list(val ORDER BY pos) AS ce FROM u1 GROUP BY cluster),
-         |c1 AS (SELECT cluster, ce, ${dotSql2("ce", "ce")} AS nc FROM c1a),
-         |a2 AS ${assignSql("c1")},
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |a2 AS ${nearestSql("c1", "", 1)},
          |u2 AS (SELECT cluster, CAST(i - 1 AS INTEGER) AS pos,
          |         CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c_fx
          |       FROM a2, range(1, ${Dim + 1}) r(i) GROUP BY cluster, pos),
          |counts AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
          |SELECT u2.cluster, u2.pos, u2.c_fx, counts.n_members
-         |FROM u2 JOIN counts USING (cluster) ORDER BY u2.cluster, u2.pos""".stripMargin
-    },
+         |FROM u2 JOIN counts USING (cluster) ORDER BY u2.cluster, u2.pos""".stripMargin,
 
     "label_centroids" ->
       """WITH q AS (SELECT label,

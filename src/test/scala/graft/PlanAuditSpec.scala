@@ -104,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
     val bounded: Map[String, Int] = Map(
       "knn_cosine" -> 1,           // 10 query vectors
       "ann_lsh_bucket" -> 1,       // 10 query vectors
-      "ivf_topk" -> 3,             // 8 seed centroids (used by 2 assignment passes) + ≤20 probes
+      "ivf_topk" -> 7,             // ≤8-row centroid frames through 2 Lloyd training rounds (assigned + probes each re-embed the trained-centroid lineage: 2×3 hints) + ≤20 probes
       "kmeans_centroids" -> 4,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint, and the final count join re-embeds the assignment tree
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
