@@ -189,6 +189,39 @@ object EventQueries extends QueryModule {
         .sessionWindows(Tables.events(s, d), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // Deterministic batch replay of the streaming stateful dedup
+    // (EventStream.dedupWithinWatermark / dropDuplicatesWithinWatermark,
+    // 1-hour horizon): the steady-state semantics — watermark tracking
+    // event time — keep a key's FIRST event, drop repeats while the
+    // first event's state is younger than the horizon, and accept the
+    // key again once the state has expired. The testdata's event_ids
+    // are unique, so duplicates are synthesized deterministically
+    // (the derived-input pattern): retransmissions at +2 min and
+    // +7 min (inside the horizon → dropped) and +3 h (state long
+    // expired → kept). The nearest-prior lag test below equals the
+    // keep-if-no-KEPT-occurrence-in-horizon streaming rule because the
+    // synthesized offsets never chain across the horizon boundary:
+    // every occurrence is either ≪ horizon from its nearest prior or
+    // ≫ horizon from all priors. One shuffle on event_id (high
+    // cardinality), window partitions are ≤ 4 rows — scale-safe.
+    "dedup_within_horizon" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+      def retrans(modK: Int, offset: String, tag: String) =
+        ev.filter(col("event_id") % modK === 0)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $offset"))
+          .withColumn("src", lit(tag))
+      val occ = ev.withColumn("src", lit("orig"))
+        .unionByName(retrans(3, "2 minutes", "r2m"))
+        .unionByName(retrans(5, "7 minutes", "r7m"))
+        .unionByName(retrans(15, "3 hours", "r3h"))
+      val w = Window.partitionBy("event_id").orderBy("ts")
+      occ.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 1 hour"))
+        .select("event_id", "ts", "event_type", "src")
+        .orderBy("event_id", "ts")
+    }),
+
     // A-4/A-5: daily running progress ratio over the event stream.
     "running_daily_ratio" -> ((s, d) => {
       val daily = Tables.events(s, d)
@@ -339,6 +372,22 @@ object EventQueries extends QueryModule {
     // at exactly prev_ts + gap extends the session (pinned in
     // EventStreamSpec), so a new session starts only when ts > prev +
     // gap — same `>` as user_sessions. end = last event + gap.
+    "dedup_within_horizon" ->
+      """WITH occ AS (
+        |  SELECT event_id, ts, event_type, 'orig' AS src FROM events
+        |  UNION ALL SELECT event_id, ts + INTERVAL 2 MINUTE, event_type, 'r2m'
+        |            FROM events WHERE event_id % 3 = 0
+        |  UNION ALL SELECT event_id, ts + INTERVAL 7 MINUTE, event_type, 'r7m'
+        |            FROM events WHERE event_id % 5 = 0
+        |  UNION ALL SELECT event_id, ts + INTERVAL 3 HOUR, event_type, 'r3h'
+        |            FROM events WHERE event_id % 15 = 0),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY event_id ORDER BY ts) AS prev_ts
+        |  FROM occ)
+        |SELECT event_id, ts, event_type, src FROM lagged
+        |WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+        |ORDER BY event_id, ts""".stripMargin,
+
     "session_windows" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |lagged AS (

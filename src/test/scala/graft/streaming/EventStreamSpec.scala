@@ -150,6 +150,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch dedup_within_horizon rule matches streaming dedup replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The registered batch query (EventQueries dedup_within_horizon)
+    // claims to be the deterministic replay of dedupWithinWatermark's
+    // steady state. Pin that on a real micro-batch run: retransmits
+    // inside the 1-hour horizon are dropped, and a repeat AFTER the
+    // key's state expired (watermark passed first ts + horizon) is
+    // kept again — then assert the batch lag-filter form produces the
+    // identical row set over the same occurrences.
+    val occurrences = Seq(
+      Seq(ev(1, 0), ev(2, 5)),   // originals
+      Seq(ev(1, 2), ev(2, 12)),  // +2 min / +7 min → inside horizon, dropped
+      Seq(ev(999, 130)),         // advances watermark to 1h10m → both states expire
+      Seq(ev(1, 180)))           // 3h ≫ horizon after expiry → kept again
+    val in = MemoryStream[Ev]
+    val q = EventStream.dedupWithinWatermark(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddh").option("checkpointLocation", tmp("ddh")).start()
+    try {
+      occurrences.foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
+      val streamed = spark.table("ddh").select("event_id", "ts")
+        .as[(Long, Timestamp)].collect().toSet
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy("ts")
+      val batchForm = occurrences.flatten.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 1 hour"))
+        .select("event_id", "ts").as[(Long, Timestamp)].collect().toSet
+
+      streamed shouldEqual batchForm
+      streamed should contain ((1L, ts(0)))
+      streamed should contain ((1L, ts(180))) // re-admitted after expiry
+      streamed should not contain ((1L, ts(2)))
+      streamed should not contain ((2L, ts(12)))
+    } finally q.stop()
+  }
+
   test("session_window semantics: gap merges inclusively at the boundary") {
     import spark.implicits._
     // batch frame, same operator the streaming path uses
