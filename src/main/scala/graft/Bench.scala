@@ -83,7 +83,10 @@ object Bench {
       "sort/projection) after a per-query warmup pass at sf0.001; each query timed " +
       "twice across two suite passes, minimum reported (contention hardening)")
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would corrupt the machine-parsed JSON line.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
