@@ -212,19 +212,22 @@ object SimilarityQueries extends QueryModule {
     // pair cosine ≈ 0.6 at every SF — a regime no bounded-key LSH can
     // separate, 16-bit bands or otherwise), so the scan corpus is the
     // table UNION deterministic near-dup variants derived from it:
-    // every 17th vector gets a copy (id + 1'000'000) perturbed in
-    // quantized INTEGER space (delta_i = ((id·131 + i·101) % 601)·1000
-    // − 300'000, cos ≈ 0.99 to its source) — exact in both engines,
-    // the same derived-input pattern as Multimodal.syntheticMedia. The
-    // banding then demonstrably recovers the planted pairs from band
-    // collisions alone while chance candidates stay ~n²/2^16 per band.
+    // every 17th vector gets a copy (id ↦ −id−1: the negative mirror
+    // is provably outside the non-negative vec_id domain at ANY table
+    // size, where an additive offset would silently collide past it)
+    // perturbed in quantized INTEGER space (delta_i = ((id·131 +
+    // i·101) % 601)·1000 − 300'000, cos ≈ 0.99 to its source) — exact
+    // in both engines, the same derived-input pattern as
+    // Multimodal.syntheticMedia. The banding then demonstrably
+    // recovers the planted pairs from band collisions alone while
+    // chance candidates stay ~n²/2^16 per band.
     "embedding_neardup" -> ((s, d) => {
       val b = base(s, d)
       val var0 = b.filter(col("vec_id") % 17 === 0)
         .select(col("vec_id"),
           transform(col("qe"), (x, i) =>
             x + (((col("vec_id") * 131 + i * 101) % 601) * 1000 - 300000)).as("qe2"))
-      val variants = var0.select((col("vec_id") + 1000000L).as("vec_id"),
+      val variants = var0.select((lit(-1L) - col("vec_id")).as("vec_id"),
         col("qe2").as("qe"), dotFx(col("qe2"), col("qe2")).as("nq"))
       val u = b.select("vec_id", "qe", "nq").unionByName(variants)
       // All 64 hyperplanes ride in ONE nested-array literal and one
@@ -372,7 +375,7 @@ object SimilarityQueries extends QueryModule {
          |           i -> qe[i] + (((vec_id * 131 + (i - 1) * 101) % 601) * 1000 - 300000)) AS qe2
          |  FROM n WHERE vec_id % 17 = 0),
          |var AS (
-         |  SELECT vec_id + 1000000 AS vec_id, qe2 AS qe,
+         |  SELECT -1 - vec_id AS vec_id, qe2 AS qe,
          |         CAST(list_sum(list_transform(range(1, ${Dim + 1}),
          |           i -> qe2[i] * qe2[i])) AS BIGINT) AS nq
          |  FROM var0),
