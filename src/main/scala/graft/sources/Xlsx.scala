@@ -13,7 +13,10 @@ import org.apache.spark.sql.types._
   * SpreadsheetML XML, and the JDK ships both the zip codec and a StAX
   * pull parser — no third-party reader needed even in this offline
   * environment. Supports the subset a data on-ramp actually meets:
-  * shared strings, inline strings, numbers, booleans, blank-cell gaps,
+  * shared strings, inline strings (incl. rich-text runs), numbers,
+  * booleans, blank-cell gaps, serial/ISO dates (decoded when the
+  * schema asks for DateType/TimestampType — cell styles are not
+  * inspected, the schema declares intent),
   * and a header row mapped to schema fields by NAME (like
   * `pd.read_excel` + the reference's column validation,
   * server.py:309-313 — missing schema columns fail fast).
@@ -49,9 +52,7 @@ object Xlsx {
       schema: StructType): Iterator[Row] = {
     val shared = zipEntry(bytes, _ == "xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
-    val sheet = zipEntry(bytes,
-        n => n.matches("xl/worksheets/sheet1\\.xml") ||
-          n.matches("xl/worksheets/sheet\\d+\\.xml"))
+    val sheet = firstSheet(bytes)
       .getOrElse(throw new IllegalArgumentException("no worksheet entry"))
     val raw = parseSheet(sheet, shared)
     if (raw.isEmpty) return Iterator.empty
@@ -76,6 +77,29 @@ object Xlsx {
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
         .collectFirst { case e if pred(e.getName) => zin.readAllBytes() }
+    } finally zin.close()
+  }
+
+  private val SheetName = """xl/worksheets/sheet(\d+)\.xml""".r
+
+  /** The workbook's first sheet = the LOWEST-numbered sheetN.xml part.
+    * Zip archive order is writer-dependent (a multi-sheet workbook may
+    * store sheet10 before sheet1), so "first matching entry" could
+    * silently read the wrong sheet. */
+  private def firstSheet(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var best = -1
+      var bytesOut: Array[Byte] = null
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+        e.getName match {
+          case SheetName(n) =>
+            val num = n.toInt
+            if (best < 0 || num < best) { best = num; bytesOut = zin.readAllBytes() }
+          case _ => ()
+        }
+      }
+      Option(bytesOut)
     } finally zin.close()
   }
 
@@ -116,6 +140,7 @@ object Xlsx {
     var cellCol = -1
     var cellType: String = null
     var cellVal: String = null
+    var inPhonetic = false
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
         case "row" => row = ArrayBuffer.empty
@@ -125,10 +150,17 @@ object Xlsx {
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
           cellVal = null
         case "v" if cellCol >= 0 => cellVal = r.getElementText
-        case "t" if cellCol >= 0 => cellVal = r.getElementText // inlineStr
+        case "rPh" => inPhonetic = true // phonetic runs are annotations, not content
+        // inlineStr: CONCATENATE rich-text runs' <t> pieces (same rule
+        // as parseSharedStrings' <si> handling) — keeping only the last
+        // run would silently drop content.
+        case "t" if cellCol >= 0 && !inPhonetic =>
+          val piece = r.getElementText
+          cellVal = if (cellVal == null) piece else cellVal + piece
         case _ => ()
       }
       case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "rPh" => inPhonetic = false
         case "c" if cellCol >= 0 =>
           val resolved = cellType match {
             case "s" => if (cellVal == null) null else shared(cellVal.toInt)
@@ -169,7 +201,35 @@ object Xlsx {
       case DoubleType  => v.toDouble
       case FloatType   => v.toFloat
       case BooleanType => v == "1" || v.equalsIgnoreCase("true")
+      case DateType =>
+        java.sql.Date.valueOf(toDateTime(v).toLocalDate)
+      case TimestampType =>
+        java.sql.Timestamp.valueOf(toDateTime(v))
       case other =>
         throw new IllegalArgumentException(s"unsupported xlsx schema type $other")
     }
+
+  /** Excel date decoding, schema-driven: a DateType/TimestampType field
+    * accepts either the serial-number form every real workbook stores
+    * (days since 1899-12-30 — the epoch convention that absorbs Lotus's
+    * phantom 1900-02-29 — with the day fraction as time, rounded to the
+    * nearest second) or ISO-8601 text (`t="d"` cells). Cell styles are
+    * deliberately NOT inspected: numFmt heuristics misfire both ways,
+    * while the schema states exactly which columns are dates. */
+  private def toDateTime(v: String): java.time.LocalDateTime = {
+    val t = v.trim
+    val looksIso = t.exists(_.isLetter) || t.count(_ == '-') >= 2
+    if (looksIso)
+      try java.time.LocalDateTime.parse(t)
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(t).atStartOfDay()
+      }
+    else {
+      val serial = new java.math.BigDecimal(t)
+      val days = serial.setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+      val frac = serial.subtract(new java.math.BigDecimal(days)).doubleValue()
+      java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+        .atStartOfDay().plusSeconds(math.round(frac * 86400.0))
+    }
+  }
 }

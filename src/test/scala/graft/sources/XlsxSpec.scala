@@ -151,6 +151,70 @@ class XlsxSpec extends SparkSpec {
     Xlsx.read(spark, dir.getAbsolutePath, schema).count() shouldEqual 0L
   }
 
+  test("first sheet = lowest sheet NUMBER, not zip archive order") {
+    // writers may store worksheet parts in any order; a reader keyed on
+    // archive order would silently read sheet10 here
+    val dir = Files.createTempDirectory("xlsx-multi").toFile
+    def sheetXml(name: String) =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>company_name</t></is></c></row>
+         |<row r="2"><c r="A2" t="inlineStr"><is><t>$name</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "multi.xlsx")))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name)); zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    put("xl/worksheets/sheet10.xml", sheetXml("from-sheet-10"))
+    put("xl/worksheets/sheet2.xml", sheetXml("from-sheet-2"))
+    put("xl/worksheets/sheet1.xml", sheetXml("from-sheet-1"))
+    zout.close()
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+      .map(_.getString(0)).toSeq shouldEqual Seq("from-sheet-1")
+  }
+
+  test("rich-text INLINE strings concatenate runs; phonetic runs are skipped") {
+    val dir = Files.createTempDirectory("xlsx-irich").toFile
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>company_name</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is>
+        |  <r><t xml:space="preserve">Initech </t></r><r><t>Industrial</t></r>
+        |  <rPh sb="0" eb="7"><t>ィニテック</t></rPh>
+        |</is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "ir.xlsx")))
+    zout.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(sheetXml.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+      .head.getString(0) shouldEqual "Initech Industrial"
+  }
+
+  test("DateType/TimestampType decode serial and ISO date cells") {
+    val dir = Files.createTempDirectory("xlsx-dates").toFile
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>founded</t></is></c><c r="B1" t="inlineStr"><is><t>last_seen</t></is></c><c r="C1" t="inlineStr"><is><t>iso_day</t></is></c></row>
+        |<row r="2"><c r="A2"><v>45292</v></c><c r="B2"><v>45292.5</v></c><c r="C2" t="d"><v>2024-03-05</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "d.xlsx")))
+    zout.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(sheetXml.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val sch = StructType(Seq(
+      StructField("founded", DateType),
+      StructField("last_seen", TimestampType),
+      StructField("iso_day", DateType)))
+    val row = Xlsx.read(spark, dir.getAbsolutePath, sch).collect().head
+    // Excel serial 45292 = 2024-01-01 (epoch 1899-12-30); .5 = noon
+    row.getAs[java.sql.Date]("founded").toString shouldEqual "2024-01-01"
+    row.getAs[java.sql.Timestamp]("last_seen").toString shouldEqual "2024-01-01 12:00:00.0"
+    row.getAs[java.sql.Date]("iso_day").toString shouldEqual "2024-03-05"
+  }
+
   test("a workbook carrying a DTD (XXE shape) is rejected, not resolved") {
     // workbooks are untrusted input; the StAX reader runs with DTD
     // support off, so a DOCTYPE with an external entity must fail fast
