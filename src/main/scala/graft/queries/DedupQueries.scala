@@ -139,8 +139,19 @@ object DedupQueries extends QueryModule {
       val g = docs
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("toks"), K)).as("gram"))
         .withColumn("h", TextAnalysis.tokenHash(col("gram"))).drop("gram")
-      val hdf = g.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("gdf"))
+      // Document frequency from per-doc DISTINCT windows: array_distinct
+      // BEFORE the explode turns countDistinct(doc_id) (whose shuffle
+      // carries every occurrence of every hot window — boilerplate
+      // spans repeat within docs too) into a plain count whose partial
+      // aggregation collapses to one (h, count) row per hash per task
+      // before the exchange. Dedup happens on the gram STRINGS and the
+      // md5 runs on the exploded rows: hashing inside a higher-order
+      // transform() would drop the expensive expression out of
+      // whole-stage codegen (measured 2.6 s of interpreted eval here).
+      val hdf = docs
+        .select(explode(array_distinct(TextAnalysis.ngrams(col("toks"), K))).as("gram"))
+        .select(TextAnalysis.tokenHash(col("gram")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("gdf"))
         .filter(col("gdf") >= 2 && col("gdf") <= DfCap)
         .select("h")
       val dup = g.join(hdf, "h")
