@@ -264,7 +264,7 @@ object Dedup {
       .select("doc_id", "n", "s", "rk")
     // Candidate pairs via the INVERTED-INDEX formulation of AllPairs:
     // group the prefix postings by shingle (one shuffle) and emit the
-    // pairs inside each doc-list with array functions — the equivalent
+    // pairs inside each doc-list with generators — the equivalent
     // prefix SELF-JOIN plans both sides as full copies of the
     // explode+df-join+window lineage (profiled as the two hottest
     // stages of the whole bench: exchange reuse does not cover a
@@ -272,20 +272,28 @@ object Dedup {
     // lineage ONCE. Postings lists are df-bounded by prefix filtering
     // exactly as the join's Σdf² was, so nothing new can blow up.
     // The size-band prune (2×) rides in the pair-generation filter.
+    //
+    // Pair emission is two CHAINED generators — posexplode the posting
+    // list, then explode each element's tail slice — so no single row
+    // ever holds more than O(df) data. (A one-shot
+    // flatten(transform(transform(...))) emitting all pairs as ONE
+    // nested array was the previous shape: it concentrates O(df²)
+    // structs in a single aggregation-row value, an OOM-by-skew hazard
+    // on a hot prefix shingle that the streamed generator form avoids.)
     val byShingle = prefix
       .groupBy("s")
       .agg(collect_list(struct(col("doc_id"), col("n"), col("rk"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val gen = byShingle.select(explode(
-        flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-            struct(
-              when(x("doc_id") < y("doc_id"), x).otherwise(y).as("a"),
-              when(x("doc_id") < y("doc_id"), y).otherwise(x).as("b")))))
-      ).as("p"))
-      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-        col("p.a.n").as("na"), col("p.b.n").as("nb"),
-        struct(col("p.a.rk").as("i"), col("p.b.rk").as("j")).as("pos"))
+    val gen = byShingle
+      .select(col("ds"), posexplode(col("ds")).as(Seq("xi", "x")))
+      .select(col("x"),
+        explode(slice(col("ds"), col("xi") + lit(2), size(col("ds")))).as("y"))
+      .select(
+        when(col("x.doc_id") < col("y.doc_id"), col("x")).otherwise(col("y")).as("a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y")).otherwise(col("x")).as("b"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        struct(col("a.rk").as("i"), col("b.rk").as("j")).as("pos"))
       .filter(col("na").cast("double") >= col("nb") * lit(t) &&
         col("nb").cast("double") >= col("na") * lit(t))
     // PPJoin positional filter (Xiao et al., WWW'08): ranks are
