@@ -210,6 +210,36 @@ object RelationalQueries extends QueryModule {
           col("o_totalprice").as("p90_price"))
         .orderBy("o_orderpriority")),
 
+    // Quantile SKETCH beside the exact rank selection (the X-55
+    // side-by-side pattern, completing the sketch family: HLL for
+    // cardinality, CMS for frequency, this for quantiles):
+    // percentile_approx keeps a fixed-size mergeable summary per
+    // partition — ONE pass, no histogram phase, no target-bucket
+    // re-scan — in exchange for a bounded rank error (accuracy 1000 →
+    // ±0.1% of n). At 100 TB the sketch is what a monitoring pipeline
+    // runs hourly; the exact path is what a billing report runs
+    // nightly. The realized error column keeps the trade-off honest.
+    // Spark's summary state isn't reproducible in DuckDB, so like
+    // approx_distinct_tokens this query is rows-only by design.
+    "order_value_p90_sketch" -> ((s, d) => {
+      val exact = Quantile.selectRanks(
+          Tables.orders(s, d)
+            .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+          "o_orderpriority", "o_totalprice", "o_orderkey",
+          n => Seq(Quantile.idiv(n * lit(9L) + lit(9L), 10)))
+        .select(col("o_orderpriority"), col("__n").as("n_orders"),
+          col("o_totalprice").as("exact_p90"))
+      val approx = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+          .as("approx_p90"))
+      exact.join(approx, "o_orderpriority")
+        .withColumn("rel_err",
+          abs(col("approx_p90") - col("exact_p90")) / col("exact_p90"))
+        .select("o_orderpriority", "n_orders", "exact_p90", "approx_p90", "rel_err")
+        .orderBy("o_orderpriority")
+    }),
+
     // Trailing 7-day revenue: a RANGE-frame window (interval framing,
     // the one window frame shape the suite didn't yet cover) over the
     // DAILY aggregate — the window runs on stratum-cardinality rows

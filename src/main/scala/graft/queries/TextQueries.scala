@@ -21,6 +21,17 @@ object TextQueries extends QueryModule {
   private val toksSql =
     """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
 
+  /** Count-min sketch geometry + universal-hash constants (distinct
+    * primes from the MinHash family; embedded literally in the oracle
+    * SQL so both engines compute identical cells). w=256 sits below
+    * the corpus's ~916-bigram domain on purpose: a sketch wider than
+    * the vocabulary never collides and the realized-error columns
+    * would be a vacuous all-zeros demo. */
+  private val CmsD = 4
+  private val CmsW = 256L
+  private val CmsA: Seq[Long] = (0 until CmsD).map(i => (2L * i + 1) * 15485863L % HashMod)
+  private val CmsB: Seq[Long] = (0 until CmsD).map(i => (i + 1) * 32452843L % HashMod)
+
   private def occSql(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
 
@@ -125,6 +136,45 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
+
+    // Count-min sketch vs exact counts (Cormode & Muthukrishnan '05 —
+    // the frequency member of the sketch family beside HLL for
+    // cardinality and percentile_approx for quantiles): d=4 hash rows
+    // × w=1024 buckets, each cell a plain count. The sketch build is
+    // ONE aggregation whose partial phase collapses every task to
+    // ≤ d·w cells before the exchange — fixed-size regardless of
+    // vocabulary, which is the whole point at a 1e8-token vocabulary
+    // where exact per-token counts shuffle the full token stream. The
+    // estimate for an item is min over its d cells (always ≥ exact —
+    // collisions only add); realized overcount columns keep the w≪|V|
+    // trade-off honest. The sketch domain is BIGRAMS (≈916 distinct
+    // here) rather than unigrams: the word-soup lexicon is only 31
+    // tokens, a domain every sketch trivially counts exactly. All
+    // hashing is the md5-derived tokenHash plus universal-hash
+    // constants embedded in the oracle SQL, so DuckDB reproduces every
+    // cell exactly — unlike the HLL query this one IS oracle-checked.
+    "cms_bigram_counts" -> ((s, d) => {
+      val items = Tables.documents(s, d)
+        .select(explode(ngrams(tokens(norm(col("text"))), 2)).as("bigram"))
+        .withColumn("h", tokenHash(col("bigram")))
+      def buckets = array((0 until CmsD).map(i =>
+        (lit(CmsA(i)) * col("h") + lit(CmsB(i))) % lit(HashMod) % lit(CmsW)): _*)
+      val cells = items
+        .select(posexplode(buckets).as(Seq("row_i", "bucket")))
+        .groupBy("row_i", "bucket").agg(count(lit(1)).as("cell"))
+      val top = items.groupBy("bigram")
+        .agg(count(lit(1)).as("exact_cnt"), max(col("h")).as("h"))
+        .orderBy(col("exact_cnt").desc, col("bigram")).limit(20)
+      top.select(col("bigram"), col("exact_cnt"),
+          posexplode(buckets).as(Seq("row_i", "bucket")))
+        .join(cells, Seq("row_i", "bucket"))
+        .groupBy("bigram", "exact_cnt")
+        .agg(min(col("cell")).as("cms_cnt"))
+        .withColumn("overcount", col("cms_cnt") - col("exact_cnt"))
+        .withColumn("err_frac",
+          col("overcount").cast("double") / col("exact_cnt").cast("double"))
+        .orderBy(col("exact_cnt").desc, col("bigram"))
+    }),
 
     // HLL cardinality sketch vs exact distinct (X-55): at 100 TB,
     // countDistinct shuffles every distinct value to its group;
@@ -437,6 +487,34 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "cms_bigram_counts" -> {
+      val params = (0 until CmsD)
+        .map(i => s"($i, ${CmsA(i)}, ${CmsB(i)})").mkString(", ")
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |       FROM t),
+         |h AS (SELECT bigram,
+         |         CAST('0x' || substr(md5(bigram), 1, 14) AS BIGINT) % 1000000007 AS h
+         |       FROM bg),
+         |params AS (SELECT * FROM (VALUES $params) v(row_i, a, b)),
+         |cells AS (SELECT p.row_i, (p.a * h.h + p.b) % 1000000007 % $CmsW AS bucket,
+         |                 count(*) AS cell
+         |          FROM h CROSS JOIN params p GROUP BY 1, 2),
+         |top AS (SELECT bigram, count(*) AS exact_cnt, max(h) AS h FROM h GROUP BY bigram
+         |        ORDER BY exact_cnt DESC, bigram LIMIT 20),
+         |e AS (SELECT t.bigram, t.exact_cnt, p.row_i,
+         |             (p.a * t.h + p.b) % 1000000007 % $CmsW AS bucket
+         |      FROM top t CROSS JOIN params p),
+         |j AS (SELECT e.bigram, e.exact_cnt, min(c.cell) AS cms_cnt
+         |      FROM e JOIN cells c USING (row_i, bucket) GROUP BY 1, 2)
+         |SELECT bigram, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         |       CAST(cms_cnt AS BIGINT) AS cms_cnt,
+         |       CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount,
+         |       CAST(cms_cnt - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
+         |FROM j ORDER BY exact_cnt DESC, bigram""".stripMargin
+    },
 
     "bm25_score" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),

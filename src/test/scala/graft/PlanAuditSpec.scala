@@ -121,6 +121,7 @@ class PlanAuditSpec extends SparkSpec {
       // (≤ |groups|·|ranks| rows)
       "median_order_value" -> 3,
       "order_value_p90" -> 3,
+      "order_value_p90_sketch" -> 3, // exact arm of the sketch comparison = same Quantile shape
       "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
