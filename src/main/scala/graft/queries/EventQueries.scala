@@ -166,6 +166,27 @@ object EventQueries extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
+    // The diagnostic that DECIDES the salting above: per-key frequency
+    // of the join key with its share of total rows and skew factor
+    // (count / mean count). At 100 TB this is one partial-aggregated
+    // groupBy plus a global top-k (TakeOrderedAndProject — never a
+    // full sort); the single-row totals frame is the only broadcast.
+    // A key with skew_x ≫ 1 is the one that pins a reducer in the
+    // unsalted join.
+    "join_key_skew" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("cnt").cast("double") / col("total").cast("double"))
+        .withColumn("skew_x",
+          (col("cnt") * col("n_keys")).cast("double") / col("total").cast("double"))
+        .select("user_id", "cnt", "share", "skew_x")
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+    }),
+
     // As-of join (operators.AsOf): each purchase attributed to the
     // user's most recent click at-or-before it — one shuffle + window,
     // no range-join blowup.
@@ -338,6 +359,15 @@ object EventQueries extends QueryModule {
          |FROM events e
          |JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(cnt AS DOUBLE) / total AS share,
+        |       CAST(cnt * n_keys AS DOUBLE) / total AS skew_x
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
 
     // Same union+window reconstruction; right (click) rows sort before
     // left (purchase) rows at equal ts via tag, and tb (= click_id)

@@ -210,6 +210,41 @@ object RelationalQueries extends QueryModule {
           col("o_totalprice").as("p90_price"))
         .orderBy("o_orderpriority")),
 
+    // One-pass table profiling (the pre-flight every ingest pipeline
+    // runs before trusting a new drop): per-column row/null/distinct
+    // counts and min/max, via UNPIVOT (stack) + one aggregation keyed
+    // by column name — ONE scan for any number of profiled columns,
+    // where the naive per-column loop scans c times. The c× row
+    // multiplication from stack collapses in the partial aggregate;
+    // the only caveat at 100 TB is the exact countDistinct pair, whose
+    // map-side partials still dedup per task (swap for
+    // approx_count_distinct when the profile feeds monitoring rather
+    // than contracts — the X-55 trade).
+    "column_profile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_totalprice"), col("o_custkey"),
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"))
+        .selectExpr(
+          """stack(4,
+            |  'o_totalprice',    CAST(o_totalprice AS DOUBLE), CAST(NULL AS STRING),
+            |  'o_custkey',       CAST(o_custkey AS DOUBLE),    CAST(NULL AS STRING),
+            |  'o_orderpriority', CAST(NULL AS DOUBLE),         o_orderpriority,
+            |  'o_orderdate',     CAST(NULL AS DOUBLE),         o_orderdate_s
+            |) AS (col_name, v_num, v_str)""".stripMargin)
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v_num").isNull && col("v_str").isNull, 1L)
+            .otherwise(0L)).as("n_null"),
+          // one of the two is all-null per column, so the sum IS the
+          // column's distinct count; two single-column distincts keep
+          // the Expand multiplier at a constant 2
+          (countDistinct(col("v_num")) + countDistinct(col("v_str")))
+            .as("n_distinct"),
+          min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
+          min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
+        .orderBy("col_name")),
+
     // Quantile SKETCH beside the exact rank selection (the X-55
     // side-by-side pattern, completing the sketch family: HLL for
     // cardinality, CMS for frequency, this for quantiles):
@@ -299,6 +334,20 @@ object RelationalQueries extends QueryModule {
   import Exact._
 
   def oracle: Map[String, String] = Map(
+    "column_profile" ->
+      """WITH u AS (
+        |  SELECT 'o_totalprice' AS col_name, CAST(o_totalprice AS DOUBLE) AS v_num,
+        |         CAST(NULL AS VARCHAR) AS v_str FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS DOUBLE), NULL FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', NULL, o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderdate', NULL, strftime(o_orderdate, '%Y-%m-%d') FROM orders)
+        |SELECT col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN v_num IS NULL AND v_str IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT v_num) + count(DISTINCT v_str) AS BIGINT) AS n_distinct,
+        |       min(v_num) AS min_num, max(v_num) AS max_num,
+        |       min(v_str) AS min_str, max(v_str) AS max_str
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
     "brand_topk_agg" ->
       """WITH r AS (
         |  SELECT p_brand, p_partkey, p_retailprice,
