@@ -49,6 +49,33 @@ object TextAnalysis {
       lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
 
+  /** One greedy BPE merge application: every occurrence of the
+    * adjacent token pair (a, b) becomes the single token `a_b`.
+    * Callers must select pairs with a ≠ b (the bpe_merges query's
+    * candidate filter): with distinct halves, occurrences can never
+    * overlap, so "rewrite ALL marked positions" IS the left-to-right
+    * greedy semantics and the merge is one vectorized pass — mark,
+    * keep-filter, rewrite — with no sequential state, hence exactly
+    * reproducible in the oracle. Built from shifted slices like
+    * [[ngrams]]; marks ride a struct zip so each lambda touches only
+    * its own variable. */
+  def bpeMergeOnce(toks: Column, a: Column, b: Column): Column = {
+    val nextTok = concat(
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      array(lit(null).cast("string")))
+    // m(i): the pair starts at position i
+    val m = zip_with(toks, nextTok, (x, y) =>
+      x === a && coalesce(y === b, lit(false)))
+    // mPrev(i) = m(i-1): position i was consumed by the previous merge
+    val mPrev = concat(array(lit(false)),
+      slice(m, lit(1), greatest(size(m) - 1, lit(0))))
+    transform(
+      filter(arrays_zip(toks.as("t"), m.as("m"), mPrev.as("p")),
+        e => !e.getField("p")),
+      e => when(e.getField("m"), concat(a, lit("_"), b))
+        .otherwise(e.getField("t")))
+  }
+
   /** Deterministic hash-based sampling bucket in [0, 100): stable under
     * reruns and cluster layout, unlike rand() — the only sane way to
     * sample a 100 TB corpus reproducibly. Salt separates independent

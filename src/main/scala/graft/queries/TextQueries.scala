@@ -137,6 +137,44 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)),
 
+    // BPE tokenizer-training rounds (the iterative core of
+    // Sennrich'16 subword training): each round counts adjacent token
+    // pairs across the corpus, picks the most frequent pair (globally,
+    // a 1-row broadcast argmax), and rewrites every occurrence into
+    // the merged token — 2 unrolled rounds, reporting the chosen merge
+    // + corpus token count after each. Candidate pairs require
+    // w1 ≠ w2, which makes occurrences non-overlapping, so the rewrite
+    // is a vectorized mark/filter pass with no sequential state
+    // (TextAnalysis.bpeMergeOnce) — exactly reproducible in DuckDB.
+    // Scale shape per round: one pair-count aggregation (partial
+    // map-side), a 1-row argmax, and one narrow corpus map — the same
+    // broadcast-iterate recipe as kmeans/pagerank.
+    "bpe_merges" -> ((s, d) => {
+      val t0 = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(norm(col("text"))).as("toks"))
+      def top1(t: org.apache.spark.sql.DataFrame) = t
+        .select(explode(ngrams(col("toks"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("a"),
+          split(col("bg"), " ").getItem(1).as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      def merged(t: org.apache.spark.sql.DataFrame,
+          m: org.apache.spark.sql.DataFrame) =
+        t.crossJoin(broadcast(m))
+          .select(col("doc_id"),
+            bpeMergeOnce(col("toks"), col("a"), col("b")).as("toks"))
+      def total(t: org.apache.spark.sql.DataFrame) =
+        t.agg(sum(size(col("toks"))).as("n_tokens_after"))
+      val m1 = top1(t0); val t1 = merged(t0, m1)
+      val m2 = top1(t1); val t2 = merged(t1, m2)
+      m1.withColumn("merge_round", lit(1)).crossJoin(broadcast(total(t1)))
+        .unionByName(
+          m2.withColumn("merge_round", lit(2)).crossJoin(broadcast(total(t2))))
+        .select("merge_round", "a", "b", "cnt", "n_tokens_after")
+        .orderBy("merge_round")
+    }),
+
     // Count-min sketch vs exact counts (Cormode & Muthukrishnan '05 —
     // the frequency member of the sketch family beside HLL for
     // cardinality and percentile_approx for quantiles): d=4 hash rows
@@ -487,6 +525,37 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> {
+      // one unrolled merge round: argmax pair over `tin` → merged `tout`
+      def round(tin: String, bg: String, tm: String, tout: String) =
+        s"""$bg AS (
+           |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+           |         count(*) AS cnt
+           |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+           |          i -> array_to_string(toks[i:i+1], ' '))) AS bg FROM $tin)
+           |  WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           |$tm AS (SELECT doc_id, toks, a, b,
+           |          list_transform(range(1, len(toks) + 1),
+           |            i -> toks[i] = a AND coalesce(toks[i+1] = b, false)) AS m
+           |        FROM $tin CROSS JOIN $bg),
+           |$tout AS (SELECT doc_id,
+           |           list_transform(
+           |             list_filter(range(1, len(toks) + 1), i -> i = 1 OR NOT m[i-1]),
+           |             i -> CASE WHEN m[i] THEN a || '_' || b ELSE toks[i] END) AS toks
+           |         FROM $tm)""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${round("t0", "bg1", "t1m", "t1")},
+         |${round("t1", "bg2", "t2m", "t2")},
+         |n1 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens_after FROM t1),
+         |n2 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens_after FROM t2)
+         |SELECT 1 AS merge_round, a, b, CAST(cnt AS BIGINT) AS cnt, n_tokens_after
+         |FROM bg1 CROSS JOIN n1
+         |UNION ALL
+         |SELECT 2, a, b, CAST(cnt AS BIGINT), n_tokens_after FROM bg2 CROSS JOIN n2
+         |ORDER BY merge_round""".stripMargin
+    },
 
     "cms_bigram_counts" -> {
       val params = (0 until CmsD)

@@ -109,6 +109,7 @@ class PlanAuditSpec extends SparkSpec {
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
+      "bpe_merges" -> 7,           // 1-row argmax-pair + 1-row token-total frames through 2 unrolled merge rounds (round 2's lineage re-embeds round 1's hints)
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
       "decontaminate" -> 1,        // benchmark eval set: tiny by definition
       "sequence_pack_global" -> 1, // per-(lang, shard) chunk offsets: stratum-cardinality

@@ -38,6 +38,19 @@ class TextAnalysisSpec extends SparkSpec {
     one("ab2 c-d", bpeTokenCount(col("text"))) shouldEqual 5
   }
 
+  test("bpeMergeOnce rewrites every pair occurrence, boundaries included") {
+    def merge(text: String): Seq[String] =
+      one(text, bpeMergeOnce(toksOf(""), lit("a"), lit("b")))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    merge("a b") shouldEqual Seq("a_b")
+    merge("x a b y") shouldEqual Seq("x", "a_b", "y")
+    merge("a b a b") shouldEqual Seq("a_b", "a_b")       // adjacent pairs both merge
+    merge("a a b b") shouldEqual Seq("a", "a_b", "b")    // only the true pair
+    merge("b a") shouldEqual Seq("b", "a")               // order matters
+    merge("a") shouldEqual Seq("a")                      // no partner at the end
+    merge("x y z") shouldEqual Seq("x", "y", "z")        // no occurrence
+  }
+
   test("grade bands are right-open at thresholds") {
     import spark.implicits._
     val df = Seq(0.61, 0.6, 0.35, 0.349).toDF("s").select(grade(col("s")).as("g"))
