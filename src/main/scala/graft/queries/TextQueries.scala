@@ -461,6 +461,33 @@ object TextQueries extends QueryModule {
           size(col("toks")).as("n_tokens"),
           fingerprint(col("toks")).as("fp"))
         .orderBy("doc_id")),
+
+    // Fixed-window document chunking with overlap (the context-window
+    // splitter RAG indexing and long-doc pretraining both run before
+    // embedding/packing): each doc explodes into ⌈max(n−W,0)/S⌉+1
+    // chunks of ≤ W tokens at stride S (= W − overlap), each chunk
+    // carrying its rolling fingerprint for downstream chunk-level
+    // dedup. Pure generator + narrow map — no shuffle anywhere but the
+    // sink sort; the W/S arithmetic is exact integers in both engines.
+    // W=24/S=18 is sized to the synthetic ~55-token docs (a production
+    // corpus runs 512/448 — only the constants change).
+    "chunk_documents" -> ((s, d) => {
+      val W = 24; val S = 18
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks",
+          (lit(1) + floor((greatest(col("n") - W, lit(0)) + lit(S - 1)) /
+            lit(S.toDouble))).cast("int"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("start_tok", col("chunk_id") * S + 1)
+        .withColumn("chunk", slice(col("toks"), col("start_tok"), lit(W)))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("chunk")).as("chunk_len"),
+          fingerprint(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -733,5 +760,25 @@ object TextQueries extends QueryModule {
          |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
          |         (h, x) -> (h * 31 + x) % 1000000007) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks,
+         |        CAST(1 + (greatest(len(toks) - 24, 0) + 17) // 18 AS INTEGER) AS n_chunks
+         |      FROM t),
+         |c AS (SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id
+         |      FROM d),
+         |ch AS (SELECT doc_id, chunk_id,
+         |         CAST(chunk_id * 18 + 1 AS INTEGER) AS start_tok,
+         |         toks[chunk_id * 18 + 1 : chunk_id * 18 + 24] AS chunk
+         |       FROM c)
+         |SELECT doc_id, chunk_id, start_tok,
+         |       CAST(len(chunk) AS INTEGER) AS chunk_len,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(chunk,
+         |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
+         |         (h, x) -> (h * 31 + x) % 1000000007) AS chunk_fp
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }
