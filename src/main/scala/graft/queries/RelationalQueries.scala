@@ -225,6 +225,13 @@ object RelationalQueries extends QueryModule {
         .select(col("o_totalprice"), col("o_custkey"),
           col("o_orderpriority"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"))
+        // orders isn't fanned out globally (its queries shuffle right
+        // away), but here the scan feeds stack + the partial distinct
+        // aggregate in the SAME stage — on a single-row-group local
+        // file that ran 2s of profiling CPU in one task. One tiny
+        // 4-column exchange buys full parallelism for the CPU-dense
+        // map side.
+        .repartition(s.sparkContext.defaultParallelism)
         .selectExpr(
           """stack(4,
             |  'o_totalprice',    CAST(o_totalprice AS DOUBLE), CAST(NULL AS STRING),
