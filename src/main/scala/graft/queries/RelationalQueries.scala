@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -336,11 +337,143 @@ object RelationalQueries extends QueryModule {
           max(col("c_acctbal")).as("max_bal"))
         .orderBy("c_mktsegment", "quartile")
     }),
+
+    // Interval-overlap aggregation by SWEEP-LINE: how many orders are
+    // "open" (placed but not yet fully shipped) on each day. The naive
+    // shapes — exploding each order into one row per open day
+    // (O(rows × span)) or a range join of orders against a day axis
+    // (O(rows × days) without a range-join rewrite) — both blow up
+    // with interval length. The sweep-line emits exactly TWO delta
+    // rows per order (+1 at open, −1 the day after close), aggregates
+    // them to one row per day, and takes a running sum over that
+    // day-cardinality frame: cost is 2 rows per input row plus a
+    // window over ≤ |days| rows, independent of interval length. The
+    // unpartitioned window is safe for exactly that reason (allowlist
+    // gate, PlanAuditSpec). Days with no open/close event are not
+    // emitted (the count is constant there); both engines agree.
+    "open_orders_by_day" -> ((s, d) => {
+      val closes = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("close_day"))
+      val spans = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("day", col("o_orderdate")).as("open_day"))
+        .join(closes, col("o_orderkey") === col("l_orderkey"))
+        // the synthesized shipdates aren't constrained to follow the
+        // order date; an order is open at least on its placement day
+        .withColumn("close_day", greatest(col("close_day"), col("open_day")))
+      val daily = spans
+        .select(explode(array(
+          struct(col("open_day").as("day"), lit(1L).as("delta")),
+          struct((col("close_day") + expr("INTERVAL 1 DAY")).as("day"),
+            lit(-1L).as("delta")))).as("e"))
+        .select(col("e.day").as("day"), col("e.delta").as("delta"))
+        .groupBy("day")
+        .agg(sum(col("delta")).as("net"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"),
+          sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_closed"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_open", sum(col("net")).over(w))
+        .select("day", "n_opened", "n_closed", "n_open")
+        .orderBy("day")
+    }),
+
+    // IQR outlier detection per report group — the screening rule every
+    // ingest pipeline runs on a numeric column before trusting it. Q1
+    // and Q3 (percentile_disc semantics: the values AT ranks ⌈n/4⌉ and
+    // ⌈3n/4⌉) come from the same two-phase rank selection as the
+    // median — never a per-group sort — and the 5-row bounds frame is
+    // broadcast back over the fact table for a single counting pass.
+    // Fence arithmetic stays DECIMAL end-to-end (q ± 1.5·IQR is exact
+    // at 3 decimal places), so the outlier comparisons are
+    // engine-exact; doubles appear only in the output projection.
+    "price_outliers_iqr" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      val q1Rank = (n: Column) => Quantile.idiv(n + lit(3L), 4)
+      val q3Rank = (n: Column) => Quantile.idiv(n * lit(3L) + lit(3L), 4)
+      val onePointFive = lit(new java.math.BigDecimal("1.5"))
+      val bounds = Quantile.selectRanks(ords, "o_orderpriority",
+          "o_totalprice", "o_orderkey",
+          n => Seq(q1Rank(n), q3Rank(n)))
+        .groupBy("o_orderpriority")
+        .agg(max(col("__n")).as("n_orders"),
+          min(when(col("__grank") === q1Rank(col("__n")),
+            col("o_totalprice"))).as("q1d"),
+          min(when(col("__grank") === q3Rank(col("__n")),
+            col("o_totalprice"))).as("q3d"))
+        .withColumn("q1", col("q1d").cast("decimal(12,2)"))
+        .withColumn("q3", col("q3d").cast("decimal(12,2)"))
+        .withColumn("lo", col("q1") - onePointFive * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + onePointFive * (col("q3") - col("q1")))
+      ords.join(broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(max(col("n_orders")).as("n_orders"),
+          max(col("q1")).cast("double").as("q1_price"),
+          max(col("q3")).cast("double").as("q3_price"),
+          sum(when(col("o_totalprice").cast("decimal(12,2)") < col("lo"),
+            1L).otherwise(0L)).as("n_low"),
+          sum(when(col("o_totalprice").cast("decimal(12,2)") > col("hi"),
+            1L).otherwise(0L)).as("n_high"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   import Exact._
 
   def oracle: Map[String, String] = Map(
+    "open_orders_by_day" ->
+      """WITH closes AS (
+        |  SELECT l_orderkey, max(date_trunc('day', l_shipdate)) AS close_day
+        |  FROM lineitem GROUP BY l_orderkey),
+        |spans AS (
+        |  SELECT date_trunc('day', o.o_orderdate) AS open_day,
+        |         greatest(c.close_day, date_trunc('day', o.o_orderdate)) AS close_day
+        |  FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey),
+        |deltas AS (
+        |  SELECT open_day AS day, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT close_day + INTERVAL 1 DAY AS day, -1 AS delta FROM spans),
+        |daily AS (
+        |  SELECT day,
+        |         CAST(SUM(delta) AS BIGINT) AS net,
+        |         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+        |         CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+        |  FROM deltas GROUP BY day)
+        |SELECT day, n_opened, n_closed,
+        |       CAST(SUM(net) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "price_outliers_iqr" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderpriority, max(n) AS n_orders,
+        |         MIN(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS q1d,
+        |         MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS q3d
+        |  FROM r WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        |  GROUP BY o_orderpriority),
+        |b AS (
+        |  SELECT o_orderpriority, n_orders,
+        |         CAST(q1d AS DECIMAL(12,2)) AS q1, CAST(q3d AS DECIMAL(12,2)) AS q3
+        |  FROM q)
+        |SELECT o.o_orderpriority, max(b.n_orders) AS n_orders,
+        |       CAST(max(b.q1) AS DOUBLE) AS q1_price,
+        |       CAST(max(b.q3) AS DOUBLE) AS q3_price,
+        |       CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(12,2))
+        |           < b.q1 - 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(12,2))
+        |           > b.q3 + 1.5 * (b.q3 - b.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
     "column_profile" ->
       """WITH u AS (
         |  SELECT 'o_totalprice' AS col_name, CAST(o_totalprice AS DOUBLE) AS v_num,

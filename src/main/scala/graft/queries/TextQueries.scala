@@ -488,9 +488,76 @@ object TextQueries extends QueryModule {
           fingerprint(col("chunk")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
     }),
+
+    // Corpus drift: per-source L1 distance between the source's token
+    // distribution and the REST of the corpus (leave-one-out) — the
+    // slice-divergence monitor a training pipeline runs when a new
+    // crawl/source lands. Leave-one-out keeps the work linear in
+    // sources (pairwise drift is quadratic in the slice count and
+    // answers a question nobody asked). The whole statistic is exact
+    // 64-bit integer arithmetic: with c = count(token, source),
+    // C = count(token, corpus), n₁ = tokens(source), n₂ = N − n₁,
+    //   Σₜ |p_src(t) − p_rest(t)| = (Σ_{t∈src} |c·n₂ − (C−c)·n₁|
+    //     + n₁·(N − Σ_{t∈src} C)) / (n₁·n₂)
+    // — the second term collapses every token ABSENT from the source
+    // into one closed form, so only an inner join on token is ever
+    // built (no full-outer over the vocabulary). One shuffle keyed on
+    // (source, token), one on token for corpus totals; the per-source
+    // totals and the 1-row grand total are broadcast. Products stay
+    // < 2⁶³ up to ~10⁹-token slices; a 100 TB deployment widens the
+    // two product terms to DECIMAL(38,0) — same plan shape.
+    "corpus_drift_l1" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(norm(col("text")))).as("token"))
+        .groupBy("source", "token")
+        .agg(count(lit(1)).as("c"))
+      val srcTot = counts.groupBy("source").agg(sum(col("c")).as("n_src"))
+      val tokTot = counts.groupBy("token").agg(sum(col("c")).as("c_tot"))
+      val grand = srcTot.agg(sum(col("n_src")).as("n_all"))
+      counts
+        .join(tokTot, "token")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(grand))
+        .groupBy("source")
+        .agg(max(col("n_src")).as("n_src"), max(col("n_all")).as("n_all"),
+          sum(abs(col("c") * (col("n_all") - col("n_src")) -
+            (col("c_tot") - col("c")) * col("n_src"))).as("shared_num"),
+          sum(col("c_tot")).as("cov"))
+        .withColumn("l1_num",
+          col("shared_num") + (col("n_all") - col("cov")) * col("n_src"))
+        .withColumn("l1", col("l1_num").cast("double") /
+          (col("n_src").cast("double") *
+            (col("n_all") - col("n_src")).cast("double")))
+        .select("source", "n_src", "l1_num", "l1")
+        .orderBy("source")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_drift_l1" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |counts AS (
+         |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY source, token),
+         |src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+         |        FROM counts GROUP BY source),
+         |tot AS (SELECT token, CAST(SUM(c) AS BIGINT) AS c_tot
+         |        FROM counts GROUP BY token),
+         |g AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_all FROM src),
+         |agg AS (
+         |  SELECT c.source, max(s.n_src) AS n_src, max(g.n_all) AS n_all,
+         |         CAST(SUM(ABS(c.c * (g.n_all - s.n_src)
+         |             - (t.c_tot - c.c) * s.n_src)) AS BIGINT) AS shared_num,
+         |         CAST(SUM(t.c_tot) AS BIGINT) AS cov
+         |  FROM counts c JOIN tot t USING (token) JOIN src s USING (source)
+         |       CROSS JOIN g
+         |  GROUP BY c.source)
+         |SELECT source, n_src,
+         |       shared_num + (n_all - cov) * n_src AS l1_num,
+         |       CAST(shared_num + (n_all - cov) * n_src AS DOUBLE)
+         |         / (CAST(n_src AS DOUBLE) * CAST(n_all - n_src AS DOUBLE)) AS l1
+         |FROM agg ORDER BY source""".stripMargin,
+
     "lang_confusion" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
          |h AS (SELECT lang, $profilesSql FROM t),

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent plain-Scala references for the monitoring/diagnostic
+  * queries added in round 6 (sweep-line interval aggregation, IQR
+  * outlier screening, leave-one-out corpus drift): each registered
+  * query is recomputed from collected sf0.001 rows with naive
+  * driver-side logic — sorting whole groups, building full
+  * distributions — and must agree exactly. The naive forms are
+  * deliberately the shapes the distributed plans avoid (per-group
+  * sort, full-outer vocabulary compare), so agreement pins the
+  * algebraic rewrites, not just the plumbing.
+  */
+class MonitoringOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Day of a timestamp row value regardless of whether Spark surfaced
+    * it as legacy java.sql.Timestamp or java8 LocalDateTime (the
+    * session reads parquet timestamps as NTZ, but arithmetic like
+    * `+ INTERVAL` can re-type the column). */
+  private def day(v: Any): java.time.LocalDate = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case other => sys.error(s"unexpected day value: $other")
+  }
+
+  test("open_orders_by_day matches a naive per-day interval count and conserves mass") {
+    val out = SparkEntry.queries("open_orders_by_day")(spark, sf)
+      .collect()
+      .map(r => (day(r.get(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // Naive reference: per order span [orderdate, max shipdate], count
+    // spans covering each delta day directly.
+    val closes = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("close"))
+    val spans = Tables.orders(spark, sf)
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderdate"), col("close"))
+      .collect()
+      .map { r =>
+        val (o, c) = (day(r.get(0)), day(r.get(1)))
+        // the query clamps close to at least the open day (synthesized
+        // shipdates aren't constrained to follow the order date)
+        (o, if (c.isBefore(o)) o else c)
+      }
+
+    out.foreach { case (day, nOpened, nClosed, nOpen) =>
+      val expOpen = spans.count { case (o, c) => !o.isAfter(day) && !c.isBefore(day) }
+      val expOpened = spans.count(_._1 == day)
+      val expClosed = spans.count(_._2.plusDays(1) == day)
+      (day, nOpen) shouldEqual (day, expOpen.toLong)
+      (day, nOpened) shouldEqual (day, expOpened.toLong)
+      (day, nClosed) shouldEqual (day, expClosed.toLong)
+    }
+    // Conservation: every opened order eventually closes, so the final
+    // running count is zero and opens equal closes in total.
+    out.last._4 shouldEqual 0L
+    out.map(_._2).sum shouldEqual spans.length.toLong
+    out.map(_._3).sum shouldEqual spans.length.toLong
+  }
+
+  test("price_outliers_iqr matches a naive sort-the-group reference with exact fences") {
+    val out = SparkEntry.queries("price_outliers_iqr")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+
+    val byPrio = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    out.length shouldEqual byPrio.size
+    out.foreach { case (prio, n, q1, q3, nLow, nHigh) =>
+      val sorted = byPrio(prio).sortBy(t => (t._2, t._3))
+      n shouldEqual sorted.length.toLong
+      // percentile_disc ranks (1-based): ⌈n/4⌉ and ⌈3n/4⌉
+      val expQ1 = sorted(((n + 3) / 4 - 1).toInt)._2
+      val expQ3 = sorted(((3 * n + 3) / 4 - 1).toInt)._2
+      (prio, q1) shouldEqual (prio, expQ1)
+      (prio, q3) shouldEqual (prio, expQ3)
+      // fences in exact BigDecimal — mirrors the query's DECIMAL path
+      val (b1, b3) = (BigDecimal(expQ1), BigDecimal(expQ3))
+      val lo = b1 - BigDecimal("1.5") * (b3 - b1)
+      val hi = b3 + BigDecimal("1.5") * (b3 - b1)
+      (prio, nLow) shouldEqual
+        (prio, sorted.count(t => BigDecimal(t._2) < lo).toLong)
+      (prio, nHigh) shouldEqual
+        (prio, sorted.count(t => BigDecimal(t._2) > hi).toLong)
+    }
+  }
+
+  test("corpus_drift_l1 matches a naive full-distribution reference") {
+    val out = SparkEntry.queries("corpus_drift_l1")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokCounts: Map[String, Map[String, Long]] = docs
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        src -> rows.toSeq
+          .flatMap(_._2.trim.replaceAll("\\s+", " ").split(" ").toSeq)
+          .groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+      }
+    val corpus: Map[String, Long] = tokCounts.values.flatten
+      .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+    val nAll = corpus.values.sum
+
+    out.length shouldEqual tokCounts.size
+    out.foreach { case (src, nSrc, l1Num, l1) =>
+      val mine = tokCounts(src)
+      nSrc shouldEqual mine.values.sum
+      val n2 = nAll - nSrc
+      // naive: iterate the WHOLE vocabulary (the shape the distributed
+      // plan's closed-form absent-token term avoids)
+      val expNum = corpus.iterator.map { case (t, ct) =>
+        val c = mine.getOrElse(t, 0L)
+        math.abs(c * n2 - (ct - c) * nSrc)
+      }.sum
+      (src, l1Num) shouldEqual (src, expNum)
+      l1 shouldEqual expNum.toDouble / (nSrc.toDouble * n2.toDouble)
+    }
+  }
+}

@@ -125,6 +125,8 @@ class PlanAuditSpec extends SparkSpec {
       "order_value_p90" -> 3,
       "order_value_p90_sketch" -> 3, // exact arm of the sketch comparison = same Quantile shape
       "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
+      "price_outliers_iqr" -> 4,   // the above + |groups| fence-bounds rows joined back over the fact table
+      "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -147,7 +149,8 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set(
       "running_daily_ratio",  // ≤ |days| rows (daily aggregate)
       "rolling_revenue_7d",   // ≤ |days| rows (daily aggregate)
-      "sequence_pack_global"  // ≤ |langs|×8 rows (stratum chunk offsets)
+      "sequence_pack_global", // ≤ |langs|×8 rows (stratum chunk offsets)
+      "open_orders_by_day"    // ≤ |days| rows (sweep-line delta aggregate)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
