@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Exact, Quantile, Relational}
+import graft.operators.{Bloom, Exact, Quantile, Relational}
 
 /** M2 relational surface: star-schema joins, group-by aggregation,
   * rollup/cube, window functions, semi/anti joins, date functions and set
@@ -380,6 +380,69 @@ object RelationalQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // Bloom-filter join pruning (X-66): semi join of the fact table
+    // against a brand-filtered part subset, with a 4096-bit columnar
+    // bloom filter probed BEFORE the join — the declarative form of
+    // runtime row-level filtering. The build is one bit_or aggregation
+    // collapsing to ≤128 words folded into a one-row broadcast map; the
+    // probe is a narrow filter on the scan (no shuffle); the exact
+    // semi join then runs only on survivors, so the result is exact
+    // and the per-flag candidate/matched/false-positive counts keep
+    // the pruning honest. At 100 TB this is the difference between
+    // shuffling every fact row into the join and shuffling ~(sel+fp)
+    // of them. Hashing is md5-derived and mirrored bit-exactly in the
+    // oracle (the CMS recipe), so even the false-positive counts are
+    // oracle-checked.
+    "bloom_semi_prune" -> ((s, d) => {
+      val keys = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val bloomDf = Bloom.build(keys, "p_partkey")
+      val candidates = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_partkey", "l_extendedprice", "l_discount")
+        .crossJoin(broadcast(bloomDf))
+        .filter(Bloom.mightContain(col("bloom"), col("l_partkey")))
+      val candStats = candidates.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_candidates"))
+      val matched = candidates
+        .join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
+      val matchedAgg = matched.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_matched"),
+          Exact.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      matchedAgg.join(candStats, "l_returnflag")
+        .withColumn("n_false_pos", col("n_candidates") - col("n_matched"))
+        .select("l_returnflag", "n_candidates", "n_matched", "n_false_pos", "revenue")
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-group feature standardization (X-70) — the z-score
+    // normalization step an ML feature pipeline runs before training,
+    // in the shape the plan gates demand: per-segment moments come
+    // from ONE parallel hash aggregate (DECIMAL-exact sums, so both
+    // engines derive bit-identical doubles), the |segments|-row stats
+    // frame is broadcast-joined back, and every row's z is a fixed
+    // IEEE expression. A window partitioned on the 5-value segment
+    // key over the raw scan — the tempting one-liner — is exactly
+    // what the sub-16-key window gate bans: it would pin parallelism
+    // at 5 forever. This join-back recipe is the compliant (and at
+    // 100 TB, the only viable) form.
+    "zscore_features" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val stats = cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Exact.decSum(col("c_acctbal")).as("s1"),
+          Exact.decSumSq(col("c_acctbal")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std",
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * (col("n") - lit(1L)))))
+      cust.join(broadcast(stats), "c_mktsegment")
+        .withColumn("z", (col("c_acctbal") - col("mean")) / col("std"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("z"), (abs(col("z")) > 2).as("is_outlier"))
+        .orderBy("c_custkey")
+    }),
+
     // IQR outlier detection per report group — the screening rule every
     // ingest pipeline runs on a numeric column before trusting it. Q1
     // and Q3 (percentile_disc semantics: the values AT ranks ⌈n/4⌉ and
@@ -424,6 +487,60 @@ object RelationalQueries extends QueryModule {
   import Exact._
 
   def oracle: Map[String, String] = Map(
+    "bloom_semi_prune" -> {
+      import Bloom.{sqlKeyHash, sqlBitPos}
+      val kh = sqlKeyHash("p_partkey")
+      val posUnion = (0 until Bloom.K)
+        .map(i => s"SELECT ${sqlBitPos(kh, i)} AS p FROM keys")
+        .mkString("\n  UNION ALL ")
+      def probe(alias: String, i: Int) = {
+        val bp = sqlBitPos("kh", i)
+        s"JOIN cells $alias ON $alias.word = $bp // 32 AND " +
+          s"($alias.bits & (CAST(1 AS BIGINT) << CAST($bp % 32 AS INT))) != 0"
+      }
+      s"""WITH keys AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         |pos AS (
+         |  $posUnion),
+         |cells AS (
+         |  SELECT p // 32 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM pos GROUP BY 1),
+         |l AS (
+         |  SELECT l_returnflag, l_partkey, l_extendedprice, l_discount,
+         |         ${sqlKeyHash("l_partkey")} AS kh
+         |  FROM lineitem),
+         |cand AS (
+         |  SELECT l.* FROM l
+         |  ${probe("c0", 0)}
+         |  ${probe("c1", 1)}),
+         |cstats AS (SELECT l_returnflag, count(*) AS n_candidates FROM cand GROUP BY 1),
+         |m AS (SELECT * FROM cand WHERE l_partkey IN (SELECT p_partkey FROM keys)),
+         |magg AS (
+         |  SELECT l_returnflag, count(*) AS n_matched,
+         |         ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+         |  FROM m GROUP BY 1)
+         |SELECT l_returnflag, n_candidates, n_matched,
+         |       n_candidates - n_matched AS n_false_pos, revenue
+         |FROM magg JOIN cstats USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "zscore_features" ->
+      s"""WITH stats AS (
+         |  SELECT c_mktsegment, count(*) AS n,
+         |         ${sqlDecSum("c_acctbal")} AS s1,
+         |         ${sqlDecSumSq("c_acctbal")} AS s2
+         |  FROM customer GROUP BY 1),
+         |b AS (
+         |  SELECT c_mktsegment, s1 / n AS mean,
+         |         sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS std
+         |  FROM stats)
+         |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+         |       (c_acctbal - mean) / std AS z,
+         |       abs((c_acctbal - mean) / std) > 2 AS is_outlier
+         |FROM customer c JOIN b USING (c_mktsegment)
+         |ORDER BY c_custkey""".stripMargin,
+
     "open_orders_by_day" ->
       """WITH closes AS (
         |  SELECT l_orderkey, max(date_trunc('day', l_shipdate)) AS close_day

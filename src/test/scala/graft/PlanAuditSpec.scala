@@ -127,6 +127,8 @@ class PlanAuditSpec extends SparkSpec {
       "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
       "price_outliers_iqr" -> 4,   // the above + |groups| fence-bounds rows joined back over the fact table
       "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
+      "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
+      "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
