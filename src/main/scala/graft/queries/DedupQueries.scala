@@ -208,6 +208,72 @@ object DedupQueries extends QueryModule {
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
     }),
+
+    // Cluster-size loss weighting (X-70, "soft dedup"): instead of
+    // dropping near-duplicates, weight every document by 1/|its
+    // near-dup cluster| so each cluster contributes one document's
+    // worth of gradient mass (the dedup-aware sampling alternative the
+    // data-mixture literature pairs with hard removal). Reuses the
+    // X-7 pair generation + X-32 components verbatim; singleton docs
+    // (no near-dup) keep weight 1. The cluster-size frame is bounded
+    // by the cluster count — broadcast by construction — so the only
+    // corpus-sized work is the left join back, keyed on doc_id.
+    // Weight is exact fixed-point ⌊10⁶/size⌋: cross-engine identical,
+    // no IEEE division in the compared columns.
+    "dedup_weight" -> ((s, d) => {
+      val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
+        .select("d1", "d2")
+      val labels = connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      Tables.documents(s, d).select("doc_id")
+        .join(labels.join(broadcast(sizes), "label"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"),
+          coalesce(col("csize"), lit(1L)).as("csize"))
+        .withColumn("weight_fx", expr("1000000 div csize").cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash estimate vs exact Jaccard (X-71): for every LSH
+    // candidate pair, the sketch estimate (matching signature
+    // components / k) next to the exact shingle Jaccard and the
+    // realized absolute error — the similarity-family member of the
+    // X-55/X-56/X-57 realized-error series, and the measurement that
+    // justifies replacing exact verification with the 16-long
+    // signature at corpus scale (estimate error ~1/√k; /16 keeps the
+    // estimate an exact binary fraction, so both engines agree
+    // bit-for-bit). Same banded candidate generation as minhash_lsh —
+    // only colliding pairs are ever compared.
+    "minhash_est_err" -> ((s, d) => {
+      val sh = materialize(shingled(Tables.documents(s, d)))
+      val sig = minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s")))
+      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+      val stacked = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_key")))
+      val pairs = stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val matches = (0 until MinHashK)
+        .map(i => when(col(s"sx.mh$i") === col(s"sy.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sig.as("sx"), col("d1") === col("sx.doc_id"))
+        .join(sig.as("sy"), col("d2") === col("sy.doc_id"))
+        .withColumn("mh_matches", matches.cast("int"))
+        .join(sh.select(col("doc_id"), col("ss")).as("a"), col("d1") === col("a.doc_id"))
+        .join(sh.select(col("doc_id"), col("ss")).as("b"), col("d2") === col("b.doc_id"))
+        .withColumn("jac_est", col("mh_matches").cast("double") / lit(MinHashK.toDouble))
+        .withColumn("jac", jaccard(col("a.ss"), col("b.ss")))
+        .withColumn("abs_err", abs(col("jac_est") - col("jac")))
+        .select("d1", "d2", "mh_matches", "jac_est", "jac", "abs_err")
+        .orderBy("d1", "d2")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -239,6 +305,23 @@ object DedupQueries extends QueryModule {
          |$ccSql
          |SELECT node AS doc_id, min(label) AS cluster
          |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Clusters as in dedup_clusters, then 1/|cluster| fixed-point
+    // weights left-joined onto the full corpus (singletons weight 1).
+    "dedup_weight" ->
+      s"""WITH RECURSIVE $shSql,
+         |$ccSql,
+         |lab AS (SELECT node AS doc_id, min(label) AS label
+         |        FROM cc GROUP BY node),
+         |sz AS (SELECT label, count(*) AS csize FROM lab GROUP BY label)
+         |SELECT d.doc_id,
+         |       COALESCE(l.label, d.doc_id) AS cluster,
+         |       CAST(COALESCE(s.csize, 1) AS BIGINT) AS csize,
+         |       CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_fx
+         |FROM documents d
+         |LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |LEFT JOIN sz s ON l.label = s.label
+         |ORDER BY d.doc_id""".stripMargin,
 
     "substring_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
@@ -291,6 +374,50 @@ object DedupQueries extends QueryModule {
          |JOIN shh b ON p.d2 = b.doc_id
          |WHERE $jaccardSql >= 0.8
          |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    // Same signature/band/pair derivation as minhash_lsh, then the
+    // component-match estimate beside the exact Jaccard.
+    "minhash_est_err" -> {
+      val sigCols = (0 until MinHashK).map { i =>
+        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+      }.mkString(",\n       ")
+      val bandCols = (0 until 4).map { b =>
+        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+        .mkString("\n      UNION ALL ")
+      val matches = (0 until MinHashK)
+        .map(i => s"CASE WHEN sx.mh$i = sy.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shSql,
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |FROM shh),
+         |bands AS (SELECT doc_id,
+         |       $bandCols
+         |FROM sig),
+         |stacked AS (
+         |      $stacked),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT p.d1, p.d2, CAST($matches AS INTEGER) AS mh_matches
+         |  FROM pairs p
+         |  JOIN sig sx ON p.d1 = sx.doc_id
+         |  JOIN sig sy ON p.d2 = sy.doc_id)
+         |SELECT m.d1, m.d2, m.mh_matches,
+         |       CAST(m.mh_matches AS DOUBLE) / ${MinHashK}.0 AS jac_est,
+         |       $jaccardSql AS jac,
+         |       abs(CAST(m.mh_matches AS DOUBLE) / ${MinHashK}.0 - ($jaccardSql)) AS abs_err
+         |FROM m
+         |JOIN shh a ON m.d1 = a.doc_id
+         |JOIN shh b ON m.d2 = b.doc_id
+         |ORDER BY m.d1, m.d2""".stripMargin
     },
 
     "simhash_neardup" -> {

@@ -531,9 +531,76 @@ object TextQueries extends QueryModule {
         .select("source", "n_src", "l1_num", "l1")
         .orderBy("source")
     }),
+
+    // Weighted corpus mixing (X-68): replicate each document according
+    // to its source's sampling weight — whole epochs from ⌊w⌋ plus one
+    // more copy with probability frac(w), drawn from a deterministic
+    // md5 hash bucket (never rand(): reruns, retries, and partition
+    // reshuffles must emit the identical mixture). This is the LLM
+    // data-mixture step — upsample curated sources, downsample bulk
+    // crawl — with weights in exact tenths (0.5×..2.5×) derived from
+    // the source id so both engines compute the rule from the row
+    // alone. Pure narrow generator: per-row fan-out bounded by
+    // ⌈max weight⌉, no shuffle anywhere but the sink sort; at 100 TB
+    // this is a map-only pass whose output feeds sequence packing
+    // (X-38/X-50) directly.
+    "corpus_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w10",
+          (lit(5) + substring(col("source"), 4, 10).cast("long") % 5 * 5).cast("int"))
+        .withColumn("bucket", sampleBucket(col("doc_id"), "graft-mix"))
+        .withColumn("copies",
+          (floor(col("w10") / lit(10.0)).cast("int") +
+            when(col("bucket") < (col("w10") % 10) * 10, 1).otherwise(0)))
+        .select(col("doc_id"), col("source"), col("w10"),
+          explode(when(col("copies") > 0, sequence(lit(0), col("copies") - 1))
+            .otherwise(array().cast("array<int>"))).as("epoch"))
+        .orderBy("doc_id", "epoch")),
+
+    // Feature hashing (X-69, the "hashing trick"): project the
+    // unbounded token vocabulary onto a fixed 64-dimension space,
+    // bucket = hash mod 64, with the collision-canceling ±1 sign drawn
+    // from an independent hash bit (Weinberger'09) — the featurizer
+    // behind large-scale linear/quality classifiers where a learned
+    // vocabulary would itself be a 100 TB-scale artifact. Shape: one
+    // explode + one (doc, bucket) hash aggregation whose partial phase
+    // collapses each task to ≤ 64 rows per document — the output is
+    // fixed-width per document no matter how the vocabulary grows.
+    "hashed_features" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+        .withColumn("h", tokenHash(col("token")))
+        .groupBy(col("doc_id"), (col("h") % 64).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(lit(1) - lit(2) * (floor(col("h") / lit(64.0)).cast("long") % 2))
+            .as("feat"))
+        .orderBy("doc_id", "bucket")),
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CAST(5 + (CAST(substr(source, 4) AS BIGINT) % 5) * 5 AS INTEGER) AS w10,
+        |         CAST('0x' || substr(md5('graft-mix' || doc_id), 1, 4) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, w10,
+        |             w10 // 10 + CASE WHEN bucket < (w10 % 10) * 10 THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, source, w10, CAST(unnest(range(0, copies)) AS INTEGER) AS epoch
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
+
+    "hashed_features" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |h AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5(token), 1, 14) AS BIGINT) % 1000000007 AS h
+         |      FROM t)
+         |SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+         |       count(*) AS n_tok,
+         |       CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS feat
+         |FROM h GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin,
+
     "corpus_drift_l1" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
          |counts AS (

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent plain-Scala references for the round-6 data-mixture
+  * operators (weighted corpus mixing, feature hashing, cluster-size
+  * dedup weights, MinHash estimate error): each registered query is
+  * recomputed from collected sf0.001 rows with naive driver-side logic
+  * and must agree exactly, plus the algebraic invariants a reader
+  * should be able to rely on (mixture mass, sign cancellation bounds,
+  * per-cluster weight conservation, estimate error bound).
+  */
+class MixWeightSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("corpus_mix replicates each doc exactly per its weight rule") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, src) =>
+      val w10 = 5 + (src.stripPrefix("src").toLong % 5) * 5
+      val bucket = java.lang.Long.parseLong(md5hex(s"graft-mix$id").take(4), 16) % 100
+      val copies = (w10 / 10 + (if (bucket < (w10 % 10) * 10) 1 else 0)).toInt
+      (0 until copies).map(e => (id, src, w10.toInt, e))
+    }.sortBy(t => (t._1, t._4))
+    val got = q("corpus_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    got.toSeq shouldEqual expected.toSeq
+    // every doc with weight >= 1.0 appears at least once; overall
+    // mixture mass sits strictly between 0.5x and 2.5x of the corpus
+    val perDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    docs.foreach { case (id, src) =>
+      if (5 + (src.stripPrefix("src").toLong % 5) * 5 >= 10)
+        perDoc.getOrElse(id, 0) should be >= 1
+    }
+    assert(got.length > docs.length / 2 && got.length < docs.length * 5 / 2)
+  }
+
+  test("hashed_features matches a naive token-hash fold and buckets stay in range") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.norm(col("text"))).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val expected = toks.flatMap { case (id, ts) =>
+      ts.map { t =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(14), 16) % 1000000007L
+        (id, (h % 64).toInt, 1L - 2L * ((h / 64) % 2))
+      }
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((id, b), xs) => (id, b, xs.length.toLong, xs.map(_._3).sum) }
+      .sortBy(t => (t._1, t._2))
+    val got = q("hashed_features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldEqual expected
+    // the signed sum can never exceed the occupancy in magnitude
+    got.foreach { case (_, b, n, f) =>
+      assert(b >= 0 && b < 64)
+      assert(math.abs(f) <= n)
+    }
+  }
+
+  test("dedup_weight conserves one unit of mass per cluster and covers the corpus") {
+    val r = q("dedup_weight").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    r.length shouldEqual Tables.documents(spark, sf).count().toInt
+    // within a cluster every member carries the same size and weight,
+    // the member count equals csize, and weight_fx = floor(1e6/csize)
+    r.groupBy(_._2).foreach { case (_, members) =>
+      val sizes = members.map(_._3).distinct
+      sizes.length shouldEqual 1
+      members.length.toLong shouldEqual sizes.head
+      members.map(_._4).distinct.toSeq shouldEqual Seq(1000000L / sizes.head)
+    }
+    // singletons dominate the tiny slice and keep full weight
+    r.count(t => t._3 == 1 && t._4 == 1000000L) should be > 0
+  }
+
+  test("minhash_est_err: estimate is matches/16 and the error column is honest") {
+    val r = q("minhash_est_err").collect()
+    r.foreach { row =>
+      val m = row.getInt(2)
+      assert(m >= 0 && m <= 16)
+      row.getDouble(3) shouldEqual m / 16.0
+      row.getDouble(5) shouldEqual math.abs(row.getDouble(3) - row.getDouble(4))
+    }
+    // candidate pairs surfaced by banding include the planted near-dups:
+    // every pair with full signature agreement must be truly similar
+    r.filter(_.getInt(2) == 16).foreach { row =>
+      row.getDouble(4) should be >= 0.5
+    }
+  }
+}
