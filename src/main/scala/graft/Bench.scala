@@ -28,7 +28,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the documented bench posture (local[32]); the
+    // driver may still override via SPARK_GRAFT_CPUS.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,8 +48,15 @@ object Bench {
     // that scales with input — instead of first-run Janino/JIT work,
     // which at 100 TB is amortized to nothing but at bench scale was
     // both a large constant and the dominant run-to-run variance.
+    // SPARK_GRAFT_BENCH_ONLY (csv of query names) restricts the bench
+    // to a subset — an isolation/profiling aid; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    names.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -64,7 +73,6 @@ object Bench {
     // Two passes over the whole suite (not back-to-back per query, so a
     // contention burst is less likely to hit both passes of one query);
     // report the per-query minimum.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
     val pass2 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
