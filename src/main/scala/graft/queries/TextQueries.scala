@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup
 import graft.operators.TextAnalysis._
 
 /** Oracle-checked text-analysis queries over `documents` (M3 extension
@@ -532,6 +533,43 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Cross-source contamination matrix (X-72): for every pair of
+    // corpus sources, how many distinct 3-shingles they share, plus
+    // the shingle-set Jaccard — the between-slice counterpart of
+    // corpus_drift_l1 (distribution drift) and decontaminate (corpus
+    // vs eval set): it localizes WHICH crawls/feeds are duplicating
+    // each other before any doc-level dedup runs. Shape: one distinct
+    // (source, shingle) aggregation, then sources-per-shingle lists —
+    // bounded by |sources| (a catalog constant, ~20 here), so the
+    // in-list pair expansion is ≤ |sources|²/2 structs per row, NEVER
+    // corpus-sized (the guarantee the X-7 inverted index gets from
+    // prefix+df bounds, here free by construction) — then one
+    // (s1, s2) count aggregation over ≤ |sources|²/2 keys. The
+    // per-source set sizes are a |sources|-row broadcast.
+    "source_overlap" -> ((s, d) => {
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(Dedup.shingles(tokens(norm(col("text"))), 3)).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = ss.groupBy("sh")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("s1"), b.as("s2")))))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("source", "s1")
+          .withColumnRenamed("n_sh", "n1")), "s1")
+        .join(broadcast(sizes.withColumnRenamed("source", "s2")
+          .withColumnRenamed("n_sh", "n2")), "s2")
+        .withColumn("jac", col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+        .select("s1", "s2", "common", "n1", "n2", "jac")
+        .orderBy("s1", "s2")
+    }),
+
     // Weighted corpus mixing (X-68): replicate each document according
     // to its source's sampling weight — whole epochs from ⌊w⌋ plus one
     // more copy with probability frac(w), drawn from a deterministic
@@ -578,6 +616,21 @@ object TextQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "source_overlap" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+         |    FROM (SELECT source, $toksSql AS toks FROM documents))),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY source),
+         |p AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS common
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.s1, p.s2, p.common, x.n AS n1, y.n AS n2,
+         |       CAST(p.common AS DOUBLE) / CAST(x.n + y.n - p.common AS DOUBLE) AS jac
+         |FROM p JOIN sizes x ON p.s1 = x.source JOIN sizes y ON p.s2 = y.source
+         |ORDER BY p.s1, p.s2""".stripMargin,
+
     "corpus_mix" ->
       """WITH w AS (
         |  SELECT doc_id, source,

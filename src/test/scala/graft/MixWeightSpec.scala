@@ -85,6 +85,32 @@ class MixWeightSpec extends SparkSpec {
     r.count(t => t._3 == 1 && t._4 == 1000000L) should be > 0
   }
 
+  test("source_overlap matches a naive pairwise shingle-set compare") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.norm(col("text"))).as("toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap { case (_, ts) =>
+        ts.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      common = (bySource(a) & bySource(b)).size
+      if common > 0
+    } yield (a, b, common.toLong, bySource(a).size.toLong, bySource(b).size.toLong,
+      common.toDouble / (bySource(a).size + bySource(b).size - common)))
+      .sortBy(t => (t._1, t._2))
+    val got = q("source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    got.toSeq shouldEqual expected
+  }
+
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {
     val r = q("minhash_est_err").collect()
     r.foreach { row =>

@@ -104,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
     val bounded: Map[String, Int] = Map(
       "knn_cosine" -> 1,           // 10 query vectors
       "ann_lsh_bucket" -> 1,       // 10 query vectors
-      "ivf_topk" -> 7,             // ≤8-row centroid frames through 2 Lloyd training rounds (assigned + probes each re-embed the trained-centroid lineage: 2×3 hints) + ≤20 probes
+      "ivf_topk" -> 3,             // ≤8-row MATERIALIZED trained-centroid frame hinted on the assign + probe sides, + ≤20 probes (the 2 training rounds' hints sit behind the index materialization)
       "kmeans_centroids" -> 4,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint, and the final count join re-embeds the assignment tree
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
@@ -129,6 +129,7 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
+      "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
