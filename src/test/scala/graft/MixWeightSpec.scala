@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Independent plain-Scala references for the round-6 data-mixture
-  * operators (weighted corpus mixing, feature hashing, cluster-size
-  * dedup weights, MinHash estimate error): each registered query is
-  * recomputed from collected sf0.001 rows with naive driver-side logic
-  * and must agree exactly, plus the algebraic invariants a reader
-  * should be able to rely on (mixture mass, sign cancellation bounds,
-  * per-cluster weight conservation, estimate error bound).
+/** Independent plain-Scala references for the round-6 data-mixture and
+  * measurement operators (weighted corpus mixing, feature hashing,
+  * cluster-size dedup weights, source overlap, MinHash estimate error,
+  * ANN recall): each registered query is recomputed from collected
+  * sf0.001 rows with naive driver-side logic — or cross-checked against
+  * the registered queries it composes — and must agree exactly, plus
+  * the algebraic invariants a reader should be able to rely on
+  * (mixture mass, sign cancellation bounds, per-cluster weight
+  * conservation, estimate error bound).
   */
 class MixWeightSpec extends SparkSpec {
 
@@ -109,6 +111,29 @@ class MixWeightSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5)))
     got.toSeq shouldEqual expected
+  }
+
+  test("ann_recall agrees with intersecting the registered ANN queries against the truth") {
+    val truth = SparkEntry.queries("knn_cosine")(spark, sf).collect()
+      .filter(_.getInt(2) <= 3) // top-3 of the exact top-5
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(name: String): Map[Long, Int] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(truth)
+        .groupBy(_._1).view.mapValues(_.length).toMap
+    val lshHits = hits("ann_lsh_bucket")
+    val ivfHits = hits("ivf_topk")
+    val got = q("ann_recall").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    got.size shouldEqual 20 // 2 methods x 10 query vectors
+    got.foreach { case ((method, qid), (nTrue, nHit, recall)) =>
+      nTrue shouldEqual 3L
+      val expected = (if (method == "lsh") lshHits else ivfHits).getOrElse(qid, 0).toLong
+      (method, qid, nHit) shouldEqual ((method, qid, expected))
+      recall shouldEqual nHit / 3.0
+    }
   }
 
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {

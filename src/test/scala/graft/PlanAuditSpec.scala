@@ -130,6 +130,7 @@ class PlanAuditSpec extends SparkSpec {
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
+      "ann_recall" -> 6,           // 10-query frames: truth's hint ×2 (its lineage is embedded in both union branches) + lsh's 1 + ivf's 3 (materialized centroids on assign/probe + probes)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
