@@ -235,6 +235,30 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe train/val split (X-75): assign each near-dup
+    // CLUSTER — not each document — to a split by a deterministic hash
+    // of the cluster label, so two near-duplicates can never straddle
+    // train and validation (the eval-inflation bug doc-level random
+    // splits are guaranteed to produce once dedup finds anything).
+    // Reuses X-7 pairs + X-32 components; the split draw is the same
+    // md5 bucket as stratified_sample, on the cluster key. Singleton
+    // docs are their own cluster. 90/10 by bucket < 90.
+    "leakage_split" -> ((s, d) => {
+      val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
+        .select("d1", "d2")
+      val labels = connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      Tables.documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .withColumn("bucket",
+          TextAnalysis.sampleBucket(col("cluster"), "graft-split"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train").otherwise("val"))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    }),
+
     // MinHash estimate vs exact Jaccard (X-71): for every LSH
     // candidate pair, the sketch estimate (matching signature
     // components / k) next to the exact shingle Jaccard and the
@@ -375,6 +399,21 @@ object DedupQueries extends QueryModule {
          |WHERE $jaccardSql >= 0.8
          |ORDER BY p.d1, p.d2""".stripMargin
     },
+
+    // Clusters as in dedup_clusters; the split draw mirrors
+    // stratified_sample's md5 bucket, keyed on the cluster label.
+    "leakage_split" ->
+      s"""WITH RECURSIVE $shSql,
+         |$ccSql,
+         |lab AS (SELECT node AS doc_id, min(label) AS label
+         |        FROM cc GROUP BY node),
+         |a AS (SELECT d.doc_id,
+         |             COALESCE(l.label, d.doc_id) AS cluster
+         |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster,
+         |       CASE WHEN CAST('0x' || substr(md5('graft-split' || cluster), 1, 4) AS BIGINT) % 100 < 90
+         |            THEN 'train' ELSE 'val' END AS split
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // Same signature/band/pair derivation as minhash_lsh, then the
     // component-match estimate beside the exact Jaccard.

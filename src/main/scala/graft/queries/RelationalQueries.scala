@@ -211,6 +211,54 @@ object RelationalQueries extends QueryModule {
           col("o_totalprice").as("p90_price"))
         .orderBy("o_orderpriority")),
 
+    // Exact median absolute deviation per group (X-74): the robust
+    // dispersion companion to the X-64 IQR fences (MAD tolerates up to
+    // 50% contamination where stddev tolerates none — the screen a
+    // quality pipeline runs on crawl-quality scores before trusting
+    // z-anything). Two chained two-phase rank selections — median of
+    // the values, then median of |value − median| — so no per-group
+    // sort ever happens on a raw fact frame (the X-47 discipline,
+    // twice). All arithmetic is exact integer CENTS, doubled to dodge
+    // the midpoint halving: med2 = 2·median, dev2 = 2·|v − med|,
+    // mad4 = 4·MAD; the only IEEE ops are the final two divisions of
+    // identical exact integers, bit-equal in both engines.
+    "order_value_mad" -> ((s, d) => {
+      val midRanks: Column => Seq[Column] =
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n + lit(2L), 2))
+      // when n is odd the two middle ranks coincide and selectRanks
+      // emits the row ONCE — double it so med2/mad4 stay 2×/4× scale
+      def twiceIfSingle(s: Column, cnt: Column): Column =
+        when(cnt === 1, s * 2).otherwise(s)
+      val cents = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          col("o_orderkey"))
+      // The per-group medians are MATERIALIZED (|groups| rows) before
+      // the deviation pass: the second rank selection re-embeds its
+      // input lineage several times (two bucketed scans + histogram),
+      // and without the cut each re-embedding would re-run the whole
+      // first selection — the ivf_topk index-build pattern applied to
+      // a statistic instead of centroids.
+      val med = graft.operators.Dedup.materialize(
+        Quantile.selectRanks(cents, "o_orderpriority", "p_c",
+            "o_orderkey", midRanks)
+          .groupBy("o_orderpriority")
+          .agg(max(col("__n")).as("n_orders"),
+            twiceIfSingle(sum(col("p_c")), count(lit(1))).as("med2_c")))
+      val dev = cents.join(broadcast(med), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          abs(col("p_c") * 2 - col("med2_c")).as("dev2_c"), col("o_orderkey"))
+      val mad = Quantile.selectRanks(dev, "o_orderpriority", "dev2_c",
+          "o_orderkey", midRanks)
+        .groupBy("o_orderpriority")
+        .agg(twiceIfSingle(sum(col("dev2_c")), count(lit(1))).as("mad4_c"))
+      med.join(mad, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_orders"),
+          (col("med2_c").cast("double") / 200.0).as("median_price"),
+          (col("mad4_c").cast("double") / 400.0).as("mad_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // One-pass table profiling (the pre-flight every ingest pipeline
     // runs before trusting a new drop): per-column row/null/distinct
     // counts and min/max, via UNPIVOT (stack) + one aggregation keyed
@@ -663,6 +711,39 @@ object RelationalQueries extends QueryModule {
          |FROM r
          |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same doubled-cents trick as the Spark side: med2 = 2·median,
+    // dev2 = 2·|v−med|, mad4 = 4·MAD, all exact BIGINT until the two
+    // final divisions.
+    "order_value_mad" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p_c,
+        |         o_orderkey
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY p_c, o_orderkey) AS rn,
+        |             count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM c),
+        |m AS (SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+        |             CAST(CASE WHEN count(*) = 1 THEN 2 * sum(p_c) ELSE sum(p_c) END AS BIGINT) AS med2_c
+        |      FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |      GROUP BY o_orderpriority),
+        |d AS (SELECT c.o_orderpriority, abs(2 * c.p_c - m.med2_c) AS dev2_c, c.o_orderkey
+        |      FROM c JOIN m USING (o_orderpriority)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY dev2_c, o_orderkey) AS rn,
+        |              count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |       FROM d),
+        |m2 AS (SELECT o_orderpriority,
+        |              CAST(CASE WHEN count(*) = 1 THEN 2 * sum(dev2_c) ELSE sum(dev2_c) END AS BIGINT) AS mad4_c
+        |       FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |       GROUP BY o_orderpriority)
+        |SELECT m.o_orderpriority, m.n_orders,
+        |       CAST(m.med2_c AS DOUBLE) / 200.0 AS median_price,
+        |       CAST(m2.mad4_c AS DOUBLE) / 400.0 AS mad_price
+        |FROM m JOIN m2 USING (o_orderpriority)
+        |ORDER BY m.o_orderpriority""".stripMargin,
 
     "customer_quartiles" ->
       s"""WITH q AS (

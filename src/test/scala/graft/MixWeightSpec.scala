@@ -136,6 +136,46 @@ class MixWeightSpec extends SparkSpec {
     }
   }
 
+  test("order_value_mad matches a naive sorted median/MAD computation") {
+    val byPrio = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact, r.getLong(2)))
+      .groupBy(_._1)
+    def medianOfSorted(xs: Seq[Long]): Double = {
+      val n = xs.length
+      (xs((n - 1) / 2) + xs(n / 2)) / 2.0
+    }
+    val expected = byPrio.toSeq.map { case (prio, rows) =>
+      val cents = rows.map(_._2).sorted.toSeq
+      val medC = medianOfSorted(cents)                 // exact .0 or .5
+      val devs = rows.map(t => math.abs(2 * t._2 - (2 * medC).toLong)).sorted.toSeq
+      val mad4 = devs((devs.length - 1) / 2) + devs(devs.length / 2)
+      (prio, rows.size.toLong, medC / 100.0, mad4 / 400.0)
+    }.sortBy(_._1)
+    val got = q("order_value_mad").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.toSeq shouldEqual expected
+  }
+
+  test("leakage_split: clusters never straddle train and val, and the corpus is covered") {
+    val rows = q("leakage_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.length shouldEqual Tables.documents(spark, sf).count().toInt
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._3).distinct.length shouldEqual 1
+    }
+    // the split is keyed on the same clusters dedup_clusters reports
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (doc, cluster, _) =>
+      cluster shouldEqual clusters.getOrElse(doc, doc)
+    }
+    // both splits are non-degenerate on even this tiny slice
+    rows.map(_._3).distinct.sorted.toSeq shouldEqual Seq("train", "val")
+  }
+
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {
     val r = q("minhash_est_err").collect()
     r.foreach { row =>

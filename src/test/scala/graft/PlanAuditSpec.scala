@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   // of the checkpointed RDD — auditing it would inspect nothing (and
   // execute the whole pipeline). Their join structure is audited via
   // the building block below instead.
-  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight")
+  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -123,6 +123,11 @@ class PlanAuditSpec extends SparkSpec {
       // (≤ |groups|·|ranks| rows)
       "median_order_value" -> 3,
       "order_value_p90" -> 3,
+      // second-phase Quantile over deviations: its own 3 selectRanks
+      // hints + the |groups|-row materialized median frame hinted in
+      // the deviation input, which the selection re-embeds 4× (two
+      // bucketed scans, histogram, target join) — all ≤ |groups| rows
+      "order_value_mad" -> 7,
       "order_value_p90_sketch" -> 3, // exact arm of the sketch comparison = same Quantile shape
       "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
       "price_outliers_iqr" -> 4,   // the above + |groups| fence-bounds rows joined back over the fact table
