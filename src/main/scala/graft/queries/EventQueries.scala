@@ -55,6 +55,33 @@ object EventQueries extends QueryModule {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour")),
 
+    // Time-axis gap filling (X-76): the (hour × event_type) grid with
+    // explicit zero rows for empty cells — the densification every
+    // monitoring/forecasting consumer needs before rates, moving
+    // averages, or anomaly deltas mean anything (a missing bucket is
+    // silently "no data", a zero row is a measured zero; ~6% of this
+    // grid's cells are genuine gaps). Shape: the axis is GENERATED,
+    // never scanned — a 1-row min/max bounds aggregate exploded
+    // through sequence(), crossed with the |types| distinct frame
+    // (both broadcast-bounded strata), then ONE left join against the
+    // hourly aggregate. Cost is the aggregate plus |hours|·|types|
+    // generated rows, independent of event volume.
+    "events_hourly_filled" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      val counts = ev.groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val axis = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val types = ev.select("event_type").distinct()
+      axis.crossJoin(broadcast(types))
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour", "event_type")
+    }),
+
     // Statistical moments per event type: mean, sample stddev, and the
     // value↔k correlation — from EXACT decimal moments (Σx, Σx², Σxy),
     // not Spark's stddev_samp/corr, whose double accumulation is
@@ -289,6 +316,21 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "events_hourly_filled" ->
+      """WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type
+        |           FROM events),
+        |counts AS (SELECT hour, event_type, count(*) AS n_events
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+        |axis AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour
+        |         FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT a.hour, t.event_type,
+        |       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM axis a CROSS JOIN types t
+        |LEFT JOIN counts c ON a.hour = c.hour AND t.event_type = c.event_type
+        |ORDER BY a.hour, t.event_type""".stripMargin,
 
     "value_moments" ->
       s"""WITH e AS (SELECT event_type, value,

@@ -129,6 +129,23 @@ object TextQueries extends QueryModule {
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")),
 
+    // Exact-k deterministic sampling per stratum (X-77): the k
+    // smallest salted-md5 priorities per language are a uniform
+    // without-replacement sample of exactly min(k, |stratum|) docs —
+    // the fixed-budget eval/holdout constructor next to
+    // stratified_sample's Bernoulli rates (which only control the
+    // EXPECTED size). Priorities are per-row hashes (stable under
+    // reruns and repartitioning); selection runs through the
+    // two-phase Rank.topKPerGroup, so no per-stratum sort ever holds
+    // a full corpus slice in one task.
+    "fixed_size_sample" -> ((s, d) =>
+      graft.operators.Rank.topKPerGroup(
+          Tables.documents(s, d).withColumn("pri",
+            tokenHash(concat(lit("graft-k"), col("doc_id").cast("string")))),
+          10, Seq("lang"), Seq(col("pri"), col("doc_id")))
+        .select(col("lang"), col("rk"), col("doc_id"), col("pri"))
+        .orderBy("lang", "rk")),
+
     // Corpus-level term frequency, top 20 tokens.
     "token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -630,6 +647,16 @@ object TextQueries extends QueryModule {
          |       CAST(p.common AS DOUBLE) / CAST(x.n + y.n - p.common AS DOUBLE) AS jac
          |FROM p JOIN sizes x ON p.s1 = x.source JOIN sizes y ON p.s2 = y.source
          |ORDER BY p.s1, p.s2""".stripMargin,
+
+    "fixed_size_sample" ->
+      """WITH p AS (SELECT lang, doc_id,
+        |             CAST('0x' || substr(md5('graft-k' || doc_id), 1, 14) AS BIGINT) % 1000000007 AS pri
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id, pri,
+        |             CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS INTEGER) AS rk
+        |      FROM p)
+        |SELECT lang, rk, doc_id, pri FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
 
     "corpus_mix" ->
       """WITH w AS (

@@ -176,6 +176,40 @@ class MixWeightSpec extends SparkSpec {
     rows.map(_._3).distinct.sorted.toSeq shouldEqual Seq("train", "val")
   }
 
+  test("fixed_size_sample takes exactly min(k, stratum) docs by salted hash priority") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (id, _) =>
+        (lang, id, java.lang.Long.parseLong(md5hex(s"graft-k$id").take(14), 16) % 1000000007L)
+      }.sortBy(t => (t._3, t._2)).take(10).zipWithIndex
+        .map { case ((l, id, pri), i) => (l, i + 1, id, pri) }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("fixed_size_sample").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldEqual expected
+  }
+
+  test("events_hourly_filled covers the full hour-by-type grid with honest zeros") {
+    val ev = Tables.events(spark, sf).select(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type")).collect()
+      .map(r => (r.get(0).toString, r.getString(1)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("events_hourly_filled")(spark, sf).collect()
+      .map(r => ((r.get(0).toString, r.getString(1)), r.getLong(2)))
+    // every cell of the grid is present exactly once
+    val hours = got.map(_._1._1).distinct
+    got.length shouldEqual hours.length * types.length
+    // filled cells match the raw counts; absent cells are zero
+    got.foreach { case (cell, n) =>
+      n shouldEqual counts.getOrElse(cell, 0L)
+    }
+    // total mass is conserved and real gaps exist on the tiny slice
+    got.map(_._2).sum shouldEqual ev.length.toLong
+    assert(got.exists(_._2 == 0L))
+  }
+
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {
     val r = q("minhash_est_err").collect()
     r.foreach { row =>

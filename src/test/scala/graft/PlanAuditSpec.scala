@@ -136,6 +136,7 @@ class PlanAuditSpec extends SparkSpec {
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
       "ann_recall" -> 6,           // 10-query frames: truth's hint ×2 (its lineage is embedded in both union branches) + lsh's 1 + ivf's 3 (materialized centroids on assign/probe + probes)
+      "events_hourly_filled" -> 1, // |types| distinct frame crossed with the generated hour axis
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -179,9 +180,11 @@ class PlanAuditSpec extends SparkSpec {
     // sorts n/|key| rows no matter how big n grows (the round-5 exact-
     // quantile finding). Such keys may only partition windows over
     // already-reduced frames: below the window there must be an
-    // Aggregate (histogram/stratum frames) or a Join (rank-selected
-    // bucket subsets), never a bare scan+filter+project lineage. The
-    // two-phase Quantile operator is the compliant way to compute
+    // Aggregate (histogram/stratum frames), a Join (rank-selected
+    // bucket subsets), or Rank.topKPerGroup's pre-prune window (keyed
+    // by SPARK_PARTITION_ID, which bounds survivors at k × partitions)
+    // — never a bare scan+filter+project lineage. The two-phase
+    // Quantile and Rank operators are the compliant ways to compute
     // exact per-report-key order statistics.
     val lowCard = Set( // sub-16-distinct-value columns in the testdata
       "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
@@ -197,6 +200,10 @@ class PlanAuditSpec extends SparkSpec {
               w.child.collectFirst {
                 case a: Aggregate => a: Any
                 case j: Join => j: Any
+                case p if p.expressions.exists(_.exists {
+                  case _: org.apache.spark.sql.catalyst.expressions.SparkPartitionID => true
+                  case _ => false
+                }) => p: Any
               }.isEmpty => n
           }
       }
