@@ -57,6 +57,31 @@ object EnrichQueries extends QueryModule {
             col("text")))
         .orderBy("doc_id")),
 
+    // Strided frame sampling over video payloads (X-78): every 2nd
+    // F-char frame window of the opaque payload, fingerprinted — the
+    // frame-sample stage of a video pipeline (decode → sample →
+    // per-frame features), with the deterministic text-as-payload
+    // stand-in: a real decoder swaps in behind Multimodal.Decoder and
+    // the sampling arithmetic, generator shape, and per-frame hashing
+    // stay identical. Narrow generator, ⌈n_frames/2⌉ rows per video,
+    // no shuffle before the sink sort; at 100 TB the stride is the
+    // dial that trades feature coverage for compute, same as a real
+    // frame sampler.
+    "frame_sample" -> ((s, d) => {
+      val F = 32
+      Multimodal.syntheticMedia(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("content").cast("string").as("payload"))
+        .withColumn("n_frames", (length(col("payload")) / F).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("media_id"), col("payload"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_no"))
+        .withColumn("off", col("frame_no") * F + 1)
+        .select(col("media_id"), col("frame_no"), col("off"),
+          md5(col("payload").substr(col("off"), lit(F))).as("frame_h"))
+        .orderBy("media_id", "frame_no")
+    }),
+
     // Multimodal metadata aggregation: binary payload sizes by kind
     // (the content bytes themselves are exercised in MultimodalSpec).
     "media_stats" -> ((s, d) =>
@@ -132,6 +157,20 @@ object EnrichQueries extends QueryModule {
            |       ${DocQueries.emailSql} AS "Email"
            |FROM ext ORDER BY doc_id""".stripMargin
       },
+
+      "frame_sample" ->
+        """WITH v AS (SELECT doc_id AS media_id, text AS payload
+          |           FROM documents WHERE doc_id % 3 = 2),
+          |f AS (SELECT media_id, payload,
+          |             CAST(length(payload) // 32 AS INTEGER) AS n_frames
+          |      FROM v),
+          |s AS (SELECT media_id, payload,
+          |             CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_no
+          |      FROM f WHERE n_frames > 0)
+          |SELECT media_id, frame_no,
+          |       CAST(frame_no * 32 + 1 AS INTEGER) AS off,
+          |       md5(substr(payload, frame_no * 32 + 1, 32)) AS frame_h
+          |FROM s ORDER BY media_id, frame_no""".stripMargin,
 
       "media_stats" ->
         """WITH m AS (

@@ -63,6 +63,29 @@ class MultimodalSpec extends SparkSpec {
     Decoders.fromConf(spark) shouldBe Decoders.StubDecoder // gate restored
   }
 
+  test("frame_sample emits exactly the even full-frame windows of each video payload") {
+    val sf = "/root/testdata/sf0.001"
+    val payloads = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = payloads.flatMap { case (id, t) =>
+      val nFrames = t.length / 32
+      (0 until nFrames by 2).map { fn =>
+        (id, fn, fn * 32 + 1, md5hex(t.substring(fn * 32, fn * 32 + 32)))
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.SparkEntry.queries("frame_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    got.toSeq shouldEqual expected.toSeq
+    // the stride-2 sample takes ⌈n/2⌉ of the full frames — strictly
+    // fewer rows than frames for any payload with ≥ 2 frames
+    assert(got.nonEmpty)
+  }
+
   test("extraction is partition-local (no shuffle) and preserves all rows") {
     val ds = media(100)
     val feats = extractFeatures(ds, dim = 4, batchSize = 7)
