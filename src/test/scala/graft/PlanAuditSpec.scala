@@ -210,6 +210,24 @@ class PlanAuditSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  test("scans prune to exactly the referenced columns") {
+    // Column pruning must reach the parquet reader: a scan that reads
+    // all columns for a narrow projection multiplies 100 TB scan I/O by
+    // the table width. Representative checks across the three fact
+    // tables (the repartition fan-out must not block pruning).
+    withClue("token_counts reads only text") {
+      plan("token_counts") should include("ReadSchema: struct<text:string>")
+    }
+    withClue("knn_cosine reads only vec_id+embedding (label pruned)") {
+      plan("knn_cosine") should include(
+        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+    }
+    withClue("corpus_mix reads only doc_id+source") {
+      plan("corpus_mix") should include(
+        "ReadSchema: struct<doc_id:bigint,source:string>")
+    }
+  }
+
   test("scan-level filters reach the parquet reader") {
     withClue("q1_pricing_summary") {
       plan("q1_pricing_summary") should include("PushedFilters: [IsNotNull(l_shipdate)")
