@@ -24,6 +24,13 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan with an explicit schema — the other columnar interchange
+    * format warehouses hand over (Spark-native reader, same pushdown /
+    * pruning machinery as parquet); the no-inference rule applies the
+    * same way. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** P-6: schema-subset pre-flight check (server.py:309-313) — fail
     * before any job runs, not after a day of cluster time. */
   def requireColumns(df: DataFrame, required: Set[String]): DataFrame = {
