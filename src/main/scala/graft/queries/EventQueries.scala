@@ -88,6 +88,42 @@ object EventQueries extends QueryModule {
     // partition-order-dependent. The closed-form double formula on top
     // is written with identical structure in the oracle, so both
     // engines produce bit-identical results at any parallelism.
+    // Ordered conversion funnel (X-79): view → click-after-view →
+    // purchase-after-click per user, with stage counts and
+    // conversion rates — the flagship event-analytics workload this
+    // module was missing. Sequencing via three STACKED whole-partition
+    // window minima over the same user_id partitioning (each stage's
+    // cutoff referencing the previous stage's column), so the entire
+    // funnel costs ONE exchange on the high-cardinality user key —
+    // where the naive per-stage filter+join chain shuffles three
+    // times. The final 1-row reduction is a plain aggregate.
+    "conversion_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("tc",
+          min(when(col("event_type") === "click" && col("ts") > col("tv"),
+            col("ts"))).over(w))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+            col("ts"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+          max(col("tp")).as("tp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_view_click"),
+          count(col("tp")).as("n_full_funnel"))
+        .withColumn("click_rate",
+          when(col("n_view") > 0,
+            col("n_view_click").cast("double") / col("n_view").cast("double")))
+        .withColumn("purchase_rate",
+          when(col("n_view_click") > 0,
+            col("n_full_funnel").cast("double") / col("n_view_click").cast("double")))
+    }),
+
     "value_moments" -> ((s, d) => {
       val m = Tables.events(s, d)
         .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
@@ -316,6 +352,26 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "conversion_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |              OVER (PARTITION BY user_id) AS tv FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |              OVER (PARTITION BY user_id) AS tc FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |              OVER (PARTITION BY user_id) AS tp FROM s2),
+        |u AS (SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+        |      FROM s3 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       count(tv) AS n_view,
+        |       count(tc) AS n_view_click,
+        |       count(tp) AS n_full_funnel,
+        |       CASE WHEN count(tv) > 0
+        |            THEN CAST(count(tc) AS DOUBLE) / count(tv) END AS click_rate,
+        |       CASE WHEN count(tc) > 0
+        |            THEN CAST(count(tp) AS DOUBLE) / count(tc) END AS purchase_rate
+        |FROM u""".stripMargin,
 
     "events_hourly_filled" ->
       """WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type

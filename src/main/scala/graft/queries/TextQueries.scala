@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -54,6 +55,37 @@ object TextQueries extends QueryModule {
     val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
     val arms = langs.map(l => s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString(" ")
     s"CASE $arms ELSE 'und' END"
+  }
+
+  /** BM25 query terms, pinned so the Spark frames and both oracle
+    * mirrors (bm25_score, rrf_fusion) can't drift. */
+  private val BmTerms = Seq("data", "stream", "vector")
+
+  /** Exact fixed-point BM25 per document over [[BmTerms]] (X-48) —
+    * ln-free rational idf; bounded df/stats broadcast, tf shuffle-join.
+    * Shared by bm25_score (as the deliverable) and rrf_fusion (as one
+    * fusion arm). */
+  private def bm25Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+    val dl = e.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = e.filter(col("token").isin(BmTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fx", expr(
+        "CAST(CAST((n_docs - df) * 2 + 1 AS DECIMAL(38,0)) * 1000000000 div (df * 2 + 1) AS BIGINT)"))
+      .withColumn("tfc_fx", expr(
+        "CAST(CAST(22 * tf AS DECIMAL(38,0)) * total_tokens * 1000000000 " +
+          "div (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT)"))
+      .withColumn("term_fx", expr(
+        "CAST(CAST(idf_fx AS DECIMAL(38,0)) * tfc_fx div 1000000000 AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_fx")).as("score_fx"))
+      .withColumn("bm25", col("score_fx").cast("double") / 1000000000L)
   }
 
   def defs: Map[String, Q] = Map(
@@ -296,29 +328,37 @@ object TextQueries extends QueryModule {
     // Scale shape: two aggs + one shuffle-join of the tf frame; the
     // per-term df frame is bounded by the literal query (broadcast),
     // corpus stats are one row.
-    "bm25_score" -> ((s, d) => {
-      val terms = Seq("data", "stream", "vector")
-      val e = Tables.documents(s, d)
+    "bm25_score" -> ((s, d) => bm25Frame(s, d).orderBy("doc_id")),
+
+    // Reciprocal-rank fusion (X-80, Cormack'09): combine two retrieval
+    // rankings — BM25 and raw aggregate term frequency — by
+    // Σ 1/(60 + rank), the standard fusion behind hybrid
+    // lexical+semantic retrieval stacks. Both top-20 lists come from
+    // the two-phase Rank pre-prune (never a full global sort of the
+    // scored candidates); the fusion itself is an exact integer
+    // ⌊10⁹/(60+rank)⌋ sum over a ≤ 2k-row full-outer join, so both
+    // engines order ties identically. A doc ranked by only one arm
+    // contributes only that arm's term — exactly RRF's behavior.
+    "rrf_fusion" -> ((s, d) => {
+      val K = 20
+      def topRanks(df: DataFrame, ord: Column, rkName: String): DataFrame =
+        graft.operators.Rank.topKPerGroup(df.withColumn("g", lit(0)), K,
+            Seq("g"), Seq(ord, col("doc_id")), rkName)
+          .select(col("doc_id"), col(rkName))
+      val tfdoc = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
-      val dl = e.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      val tf = e.filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dft), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_fx", expr(
-          "CAST(CAST((n_docs - df) * 2 + 1 AS DECIMAL(38,0)) * 1000000000 div (df * 2 + 1) AS BIGINT)"))
-        .withColumn("tfc_fx", expr(
-          "CAST(CAST(22 * tf AS DECIMAL(38,0)) * total_tokens * 1000000000 " +
-            "div (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT)"))
-        .withColumn("term_fx", expr(
-          "CAST(CAST(idf_fx AS DECIMAL(38,0)) * tfc_fx div 1000000000 AS BIGINT)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("term_fx")).as("score_fx"))
-        .withColumn("bm25", col("score_fx").cast("double") / 1000000000L)
-        .orderBy("doc_id")
+        .filter(col("token").isin(BmTerms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      val lex = topRanks(tfdoc, col("tf").desc, "tf_rank")
+      val bm = topRanks(bm25Frame(s, d).select("doc_id", "score_fx"),
+        col("score_fx").desc, "bm25_rank")
+      bm.join(lex, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fx",
+          coalesce(expr("1000000000 div (60 + bm25_rank)").cast("long"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + tf_rank)").cast("long"), lit(0L)))
+        .withColumn("rrf", col("rrf_fx").cast("double") / 1000000000L)
+        .select("doc_id", "bm25_rank", "tf_rank", "rrf_fx", "rrf")
+        .orderBy(col("rrf_fx").desc, col("doc_id"))
     }),
 
     // The training-data capstone: compose quality scoring, language-ID,
@@ -632,6 +672,26 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "bucket")),
   )
 
+  /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
+    * one copy spliced into bm25_score and rrf_fusion. */
+  private lazy val bm25Cte =
+    s"""t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+       |       WHERE token IN (${BmTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+       |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |p AS (SELECT tf.doc_id, tf.tf, dft.df, dl.dl, st.n_docs, st.total_tokens
+       |      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+       |x AS (SELECT doc_id,
+       |        CAST(CAST((n_docs - df) * 2 + 1 AS HUGEINT) * 1000000000 // (df * 2 + 1) AS BIGINT) AS idf_fx,
+       |        CAST(CAST(22 * tf AS HUGEINT) * total_tokens * 1000000000
+       |             // (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT) AS tfc_fx
+       |      FROM p),
+       |sc AS (SELECT doc_id, count(*) AS n_terms,
+       |         CAST(sum(CAST(idf_fx AS HUGEINT) * tfc_fx // 1000000000) AS BIGINT) AS score_fx
+       |       FROM x GROUP BY doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "source_overlap" ->
       s"""WITH e AS (
@@ -827,25 +887,33 @@ object TextQueries extends QueryModule {
     },
 
     "bm25_score" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
-         |       WHERE token IN ('data', 'stream', 'vector') GROUP BY 1, 2),
-         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |p AS (SELECT tf.doc_id, tf.tf, dft.df, dl.dl, st.n_docs, st.total_tokens
-         |      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
-         |x AS (SELECT doc_id,
-         |        CAST(CAST((n_docs - df) * 2 + 1 AS HUGEINT) * 1000000000 // (df * 2 + 1) AS BIGINT) AS idf_fx,
-         |        CAST(CAST(22 * tf AS HUGEINT) * total_tokens * 1000000000
-         |             // (10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs) AS BIGINT) AS tfc_fx
-         |      FROM p),
-         |sc AS (SELECT doc_id, count(*) AS n_terms,
-         |         CAST(sum(CAST(idf_fx AS HUGEINT) * tfc_fx // 1000000000) AS BIGINT) AS score_fx
-         |       FROM x GROUP BY doc_id)
+      s"""WITH $bm25Cte
          |SELECT doc_id, n_terms, score_fx,
          |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same scoring CTEs as bm25_score, fused with the aggregate-tf
+    // ranking by exact ⌊10⁹/(60+rank)⌋ terms.
+    "rrf_fusion" ->
+      s"""WITH $bm25Cte,
+         |tf_doc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf
+         |           FROM tf GROUP BY doc_id),
+         |tfr AS (SELECT doc_id, tf_rank FROM (
+         |          SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS INTEGER) AS tf_rank
+         |          FROM tf_doc)
+         |        WHERE tf_rank <= 20),
+         |bmr AS (SELECT doc_id, bm25_rank FROM (
+         |          SELECT doc_id, CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INTEGER) AS bm25_rank
+         |          FROM sc)
+         |        WHERE bm25_rank <= 20),
+         |f AS (SELECT COALESCE(b.doc_id, t2.doc_id) AS doc_id,
+         |             b.bm25_rank, t2.tf_rank,
+         |             CAST(COALESCE(1000000000 // (60 + b.bm25_rank), 0)
+         |                + COALESCE(1000000000 // (60 + t2.tf_rank), 0) AS BIGINT) AS rrf_fx
+         |      FROM bmr b FULL OUTER JOIN tfr t2 ON b.doc_id = t2.doc_id)
+         |SELECT doc_id, bm25_rank, tf_rank, rrf_fx,
+         |       CAST(rrf_fx AS DOUBLE) / 1000000000 AS rrf
+         |FROM f ORDER BY rrf_fx DESC, doc_id""".stripMargin,
 
     // Quality + language + dedup-cluster + sample filters composed; the
     // cluster arm reuses the recursive-CTE closure from dedup_clusters.

@@ -210,6 +210,58 @@ class MixWeightSpec extends SparkSpec {
     assert(got.exists(_._2 == 0L))
   }
 
+  test("conversion_funnel matches a naive per-user sequential scan") {
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+      .groupBy(_._1)
+    var (nView, nClick, nFull) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val tv = evs.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(v => evs.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption)
+      val tp = tc.flatMap(c => evs.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+      if (tv.isDefined) nView += 1
+      if (tc.isDefined) nClick += 1
+      if (tp.isDefined) nFull += 1
+    }
+    val r = SparkEntry.queries("conversion_funnel")(spark, sf).collect().head
+    r.getLong(0) shouldEqual byUser.size.toLong
+    r.getLong(1) shouldEqual nView
+    r.getLong(2) shouldEqual nClick
+    r.getLong(3) shouldEqual nFull
+    r.getDouble(4) shouldEqual nClick.toDouble / nView
+    r.getDouble(5) shouldEqual nFull.toDouble / nClick
+    // funnel stages can only narrow
+    assert(nView >= nClick && nClick >= nFull)
+  }
+
+  test("rrf_fusion fuses the registered bm25 top-20 with the naive tf top-20") {
+    val bmTop = SparkEntry.queries("bm25_score")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))       // doc_id, score_fx
+      .sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val terms = Set("data", "stream", "vector")
+    val tfTop = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        (r.getLong(0), toks.count(terms))
+      }
+      .filter(_._2 > 0)
+      .sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (bmTop.keySet ++ tfTop.keySet).toSeq.map { id =>
+      val fx = bmTop.get(id).map(rk => 1000000000L / (60 + rk)).getOrElse(0L) +
+        tfTop.get(id).map(rk => 1000000000L / (60 + rk)).getOrElse(0L)
+      (id, bmTop.get(id), tfTop.get(id), fx)
+    }.sortBy(t => (-t._4, t._1))
+    val got = SparkEntry.queries("rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getLong(3)))
+    got.toSeq shouldEqual expected
+  }
+
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {
     val r = q("minhash_est_err").collect()
     r.foreach { row =>

@@ -111,6 +111,7 @@ class PlanAuditSpec extends SparkSpec {
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
       "bpe_merges" -> 7,           // 1-row argmax-pair + 1-row token-total frames through 2 unrolled merge rounds (round 2's lineage re-embeds round 1's hints)
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
+      "rrf_fusion" -> 2,           // the embedded bm25 arm's same two bounded frames
       "decontaminate" -> 1,        // benchmark eval set: tiny by definition
       "sequence_pack_global" -> 1, // per-(lang, shard) chunk offsets: stratum-cardinality
       "user_value_by_nation" -> 2, // customer + nation dims
@@ -160,7 +161,8 @@ class PlanAuditSpec extends SparkSpec {
       "running_daily_ratio",  // ≤ |days| rows (daily aggregate)
       "rolling_revenue_7d",   // ≤ |days| rows (daily aggregate)
       "sequence_pack_global", // ≤ |langs|×8 rows (stratum chunk offsets)
-      "open_orders_by_day"    // ≤ |days| rows (sweep-line delta aggregate)
+      "open_orders_by_day",   // ≤ |days| rows (sweep-line delta aggregate)
+      "rrf_fusion"            // global top-20 ranking: the final window's input is Rank's pre-pruned ≤ k × partitions survivors (the constant group key folds away)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
