@@ -259,6 +259,57 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Dedup-artifact capstone (X-81): ONE near-dup cluster map feeding
+    // every artifact a dedup pass produces — cluster label, cluster
+    // size, ⌊10⁶/|cluster|⌋ loss weight, leakage-safe split, and
+    // KEEP-BEST retention (survivor = highest quality score in the
+    // cluster, ties to the smallest doc_id) — in a single lineage.
+    // dedup_clusters / dedup_weight / leakage_split demonstrate each
+    // artifact standalone; a production pipeline runs the pair+CC
+    // pipeline ONCE (it dominates the cost) and derives everything
+    // from the materialized labels, which is exactly this composition.
+    // Retention upgrades the min-doc_id canonical pick to the policy
+    // real pipelines use: keep the BEST copy, not the first-crawled.
+    // The per-cluster stats/keep frames are cluster-cardinality —
+    // corpus-order once singletons are in — so they join by shuffle on
+    // the cluster key, never a broadcast hint. The (doc_id, score,
+    // cluster) base is materialized: it feeds three frames (stats,
+    // keep, final join) and re-tokenizing + re-scoring the corpus per
+    // use would triple the scan-side cost.
+    "dedup_artifacts" -> ((s, d) => {
+      import TextAnalysis.{norm, tokens, occurrences, qualityScore, LangProfiles, sampleBucket}
+      val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
+        .select("d1", "d2")
+      val labels = connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          qualityScore(size(col("toks")),
+            size(array_distinct(col("toks"))),
+            occurrences(col("toks"), LangProfiles.head._2)).as("score"))
+      val docs = materialize(
+        scored.join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .select("doc_id", "score", "cluster"))
+      val stats = docs.groupBy("cluster")
+        .agg(count(lit(1)).as("csize"), max(col("score")).as("best_score"))
+      // the max IS one of the member values, so the equality filter is
+      // exact even though score is a double
+      val keep = docs.join(stats, "cluster")
+        .filter(col("score") === col("best_score"))
+        .groupBy("cluster").agg(min(col("doc_id")).as("keep_doc"))
+      docs.join(stats, "cluster").join(keep, "cluster")
+        .withColumn("weight_fx", expr("1000000 div csize").cast("long"))
+        .withColumn("split",
+          when(sampleBucket(col("cluster"), "graft-split") < 90, "train")
+            .otherwise("val"))
+        .withColumn("is_kept", col("doc_id") === col("keep_doc"))
+        .select("doc_id", "cluster", "csize", "weight_fx", "score",
+          "split", "is_kept")
+        .orderBy("doc_id")
+    }),
+
     // MinHash estimate vs exact Jaccard (X-71): for every LSH
     // candidate pair, the sketch estimate (matching signature
     // components / k) next to the exact shingle Jaccard and the
@@ -414,6 +465,50 @@ object DedupQueries extends QueryModule {
          |       CASE WHEN CAST('0x' || substr(md5('graft-split' || cluster), 1, 4) AS BIGINT) % 100 < 90
          |            THEN 'train' ELSE 'val' END AS split
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Clusters as in dedup_clusters; quality formula mirrors
+    // text_quality; split draw mirrors leakage_split; the survivor is
+    // the argmax-score member (min doc_id on ties).
+    "dedup_artifacts" -> {
+      val stopList = TextAnalysis.LangProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $shSql,
+         |$ccSql,
+         |lab AS (SELECT node AS doc_id, min(label) AS label
+         |        FROM cc GROUP BY node),
+         |t AS (SELECT doc_id,
+         |             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |      FROM documents),
+         |b AS (SELECT doc_id,
+         |             CAST(len(toks) AS INTEGER) AS n_tokens,
+         |             CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |             CAST(len(list_filter(toks, x -> x IN ($stopList))) AS INTEGER) AS stop_hits
+         |      FROM t),
+         |sc AS (SELECT doc_id,
+         |             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           + 0.3 * (1.0 - abs(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) - 0.4)) AS score
+         |       FROM b),
+         |docs AS (SELECT sc.doc_id, sc.score,
+         |                COALESCE(l.label, sc.doc_id) AS cluster
+         |         FROM sc LEFT JOIN lab l ON sc.doc_id = l.doc_id),
+         |st AS (SELECT cluster, count(*) AS csize, max(score) AS best_score
+         |       FROM docs GROUP BY cluster),
+         |kp AS (SELECT d.cluster, min(d.doc_id) AS keep_doc
+         |       FROM docs d JOIN st ON d.cluster = st.cluster
+         |        AND d.score = st.best_score
+         |       GROUP BY d.cluster)
+         |SELECT d.doc_id, d.cluster, CAST(st.csize AS BIGINT) AS csize,
+         |       CAST(1000000 // st.csize AS BIGINT) AS weight_fx,
+         |       d.score,
+         |       CASE WHEN CAST('0x' || substr(md5('graft-split' || d.cluster), 1, 4) AS BIGINT) % 100 < 90
+         |            THEN 'train' ELSE 'val' END AS split,
+         |       d.doc_id = kp.keep_doc AS is_kept
+         |FROM docs d
+         |JOIN st ON d.cluster = st.cluster
+         |JOIN kp ON d.cluster = kp.cluster
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Same signature/band/pair derivation as minhash_lsh, then the
     // component-match estimate beside the exact Jaccard.

@@ -115,6 +115,66 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Triangle counting + local clustering coefficient (X-82) over the
+    // same synthesized link graph as PageRank — the third classic graph
+    // op beside CC and PageRank, and the textbook "curse of the last
+    // reducer" case (Suri & Vassilvitskii, WWW'11): naive wedge
+    // enumeration generates Σ deg² candidates, so one celebrity node
+    // melts its task at corpus scale. The scale-safe shape is
+    // DEGREE-ORDERED ORIENTATION: orient every undirected edge toward
+    // its (degree, id)-larger endpoint, enumerate wedges only from each
+    // node's ORIENTED out-neighbors (out-degree is O(√m) after
+    // orientation, so wedges are O(m^1.5) total regardless of skew),
+    // and close each wedge with one equi-join back against the oriented
+    // edge list. Each triangle is found exactly once. The undirected
+    // edge list is materialized once (the CC recipe — it feeds degree
+    // counting and both orientation joins); the oriented frame's two
+    // wedge-side uses share one exchange.
+    "link_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val raw = docs.crossJoin(broadcast(stats))
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
+      val und = graft.operators.Dedup.materialize(
+        raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val aLtB = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .withColumn("fwd",
+          col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      // (u, v, dv): u → v with (deg(u), u) < (deg(v), v)
+      val oriented = aLtB.select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
+        when(col("fwd"), col("db")).otherwise(col("da")).as("dv"))
+      // wedges u → {t2, t3} with order(t2) < order(t3); closing edge,
+      // if present, is oriented t2 → t3 by transitivity of the order
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.u") === col("y.u") &&
+            (col("x.dv") < col("y.dv") ||
+              (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+        .select(col("x.u").as("t1"), col("x.v").as("t2"), col("y.v").as("t3"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("t2"), col("v").as("t3")), Seq("t2", "t3"))
+      val tc = tri.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      deg.join(tc, Seq("node"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .withColumn("cc_fx", expr(
+          "CASE WHEN deg >= 2 THEN (2 * n_triangles * 1000000) div (deg * (deg - 1)) ELSE 0 END"))
+        .select(col("node"), col("deg").as("degree"),
+          col("n_triangles"), col("cc_fx"))
+        .orderBy("node")
+    }),
+
     // S-4: link scan as row explosion — each document yields its <a>
     // elements (href + anchor) as rows, the operator feeding P-2..P-4
     // (/root/reference/app.py:147-155). Links are synthesized
@@ -154,6 +214,46 @@ object LinkQueries extends QueryModule {
          |SELECT doc_id, r AS rank_fx, CAST(r AS DOUBLE) / 1000000000000 AS rank
          |FROM r3 ORDER BY doc_id""".stripMargin
     },
+
+    // Same edge synthesis as link_pagerank; orientation, wedge, and
+    // closure joins mirror the Spark side literally.
+    "link_triangles" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |st AS (SELECT count(*) AS n FROM docs),
+        |raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+        |        FROM docs CROSS JOIN st, range(1, 4) t(j)
+        |        WHERE doc_id % 7 <> 0),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |                  THEN u.a ELSE u.b END AS u,
+        |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |                  THEN u.b ELSE u.a END AS v,
+        |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+        |                  THEN db.deg ELSE da.deg END AS dv
+        |      FROM und u
+        |      JOIN deg da ON u.a = da.node
+        |      JOIN deg db ON u.b = db.node),
+        |w AS (SELECT x.u AS t1, x.v AS t2, y.v AS t3
+        |      FROM o x JOIN o y
+        |        ON x.u = y.u
+        |       AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))),
+        |tri AS (SELECT t1, t2, t3 FROM w JOIN o ON w.t2 = o.u AND w.t3 = o.v),
+        |tc AS (SELECT node, count(*) AS n_tri
+        |       FROM (SELECT t1 AS node FROM tri
+        |             UNION ALL SELECT t2 FROM tri
+        |             UNION ALL SELECT t3 FROM tri)
+        |       GROUP BY node)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+        |       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN d.deg >= 2
+        |                 THEN (2 * COALESCE(tc.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |                 ELSE 0 END AS BIGINT) AS cc_fx
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY d.node""".stripMargin,
 
     "link_topk" ->
       s"""WITH cand AS ($candidatesSql),

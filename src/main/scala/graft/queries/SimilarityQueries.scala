@@ -348,6 +348,43 @@ object SimilarityQueries extends QueryModule {
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_fx"))
         .orderBy("label", "pos")),
+
+    // SQ8 scalar quantization with realized reconstruction error
+    // (X-84): the memory-compression stage of a serving ANN index
+    // (8-bit codes = 4× smaller than float32; IVF+SQ is the standard
+    // pairing at billion-vector scale — the trained per-DIMENSION
+    // bounds here are exactly what faiss's SQ8 stores). Pipeline:
+    // corpus-wide min/max per dimension (a 64-row frame, the "trained"
+    // codebook) → code = (v−mn)·255 div (mx−mn) → reconstruction →
+    // realized per-vector error, all in the exact fx integer space the
+    // similarity family already uses, so every compared value is
+    // engine-exact (`div` truncation = `//` floor on these non-negative
+    // operands). Cost shape: one explode, one 64-group aggregate, one
+    // broadcast join back — the corpus shuffles once (for the
+    // per-vector regroup), never pairwise. The realized-error columns
+    // keep the compression honest, the X-55/X-71 discipline; recall
+    // impact of quantized scoring is ann_recall's job.
+    "sq8_error" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+      val bounds = e.groupBy("pos")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      e.join(broadcast(bounds), "pos")
+        .withColumn("code", when(col("mx") > col("mn"),
+          expr("(v - mn) * 255 div (mx - mn)")).otherwise(lit(0L)))
+        .withColumn("recon", expr("mn + code * (mx - mn) div 255"))
+        .withColumn("err", abs(col("v") - col("recon")))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("err")).as("sum_err_fx"),
+          max(col("err")).as("max_err_fx"),
+          min(col("code")).as("min_code"),
+          max(col("code")).as("max_code"))
+        .withColumn("mae",
+          col("sum_err_fx").cast("double") / col("n_dims") / lit(1e7))
+        .orderBy("vec_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -528,5 +565,31 @@ object SimilarityQueries extends QueryModule {
         |       CAST(sum(qe[i]) AS BIGINT) AS sum_fx
         |FROM q, range(1, 65) t(i)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // Same fx quantization; code/reconstruction arithmetic mirrors the
+    // Spark side on non-negative integers (// = div there).
+    "sq8_error" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, qe[i] AS v
+        |      FROM q, range(1, 65) t(i)),
+        |b AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos),
+        |c AS (SELECT e.vec_id, e.v, b.mn, b.mx,
+        |             CASE WHEN b.mx > b.mn
+        |                  THEN ((e.v - b.mn) * 255) // (b.mx - b.mn)
+        |                  ELSE 0 END AS code
+        |      FROM e JOIN b USING (pos)),
+        |r AS (SELECT vec_id, v, code,
+        |             mn + (code * (mx - mn)) // 255 AS recon
+        |      FROM c)
+        |SELECT vec_id, count(*) AS n_dims,
+        |       CAST(sum(abs(v - recon)) AS BIGINT) AS sum_err_fx,
+        |       CAST(max(abs(v - recon)) AS BIGINT) AS max_err_fx,
+        |       CAST(min(code) AS BIGINT) AS min_code,
+        |       CAST(max(code) AS BIGINT) AS max_code,
+        |       CAST(sum(abs(v - recon)) AS DOUBLE) / count(*) / 10000000.0 AS mae
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

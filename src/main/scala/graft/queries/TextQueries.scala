@@ -330,6 +330,47 @@ object TextQueries extends QueryModule {
     // corpus stats are one row.
     "bm25_score" -> ((s, d) => bm25Frame(s, d).orderBy("doc_id")),
 
+    // Chi-squared discriminative vocabulary per language (X-83): the
+    // feature-selection pass behind fastText-style domain/quality
+    // classifiers (CCNet's filtering recipe) — which tokens most
+    // separate one language's documents from the rest. Presence counts
+    // (distinct tokens per doc) → per-(lang, token) 2×2 contingency
+    // table → exact fixed-point χ²·10⁶ via DECIMAL(38,0) (the margins
+    // multiply to n⁴ ≈ 10²⁴ at 10⁶ docs — far past a BIGINT — and the
+    // numerator to ~10³⁶, inside both DECIMAL(38) and DuckDB's
+    // HUGEINT). Tokens present in < 5 docs are noise-floored out;
+    // tokens present in EVERY doc carry no signal and would divide by
+    // zero, so both engines filter at < n. Top-5 per language through
+    // the two-phase Rank pre-prune — never a per-language full sort —
+    // with the vocabulary-sized frames joined by shuffle and only the
+    // |langs|-row margins and 1-row total broadcast.
+    "chi2_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pres = docs.select(col("lang"),
+          explode(array_distinct(tokens(norm(col("text"))))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("a"))
+      val tot = pres.groupBy("token").agg(sum(col("a")).as("at"))
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val x = pres.join(tot, "token")
+        .join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(stats))
+        .filter(col("at") >= 5 && col("at") < col("n"))
+        .withColumn("b", col("at") - col("a"))
+        .withColumn("c", col("nl") - col("a"))
+        .withColumn("dd", col("n") - col("nl") - col("b"))
+      val chi = x.select(col("lang"), col("token"), col("a").as("n_docs_lang"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * (a * dd - b * c) * (a * dd - b * c) * 1000000 " +
+          "div (CAST(at AS DECIMAL(38,0)) * (n - at) * nl * (n - nl)) AS BIGINT)")
+          .as("chi2_fx"),
+        (col("a") * (col("n") - col("nl")) > col("b") * col("nl")).as("over_rep"))
+      graft.operators.Rank
+        .topKPerGroup(chi, 5, Seq("lang"),
+          Seq(col("chi2_fx").desc, col("token")))
+        .select("lang", "rk", "token", "n_docs_lang", "chi2_fx", "over_rep")
+        .orderBy("lang", "rk")
+    }),
+
     // Reciprocal-rank fusion (X-80, Cormack'09): combine two retrieval
     // rankings — BM25 and raw aggregate term frequency — by
     // Σ 1/(60 + rank), the standard fusion behind hybrid
@@ -652,6 +693,45 @@ object TextQueries extends QueryModule {
             .otherwise(array().cast("array<int>"))).as("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Temperature-balanced language sampling (X-85, the mBERT/XLM-R
+    // multilingual recipe): sampling mass per language ∝ (n_l/N)^α
+    // with α = 0.5 — upsample the tail so low-resource languages are
+    // seen, downsample the head so the biggest one doesn't dominate.
+    // The smoothing runs on the |langs|-row margin frame with
+    // INTEGER sqrt (⌊√n_l⌋: IEEE sqrt of an exact integer, floored —
+    // bit-identical in both engines, and the cross-language
+    // normalizer Σ⌊√n⌋ stays an exact integer where a float sum
+    // would be order-dependent). Per-document realized copies then
+    // draw against the derived boost with the corpus_mix md5
+    // mechanics (percent granularity), so the output is the realized
+    // per-language copy mass next to the target boost — derived
+    // weights where corpus_mix takes given ones. DECIMAL(38,0)
+    // carries ⌊√n⌋·N·10⁶ (≈10²¹ at 10¹⁰ docs — past BIGINT).
+    "temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("isqrt",
+          floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val tot = byLang.agg(sum(col("n_docs")).as("n_total"),
+        sum(col("isqrt")).as("sum_isqrt"))
+      val params = byLang.crossJoin(broadcast(tot))
+        .withColumn("boost_fx", expr(
+          "CAST(CAST(isqrt AS DECIMAL(38,0)) * n_total * 1000000 " +
+            "div (CAST(sum_isqrt AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+      docs.join(broadcast(params), "lang")
+        .withColumn("bucket", sampleBucket(col("doc_id"), "graft-temp"))
+        .withColumn("copies", expr("boost_fx div 1000000") +
+          when(col("bucket") < expr("(boost_fx % 1000000) div 10000"), 1L)
+            .otherwise(0L))
+        .groupBy("lang")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("boost_fx")).as("boost_fx"),
+          sum(col("copies")).as("n_copies"))
+        .withColumn("boost", col("boost_fx").cast("double") / lit(1e6))
+        .select("lang", "n_docs", "boost_fx", "boost", "n_copies")
+        .orderBy("lang")
+    }),
+
     // Feature hashing (X-69, the "hashing trick"): project the
     // unbounded token vocabulary onto a fixed 64-dimension space,
     // bucket = hash mod 64, with the collision-canceling ±1 sign drawn
@@ -891,6 +971,56 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_terms, score_fx,
          |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Margin smoothing and the md5 copy draw mirror the Spark side;
+    // HUGEINT carries the ⌊√n⌋·N·10⁶ product DECIMAL(38,0) holds there.
+    "temperature_mix" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |bl AS (SELECT lang, count(*) AS n_docs,
+        |              CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt
+        |       FROM d GROUP BY lang),
+        |st AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |              CAST(sum(isqrt) AS BIGINT) AS sum_isqrt FROM bl),
+        |p AS (SELECT bl.lang, bl.n_docs,
+        |             CAST(CAST(bl.isqrt AS HUGEINT) * st.n_total * 1000000
+        |               // (CAST(st.sum_isqrt AS HUGEINT) * bl.n_docs) AS BIGINT) AS boost_fx
+        |      FROM bl CROSS JOIN st),
+        |c AS (SELECT d.doc_id, d.lang, p.n_docs, p.boost_fx,
+        |             p.boost_fx // 1000000
+        |             + CASE WHEN CAST('0x' || substr(md5('graft-temp' || d.doc_id), 1, 4) AS BIGINT) % 100
+        |                    < (p.boost_fx % 1000000) // 10000 THEN 1 ELSE 0 END AS copies
+        |      FROM d JOIN p USING (lang))
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(max(boost_fx) AS BIGINT) AS boost_fx,
+        |       CAST(max(boost_fx) AS DOUBLE) / 1000000.0 AS boost,
+        |       CAST(sum(copies) AS BIGINT) AS n_copies
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Contingency margins and χ² fixed point mirror the Spark side;
+    // HUGEINT carries the n⁴-scale products DECIMAL(38,0) holds there.
+    "chi2_tokens" ->
+      s"""WITH t AS (SELECT lang, unnest(list_distinct($toksSql)) AS token
+         |           FROM documents),
+         |a AS (SELECT lang, token, count(*) AS a FROM t GROUP BY 1, 2),
+         |tot AS (SELECT token, CAST(sum(a) AS BIGINT) AS at FROM a GROUP BY token),
+         |nlt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+         |st AS (SELECT count(*) AS n FROM documents),
+         |x AS (SELECT a.lang, a.token, a.a, tot.at, nlt.nl, st.n,
+         |             tot.at - a.a AS b, nlt.nl - a.a AS c,
+         |             st.n - nlt.nl - (tot.at - a.a) AS dd
+         |      FROM a JOIN tot USING (token) JOIN nlt USING (lang) CROSS JOIN st
+         |      WHERE tot.at >= 5 AND tot.at < st.n),
+         |chi AS (SELECT lang, token, CAST(a AS BIGINT) AS n_docs_lang,
+         |               CAST(CAST(n AS HUGEINT) * (a * dd - b * c) * (a * dd - b * c) * 1000000
+         |                 // (CAST(at AS HUGEINT) * (n - at) * nl * (n - nl)) AS BIGINT) AS chi2_fx,
+         |               a * (n - nl) > b * nl AS over_rep
+         |        FROM x),
+         |r AS (SELECT lang, token, n_docs_lang, chi2_fx, over_rep,
+         |             CAST(row_number() OVER (PARTITION BY lang
+         |                  ORDER BY chi2_fx DESC, token) AS INTEGER) AS rk
+         |      FROM chi)
+         |SELECT lang, rk, token, n_docs_lang, chi2_fx, over_rep
+         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     // Same scoring CTEs as bm25_score, fused with the aggregate-tf
     // ranking by exact ⌊10⁹/(60+rank)⌋ terms.

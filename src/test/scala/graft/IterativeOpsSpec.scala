@@ -41,6 +41,46 @@ class IterativeOpsSpec extends SparkSpec {
     total should be >= (Scale - dustBound)
   }
 
+  test("link_triangles matches a naive all-triples triangle count") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    // same derived graph as pagerank, undirected + deduped, no loops
+    val und = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupMap(_._1)(_._2)
+      .view.mapValues(_.toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // naive: for every edge (a,b), triangles through it are the common
+    // neighbors; each triangle counted once per corner, then /3... —
+    // count per NODE directly: pairs of its neighbors that are adjacent
+    val triPerNode = adj.map { case (v, ns) =>
+      val s = ns.toSeq.sorted
+      v -> (for {
+        i <- s.indices; j <- i + 1 until s.length
+        if adj(s(i)).contains(s(j))
+      } yield 1).size.toLong
+    }
+    val got = SparkEntry.queries("link_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldEqual deg.keySet
+    got.foreach { case (node, (degree, nTri, ccFx)) =>
+      degree shouldEqual deg(node)
+      nTri shouldEqual triPerNode(node)
+      val expFx = if (degree >= 2) 2 * nTri * 1000000L / (degree * (degree - 1)) else 0L
+      ccFx shouldEqual expFx
+    }
+    // the synthesized graph actually has triangles — the closure join
+    // is exercised, not vacuously empty
+    assert(got.values.map(_._2).sum > 0)
+    // Σ per-node counts = 3 × (number of distinct triangles)
+    got.values.map(_._2).sum % 3 shouldEqual 0L
+  }
+
   test("kmeans_centroids matches a plain-Scala Lloyd iteration") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()

@@ -71,6 +71,71 @@ class MixWeightSpec extends SparkSpec {
     }
   }
 
+  test("temperature_mix: α=0.5 boosts the tail, shrinks the head, and copies track the boost") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nl = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val isqrt = nl.view.mapValues(v => math.floor(math.sqrt(v.toDouble)).toLong).toMap
+    val sumIsqrt = isqrt.values.sum
+    val boostFx = nl.map { case (l, c) =>
+      l -> (BigInt(isqrt(l)) * n * 1000000 / (BigInt(sumIsqrt) * c)).toLong
+    }
+    val copies = docs.map { case (id, l) =>
+      val bucket = java.lang.Long.parseLong(md5hex(s"graft-temp$id").take(4), 16) % 100
+      val fx = boostFx(l)
+      (l, fx / 1000000 + (if (bucket < (fx % 1000000) / 10000) 1L else 0L))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = q("temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    got.map(_._1).toSeq shouldEqual nl.keys.toSeq.sorted
+    got.foreach { case (l, nDocs, fx, boost, nCopies) =>
+      nDocs shouldEqual nl(l)
+      fx shouldEqual boostFx(l)
+      boost shouldEqual fx / 1e6
+      nCopies shouldEqual copies(l)
+    }
+    // α = 0.5 must boost the smallest language more than the largest
+    val smallest = nl.minBy(_._2)._1
+    val largest = nl.maxBy(_._2)._1
+    if (nl(smallest) < nl(largest))
+      boostFx(smallest) should be > boostFx(largest)
+    // realized copy mass tracks the smoothed target within the 1%
+    // draw granularity: |Σcopies − N| ≤ Σ_l (n_l · 1% rounding)
+    val totalCopies = got.map(_._5).sum
+    math.abs(totalCopies - n) should be <= (nl.values.map(_ / 50 + 1).sum)
+  }
+
+  test("sq8_error: codes span [0,255] and reconstruction error is bounded by the step") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e7).toLong).toArray)
+    val dims = vecs.head._2.length
+    val mn = Array.tabulate(dims)(i => vecs.map(_._2(i)).min)
+    val mx = Array.tabulate(dims)(i => vecs.map(_._2(i)).max)
+    val expected = vecs.map { case (id, arr) =>
+      val errsCodes = arr.zipWithIndex.map { case (v, i) =>
+        val code = if (mx(i) > mn(i)) (v - mn(i)) * 255 / (mx(i) - mn(i)) else 0L
+        val recon = mn(i) + code * (mx(i) - mn(i)) / 255
+        (math.abs(v - recon), code)
+      }
+      (id, (dims.toLong, errsCodes.map(_._1).sum, errsCodes.map(_._1).max,
+        errsCodes.map(_._2).min, errsCodes.map(_._2).max))
+    }.toMap
+    val got = q("sq8_error").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    got.keySet shouldEqual expected.keySet
+    got.foreach { case (id, (nd, sumE, maxE, minC, maxC, mae)) =>
+      (nd, sumE, maxE, minC, maxC) shouldEqual expected(id)
+      mae shouldEqual sumE.toDouble / nd / 1e7
+      // per-dimension error can never exceed one quantization step
+      maxE should be <= mx.zip(mn).map { case (a, b) => (a - b) / 255 + 1 }.max
+      assert(minC >= 0 && maxC <= 255)
+    }
+  }
+
   test("dedup_weight conserves one unit of mass per cluster and covers the corpus") {
     val r = q("dedup_weight").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
@@ -260,6 +325,38 @@ class MixWeightSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getInt(2)),
         r.getLong(3)))
     got.toSeq shouldEqual expected
+  }
+
+  test("dedup_artifacts composes clusters, weights, split, and keep-best retention consistently") {
+    val rows = q("dedup_artifacts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5), r.getBoolean(6)))
+    rows.length shouldEqual Tables.documents(spark, sf).count().toInt
+    // column-for-column agreement with the standalone artifact queries
+    val weights = q("dedup_weight").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val splits = q("leakage_split").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val scores = q("text_quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    rows.foreach { case (doc, cluster, csize, wfx, score, split, _) =>
+      (cluster, csize, wfx) shouldEqual weights(doc)
+      split shouldEqual splits(doc)
+      score shouldEqual scores(doc)
+    }
+    // exactly one kept doc per cluster: the argmax-score member,
+    // smallest doc_id on ties
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val kept = members.filter(_._7)
+      kept.length shouldEqual 1
+      val best = members.map(_._5).max
+      kept.head._5 shouldEqual best
+      kept.head._1 shouldEqual members.filter(_._5 == best).map(_._1).min
+    }
+    // the quality policy is exercised: at least one multi-member
+    // cluster exists on this slice (planted near-dups), so keep-best
+    // made a real choice among candidates
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
 
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {

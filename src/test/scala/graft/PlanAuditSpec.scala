@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   // of the checkpointed RDD — auditing it would inspect nothing (and
   // execute the whole pipeline). Their join structure is audited via
   // the building block below instead.
-  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split")
+  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -133,6 +133,9 @@ class PlanAuditSpec extends SparkSpec {
       "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
       "price_outliers_iqr" -> 4,   // the above + |groups| fence-bounds rows joined back over the fact table
       "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
+      "chi2_tokens" -> 2,          // |langs|-row margin frame + 1-row total (the vocabulary-sized frames are shuffle-joined, not hinted)
+      "sq8_error" -> 1,            // 64-row per-dimension bounds frame (the trained SQ codebook)
+      "temperature_mix" -> 2,      // 1-row total + |langs|-row smoothed-boost frame
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side

@@ -22,6 +22,36 @@ class TrainingOpsSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
+  test("chi2_tokens matches a naive contingency-table computation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"),
+        graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.norm(col("text"))).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSet))
+    val n = docs.length.toLong
+    val nl = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pres = docs.flatMap { case (l, ts) => ts.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val at = pres.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val expected = pres.toSeq.collect {
+      case ((l, t), a) if at(t) >= 5 && at(t) < n =>
+        val (b, c) = (at(t) - a, nl(l) - a)
+        val dd = n - nl(l) - b
+        val num = BigInt(n) * (a * dd - b * c) * (a * dd - b * c) * 1000000
+        val den = BigInt(at(t)) * (n - at(t)) * nl(l) * (n - nl(l))
+        (l, t, a, (num / den).toLong, a * (n - nl(l)) > b * nl(l))
+    }.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((_, t, a, chi, over), i) => (l, i + 1, t, a, chi, over) }
+    }.sortBy(r => (r._1, r._2))
+    val got = q("chi2_tokens").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    got.toSeq shouldEqual expected
+    // χ² is scale-bounded: fx ≤ n·10⁶ (χ² ≤ n for a 2×2 table)
+    got.foreach(_._5 should be <= n * 1000000L)
+  }
+
   test("decontaminate: never flags a benchmark doc, and hits are positive") {
     val r = q("decontaminate")
     r.filter(col("doc_id") % 10 === 0).count() shouldEqual 0
