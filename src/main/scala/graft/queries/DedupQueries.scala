@@ -111,6 +111,42 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     }),
 
+    // Incremental near-dup probe (X-87): dedup a NEW batch against the
+    // standing corpus index — the production posture for continuous
+    // ingest. The index (signatures + band keys of everything seen) is
+    // built once and persisted; each increment only PROBES it, so the
+    // band join's probe side scales with the batch, not the corpus,
+    // and the corpus side is a pre-bucketed equi-join target (at scale:
+    // bucketed table on band_key — zero corpus shuffle per batch).
+    // Docs with doc_id % 10 == 0 play the new batch; the rest are the
+    // index. Same 16-hash signatures and 4×4 banding as minhash_lsh,
+    // asymmetric band join, exact-Jaccard verification at ≥ 0.5 so
+    // planted pairs straddling the split are surfaced.
+    "minhash_incremental" -> ((s, d) => {
+      val sh = materialize(shingled(Tables.documents(s, d)))
+      val sig = minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s")))
+      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+      val stacked = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_key")))
+      val pairs = stacked.filter(col("doc_id") % 10 === 0).as("x")
+        .join(stacked.filter(col("doc_id") % 10 =!= 0).as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key"))
+        .select(col("x.doc_id").as("d_new"), col("y.doc_id").as("d_idx"))
+        .distinct()
+      pairs
+        .join(sh.select(col("doc_id"), col("ss")).as("a"),
+          col("d_new") === col("a.doc_id"))
+        .join(sh.select(col("doc_id"), col("ss")).as("b"),
+          col("d_idx") === col("b.doc_id"))
+        .withColumn("jac", jaccard(col("a.ss"), col("b.ss")))
+        .filter(col("jac") >= 0.5)
+        .select("d_new", "d_idx", "jac")
+        .orderBy("d_new", "d_idx")
+    }),
+
     // Pairs → clusters: connected components over the Jaccard ≥ 0.5
     // near-dup pairs; every member labeled with its component's minimum
     // doc_id (the canonical survivor a dedup pass would keep).
@@ -449,6 +485,40 @@ object DedupQueries extends QueryModule {
          |JOIN shh b ON p.d2 = b.doc_id
          |WHERE $jaccardSql >= 0.8
          |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    // Same signature/band derivation as minhash_lsh with the
+    // asymmetric batch→index join condition.
+    "minhash_incremental" -> {
+      val sigCols = (0 until MinHashK).map { i =>
+        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+      }.mkString(",\n       ")
+      val bandCols = (0 until 4).map { b =>
+        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $shSql,
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |FROM shh),
+         |bands AS (SELECT doc_id,
+         |       $bandCols
+         |FROM sig),
+         |stacked AS (
+         |      $stacked),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_idx
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0)
+         |SELECT p.d_new, p.d_idx, $jaccardSql AS jac
+         |FROM pairs p
+         |JOIN shh a ON p.d_new = a.doc_id
+         |JOIN shh b ON p.d_idx = b.doc_id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY p.d_new, p.d_idx""".stripMargin
     },
 
     // Clusters as in dedup_clusters; the split draw mirrors

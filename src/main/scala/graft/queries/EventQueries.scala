@@ -82,6 +82,90 @@ object EventQueries extends QueryModule {
         .orderBy("hour", "event_type")
     }),
 
+    // Bucketized interval join (X-90): events within 30 minutes BEFORE
+    // each purchase by the same user — the activity-burst feature a
+    // fraud/attribution model reads. Spark has no range-join optimizer
+    // (a raw `ON a.us BETWEEN b.us - W AND b.us` plans a broadcast
+    // nested loop or worse), so the scale-safe shape is BUCKETIZATION:
+    // with bucket width = window length W, every qualifying pair is at
+    // most one bucket apart, so each probe row emits exactly 2 bucket
+    // keys (its own and the previous), the build side emits 1, and the
+    // join is a plain equi-join on (user, bucket) with the exact range
+    // predicate as a post-filter — candidate volume is 2× the true
+    // density, never |A|×|B|. Timestamps compare as exact epoch
+    // MICROSECONDS (unix_micros/epoch_us — integer in both engines);
+    // a matching pair lands in exactly one of the two emitted buckets,
+    // so nothing double-counts. Purchases with a quiet half hour
+    // surface with an honest zero via the final left join.
+    "event_window_join" -> ((s, d) => {
+      val W = 1800000000L // 30 min in µs = the bucket width
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val pb = p.withColumn("bucket",
+        explode(array(expr(s"us div $W"), expr(s"us div $W - 1"))))
+      val eb = e.select(col("user_id"), col("us").as("e_us"),
+        expr(s"us div $W").as("bucket"))
+      val c = pb.join(eb, Seq("user_id", "bucket"))
+        .filter(col("us") - col("e_us") > 0 && col("us") - col("e_us") <= W)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_prior_30m"),
+          min(col("us") - col("e_us")).as("nearest_gap_us"))
+      p.join(c, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_prior_30m"), lit(0L)).as("n_prior_30m"),
+          col("nearest_gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // Trailing-window rate anomalies (X-89): flag hours whose event
+    // count sits more than 3σ above the trailing 24-hour baseline,
+    // per event type — the alerting rule every ingestion monitor
+    // runs. Built on the X-76 zero-filled grid (a missing bucket must
+    // depress the baseline as a measured zero, not vanish); baseline
+    // moments come from a 24-row trailing ROWS frame over the grid
+    // (stratum-cardinality — |hours|·|types| — so the per-type window
+    // is exempt from the low-card funnel concern by construction).
+    // The 3σ test is INTEGER-EXACT: (x·w − s1)² > 9·(w·s2 − s1²)
+    // multiplies the z-test through by w², so no division, sqrt, or
+    // float ever enters the flag; DECIMAL(38,0)/HUGEINT carry s2 and
+    // the squared terms (Σn² overflows BIGINT once hourly counts pass
+    // ~6×10⁸). Upward deviations only (x·w > s1) — rate DROPS are
+    // real alerts too but a different rule (often a missing-feed
+    // check), kept out so the flag semantics stay crisp.
+    "hourly_anomalies" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      val counts = ev.groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val axis = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val types = ev.select("event_type").distinct()
+      val grid = axis.crossJoin(broadcast(types))
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      grid
+        .withColumn("w", count(lit(1)).over(w))
+        .withColumn("s1", coalesce(sum(col("n_events")).over(w), lit(0L)))
+        .withColumn("s2", coalesce(
+          sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).over(w),
+          lit(0).cast("decimal(38,0)")))
+        .withColumn("is_spike",
+          col("w") === 24 &&
+            expr("CAST(n_events * w - s1 AS DECIMAL(38,0)) * (n_events * w - s1) " +
+              "> 9 * (w * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)") &&
+            expr("n_events * w > s1"))
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("w").as("baseline_hours"), col("s1").as("baseline_sum"),
+          col("is_spike"))
+        .orderBy("hour", "event_type")
+    }),
+
     // Statistical moments per event type: mean, sample stddev, and the
     // value↔k correlation — from EXACT decimal moments (Σx, Σx², Σxy),
     // not Spark's stddev_samp/corr, whose double accumulation is
@@ -387,6 +471,54 @@ object EventQueries extends QueryModule {
         |FROM axis a CROSS JOIN types t
         |LEFT JOIN counts c ON a.hour = c.hour AND t.event_type = c.event_type
         |ORDER BY a.hour, t.event_type""".stripMargin,
+
+    // Same bucketization; // floor = div truncation on positive epochs.
+    "event_window_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |pb AS (SELECT event_id, user_id, us,
+        |              unnest([us // 1800000000, us // 1800000000 - 1]) AS bucket
+        |       FROM p),
+        |eb AS (SELECT user_id, us AS e_us, us // 1800000000 AS bucket FROM e),
+        |c AS (SELECT pb.event_id, count(*) AS n_prior,
+        |             min(pb.us - eb.e_us) AS nearest
+        |      FROM pb JOIN eb ON pb.user_id = eb.user_id AND pb.bucket = eb.bucket
+        |      WHERE pb.us - eb.e_us > 0 AND pb.us - eb.e_us <= 1800000000
+        |      GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |       CAST(COALESCE(c.n_prior, 0) AS BIGINT) AS n_prior_30m,
+        |       CAST(c.nearest AS BIGINT) AS nearest_gap_us
+        |FROM p LEFT JOIN c ON p.event_id = c.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Same grid + trailing frame; HUGEINT carries Σn² and the squared
+    // z-test terms DECIMAL(38,0) holds on the Spark side.
+    "hourly_anomalies" ->
+      """WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type
+        |           FROM events),
+        |counts AS (SELECT hour, event_type, count(*) AS n_events
+        |           FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+        |axis AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour
+        |         FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT a.hour, t.event_type,
+        |                CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |         FROM axis a CROSS JOIN types t
+        |         LEFT JOIN counts c ON a.hour = c.hour AND t.event_type = c.event_type),
+        |wn AS (SELECT hour, event_type, n_events,
+        |              CAST(count(*) OVER win AS BIGINT) AS w,
+        |              CAST(COALESCE(sum(n_events) OVER win, 0) AS BIGINT) AS s1,
+        |              COALESCE(sum(CAST(n_events AS HUGEINT) * n_events) OVER win, 0) AS s2
+        |       FROM grid
+        |       WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour, event_type, n_events, w AS baseline_hours, s1 AS baseline_sum,
+        |       (w = 24
+        |        AND CAST(n_events * w - s1 AS HUGEINT) * (n_events * w - s1)
+        |            > 9 * (w * s2 - CAST(s1 AS HUGEINT) * s1)
+        |        AND n_events * w > s1) AS is_spike
+        |FROM wn ORDER BY hour, event_type""".stripMargin,
 
     "value_moments" ->
       s"""WITH e AS (SELECT event_type, value,

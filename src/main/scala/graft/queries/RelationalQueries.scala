@@ -428,6 +428,51 @@ object RelationalQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // Z-order layout keys + data-skipping quality (X-86): the
+    // file-layout decision that rules 100 TB scan cost. Parquet/Delta
+    // skip files by min/max zone maps, so a layout clustered on ONE
+    // sort key prunes one predicate dimension perfectly and the other
+    // not at all; interleaving the bits of both keys (Morton order)
+    // bounds BOTH per-bucket spans at ~√buckets of the domain. This
+    // query computes both layouts' bucket spans side by side over
+    // (o_custkey, order day): 16-bit normalized coordinates (global
+    // bounds = a 1-row broadcast), bit-interleaved z-key, 1024 buckets
+    // per layout, and per-bucket min/max spans — the zone-map width a
+    // scan planner would consult. Both (layout, bucket) assignments
+    // explode from ONE scan pass (the sweep-line trick), so the fact
+    // table is read once and shuffled once; all arithmetic is integer
+    // bit manipulation, exact in both engines.
+    "zorder_layout" -> ((s, d) => {
+      val morton = (0 until 16).map(i =>
+        s"shiftleft(shiftright(xs, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright(ys, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("day_num"))
+      val bounds = o.agg(
+        min(col("o_custkey")).as("ck_mn"), max(col("o_custkey")).as("ck_mx"),
+        min(col("day_num")).as("d_mn"), max(col("day_num")).as("d_mx"))
+      val scaled = o.crossJoin(broadcast(bounds))
+        .withColumn("xs", expr("(o_custkey - ck_mn) * 65535 div (ck_mx - ck_mn)"))
+        .withColumn("ys", expr("(day_num - d_mn) * 65535 div (d_mx - d_mn)"))
+        .withColumn("zkey", expr(morton))
+      scaled
+        .select(explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("zkey div 4194304").as("bucket")),
+          struct(lit("bydate").as("layout"),
+            expr("ys div 64").as("bucket")))).as("lb"),
+          col("o_custkey"), col("day_num"))
+        .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+          col("o_custkey"), col("day_num"))
+        .groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("o_custkey")) - min(col("o_custkey"))).as("ck_span"),
+          (max(col("day_num")) - min(col("day_num"))).as("day_span"))
+        .orderBy("layout", "bucket")
+    }),
+
     // Bloom-filter join pruning (X-66): semi join of the fact table
     // against a brand-filtered part subset, with a 4096-bit columnar
     // bloom filter probed BEFORE the join — the declarative form of
@@ -571,6 +616,34 @@ object RelationalQueries extends QueryModule {
          |       n_candidates - n_matched AS n_false_pos, revenue
          |FROM magg JOIN cstats USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // Same normalization, interleave, and bucket arithmetic; the bit
+    // interleave uses multiplies by 4^i (equal to the shifts there).
+    "zorder_layout" -> {
+      val morton = (0 until 16).map(i =>
+        s"((xs >> $i) & 1) * ${1L << (2 * i)} + ((ys >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT o_custkey,
+         |             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_num
+         |           FROM orders),
+         |b AS (SELECT min(o_custkey) AS ck_mn, max(o_custkey) AS ck_mx,
+         |             min(day_num) AS d_mn, max(day_num) AS d_mx
+         |      FROM o),
+         |s AS (SELECT o.o_custkey, o.day_num,
+         |             ((o.o_custkey - b.ck_mn) * 65535) // (b.ck_mx - b.ck_mn) AS xs,
+         |             ((o.day_num - b.d_mn) * 65535) // (b.d_mx - b.d_mn) AS ys
+         |      FROM o CROSS JOIN b),
+         |z AS (SELECT o_custkey, day_num, ys, $morton AS zkey FROM s),
+         |lay AS (
+         |  SELECT 'zorder' AS layout, zkey // 4194304 AS bucket, o_custkey, day_num FROM z
+         |  UNION ALL
+         |  SELECT 'bydate' AS layout, ys // 64 AS bucket, o_custkey, day_num FROM z)
+         |SELECT layout, bucket, count(*) AS n_rows,
+         |       CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS ck_span,
+         |       CAST(max(day_num) - min(day_num) AS BIGINT) AS day_span
+         |FROM lay GROUP BY layout, bucket
+         |ORDER BY layout, bucket""".stripMargin
     },
 
     "zscore_features" ->

@@ -693,6 +693,42 @@ object TextQueries extends QueryModule {
             .otherwise(array().cast("array<int>"))).as("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Inverted-index postings build (X-88): the search-index artifact —
+    // per token: document frequency, the SORTED posting list reduced to
+    // its delta-gap statistics, and an order-sensitive fingerprint of
+    // the gap sequence (gaps, not absolute ids, are what varint /
+    // PForDelta compression works on — the fingerprint pins the exact
+    // compressed stream both engines would emit). df-banded to
+    // [2, 100]: singletons retrieve nothing, and stopword-grade lists
+    // (df > cap) are exactly what a real builder shards into skip-list
+    // segments instead of one row — the substring_dup_spans DfCap
+    // discipline applied to index building, which also bounds every
+    // collect_list at 100 elements (no aggregation-row skew). Gaps via
+    // zip_with of shifted slices, never element_at indexing inside a
+    // lambda (the shingles O(n²) CollapseProject hazard).
+    "build_postings" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(norm(col("text"))))).as("token"))
+      val dfq = e.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100)
+      e.join(dfq, "token")
+        .groupBy("token")
+        .agg(max(col("df")).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("ps"))
+        .withColumn("gaps", zip_with(
+          expr("slice(ps, 2, size(ps) - 1)"),
+          expr("slice(ps, 1, size(ps) - 1)"),
+          (a, b) => a - b))
+        .select(col("token"), col("df"),
+          element_at(col("ps"), 1).as("min_doc"),
+          element_at(col("ps"), -1).as("max_doc"),
+          array_max(col("gaps")).as("max_gap"),
+          aggregate(col("gaps"), lit(0L),
+            (acc, g) => (acc * 31 + g) % lit(1000000007L)).as("gap_fp"))
+        .orderBy("token")
+    }),
+
     // Temperature-balanced language sampling (X-85, the mBERT/XLM-R
     // multilingual recipe): sampling mass per language ∝ (n_l/N)^α
     // with α = 0.5 — upsample the tail so low-resource languages are
@@ -971,6 +1007,24 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_terms, score_fx,
          |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same df band, sort, gap derivation, and rolling-hash fold.
+    "build_postings" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+         |           FROM documents),
+         |d AS (SELECT token, count(*) AS df FROM t GROUP BY token
+         |      HAVING count(*) BETWEEN 2 AND 100),
+         |p AS (SELECT t.token, CAST(max(d.df) AS BIGINT) AS df,
+         |             list_sort(list(t.doc_id)) AS ps
+         |      FROM t JOIN d USING (token) GROUP BY t.token),
+         |g AS (SELECT token, df, ps[1] AS min_doc, ps[len(ps)] AS max_doc,
+         |             list_transform(range(2, len(ps) + 1), i -> ps[i] - ps[i - 1]) AS gaps
+         |      FROM p)
+         |SELECT token, df, min_doc, max_doc,
+         |       CAST(list_max(gaps) AS BIGINT) AS max_gap,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), gaps),
+         |         (h, x) -> (h * 31 + x) % 1000000007) AS gap_fp
+         |FROM g ORDER BY token""".stripMargin,
 
     // Margin smoothing and the md5 copy draw mirror the Spark side;
     // HUGEINT carries the ⌊√n⌋·N·10⁶ product DECIMAL(38,0) holds there.

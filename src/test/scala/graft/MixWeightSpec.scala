@@ -359,6 +359,58 @@ class MixWeightSpec extends SparkSpec {
     assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
 
+  test("minhash_incremental: probe pairs straddle the split and are true near-dups") {
+    val got = q("minhash_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (dNew, dIdx, jac) =>
+      dNew % 10 shouldEqual 0L
+      dIdx % 10 should not equal 0L
+      jac should be >= 0.5
+    }
+    // banding may MISS straddling pairs (recall < 1) but must never
+    // invent similarity: every surfaced pair is in the exact ≥ 0.5
+    // Jaccard output of ngram_jaccard
+    val exact = q("ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (dNew, dIdx, _) =>
+      assert(exact((math.min(dNew, dIdx), math.max(dNew, dIdx))))
+    }
+  }
+
+  test("zorder_layout: buckets partition the table and z-order bounds both spans") {
+    val rows = SparkEntry.queries("zorder_layout")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.orders(spark, sf).count()
+    // each layout covers every row exactly once
+    Seq("zorder", "bydate").foreach { l =>
+      rows.filter(_._1 == l).map(_._3).sum shouldEqual n
+    }
+    // naive reference for the z-key arithmetic on a sample of rows
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), datediff(col("o_orderdate"),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("day_num"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (ckMn, ckMx) = (o.map(_._1).min, o.map(_._1).max)
+    val (dMn, dMx) = (o.map(_._2).min, o.map(_._2).max)
+    def interleave(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    val expectedBuckets = o.map { case (ck, dn) =>
+      val xs = (ck - ckMn) * 65535 / (ckMx - ckMn)
+      val ys = (dn - dMn) * 65535 / (dMx - dMn)
+      (interleave(xs, ys) / 4194304, ys / 64)
+    }
+    val zCounts = expectedBuckets.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val gotZ = rows.filter(_._1 == "zorder").map(r => r._2 -> r._3).toMap
+    gotZ shouldEqual zCounts
+    // the z-order layout must bound the custkey span everywhere the
+    // single-key date layout leaves it at full width: its WORST bucket
+    // custkey span is far below bydate's (which is ~the whole domain)
+    val zWorstCk = rows.filter(_._1 == "zorder").map(_._4).max
+    val dateWorstCk = rows.filter(_._1 == "bydate").map(_._4).max
+    zWorstCk.toDouble should be < dateWorstCk.toDouble * 0.25
+  }
+
   test("minhash_est_err: estimate is matches/16 and the error column is honest") {
     val r = q("minhash_est_err").collect()
     r.foreach { row =>

@@ -26,6 +26,83 @@ class MonitoringOpsSpec extends SparkSpec {
     case other => sys.error(s"unexpected day value: $other")
   }
 
+  test("hourly_anomalies matches a naive trailing-24h z-test and flags real spikes") {
+    val ev = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hours = {
+      val (lo, hi) = (ev.map(_._1).min, ev.map(_._1).max)
+      (lo to hi by 3600000L).toSeq
+    }
+    val types = ev.map(_._2).distinct.sorted
+    val expected = types.flatMap { t =>
+      val series = hours.map(h => (h, counts.getOrElse((h, t), 0L)))
+      series.zipWithIndex.map { case ((h, n), i) =>
+        val base = series.slice(math.max(0, i - 24), i).map(_._2)
+        val (w, s1) = (base.length.toLong, base.sum)
+        val s2 = base.map(x => BigInt(x) * x).sum
+        val spike = w == 24 &&
+          BigInt(n * w - s1) * (n * w - s1) > 9 * (w * s2 - BigInt(s1) * s1) &&
+          n * w > s1
+        (h, t, n, w, s1, spike)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("hourly_anomalies")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    got.toSeq shouldEqual expected
+    // the rule is exercised on this slice, and no flag fires before a
+    // full baseline exists
+    assert(got.count(_._6) > 0)
+    got.filter(_._4 < 24).foreach(_._6 shouldBe false)
+  }
+
+  test("event_window_join matches a naive all-pairs scan within the window") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._2)
+    val expected = evs.filter(_._3 == "purchase").map { case (id, u, _, us) =>
+      val gaps = byUser(u).map(e => us - e._4)
+        .filter(g => g > 0 && g <= 1800000000L)
+      (id, u, gaps.length.toLong, if (gaps.nonEmpty) Some(gaps.min) else None)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("event_window_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    got.toSeq shouldEqual expected.toSeq
+    // the window is actually populated on this slice, and bucketization
+    // never invents a pair outside the exact range
+    assert(expected.exists(_._3 > 0))
+    got.flatMap(_._4).foreach { g => assert(g > 0 && g <= 1800000000L) }
+  }
+
+  test("build_postings matches a naive sorted-posting-list build") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.norm(col("text"))).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val postings = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      .filter { case (_, ps) => ps.length >= 2 && ps.length <= 100 }
+    val expected = postings.toSeq.map { case (t, ps) =>
+      val gaps = ps.sliding(2).map(p => p(1) - p(0)).toSeq
+      val fp = gaps.foldLeft(0L)((h, g) => (h * 31 + g) % 1000000007L)
+      (t, ps.length.toLong, ps.head, ps.last, gaps.max, fp)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("build_postings")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldEqual expected
+    // gap sums reconstruct the span exactly — delta coding is lossless
+    got.foreach { case (_, _, mn, mx, maxGap, _) =>
+      maxGap should be <= (mx - mn)
+    }
+  }
+
   test("open_orders_by_day matches a naive per-day interval count and conserves mass") {
     val out = SparkEntry.queries("open_orders_by_day")(spark, sf)
       .collect()

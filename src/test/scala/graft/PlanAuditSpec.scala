@@ -135,12 +135,14 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
       "chi2_tokens" -> 2,          // |langs|-row margin frame + 1-row total (the vocabulary-sized frames are shuffle-joined, not hinted)
       "sq8_error" -> 1,            // 64-row per-dimension bounds frame (the trained SQ codebook)
+      "zorder_layout" -> 1,        // 1-row global min/max bounds frame
       "temperature_mix" -> 2,      // 1-row total + |langs|-row smoothed-boost frame
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
       "ann_recall" -> 6,           // 10-query frames: truth's hint ×2 (its lineage is embedded in both union branches) + lsh's 1 + ivf's 3 (materialized centroids on assign/probe + probes)
       "events_hourly_filled" -> 1, // |types| distinct frame crossed with the generated hour axis
+      "hourly_anomalies" -> 1,     // same |types| distinct frame (the X-76 grid is its input)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
