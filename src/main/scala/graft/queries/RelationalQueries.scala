@@ -428,6 +428,39 @@ object RelationalQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // Right-to-be-forgotten cascade audit (X-91): given an erasure
+    // request set (a deterministic 2% of customers via the md5 bucket,
+    // standing in for the real request table), count the rows each
+    // table would lose following the key cascade customer → orders →
+    // lineitem — the impact report a deletion pipeline produces before
+    // it mutates anything. The request set propagates through SHUFFLE
+    // hash joins keyed on the cascade keys; no broadcast hint, because
+    // the plan must not assume the request set is small (2% of a 10⁹
+    // customer table is 2×10⁷ rows — AQE may still broadcast a
+    // measured-small one at runtime, which is the right division of
+    // labor). Each hop's join is pruned by the previous hop's keys, so
+    // the lineitem pass only ever sees surviving order keys.
+    "erasure_audit" -> ((s, d) => {
+      val subjects = Tables.customer(s, d)
+        .filter(graft.operators.TextAnalysis
+          .sampleBucket(col("c_custkey"), "graft-erase") < 2)
+        .select(col("c_custkey"))
+      val ordersHit = Tables.orders(s, d)
+        .join(subjects, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey")
+      val cust = subjects.agg(count(lit(1)).as("n_rows"))
+        .withColumn("table_name", lit("customer"))
+      val ord = ordersHit.agg(count(lit(1)).as("n_rows"))
+        .withColumn("table_name", lit("orders"))
+      val li = Tables.lineitem(s, d)
+        .join(ordersHit, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("table_name", lit("lineitem"))
+      cust.union(ord).union(li)
+        .select("table_name", "n_rows")
+        .orderBy("table_name")
+    }),
+
     // Z-order layout keys + data-skipping quality (X-86): the
     // file-layout decision that rules 100 TB scan cost. Parquet/Delta
     // skip files by min/max zone maps, so a layout clustered on ONE
@@ -617,6 +650,18 @@ object RelationalQueries extends QueryModule {
          |FROM magg JOIN cstats USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },
+
+    // Same md5 request-set draw and key cascade.
+    "erasure_audit" ->
+      """WITH subj AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE CAST('0x' || substr(md5('graft-erase' || c_custkey), 1, 4) AS BIGINT) % 100 < 2),
+        |oh AS (SELECT o_orderkey FROM orders JOIN subj ON o_custkey = c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows FROM subj
+        |  UNION ALL SELECT 'orders', count(*) FROM oh
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem JOIN oh ON l_orderkey = o_orderkey)
+        |ORDER BY table_name""".stripMargin,
 
     // Same normalization, interleave, and bucket arithmetic; the bit
     // interleave uses multiplies by 4^i (equal to the shifts there).

@@ -58,6 +58,27 @@ class MonitoringOpsSpec extends SparkSpec {
     got.filter(_._4 < 24).foreach(_._6 shouldBe false)
   }
 
+  test("erasure_audit matches a naive cascade count and finds a non-empty request set") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val subj = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+      .filter(k => java.lang.Long.parseLong(md5hex(s"graft-erase$k").take(4), 16) % 100 < 2)
+      .toSet
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val oh = orders.filter(o => subj(o._2)).map(_._1).toSet
+    val nLi = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .count(r => oh(r.getLong(0)))
+    val got = SparkEntry.queries("erasure_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldEqual Map("customer" -> subj.size.toLong,
+      "orders" -> oh.size.toLong, "lineitem" -> nLi.toLong)
+    // a 2% draw over this slice is non-empty and cascades all the way
+    assert(subj.nonEmpty && oh.nonEmpty && nLi > 0)
+  }
+
   test("event_window_join matches a naive all-pairs scan within the window") {
     val evs = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
