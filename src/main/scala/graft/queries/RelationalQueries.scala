@@ -486,9 +486,13 @@ object RelationalQueries extends QueryModule {
       val bounds = o.agg(
         min(col("o_custkey")).as("ck_mn"), max(col("o_custkey")).as("ck_mx"),
         min(col("day_num")).as("d_mn"), max(col("day_num")).as("d_mx"))
+      // a constant dimension (a partition-pruned slice, a single-day
+      // drop) maps everything to coordinate 0 instead of dividing by 0
       val scaled = o.crossJoin(broadcast(bounds))
-        .withColumn("xs", expr("(o_custkey - ck_mn) * 65535 div (ck_mx - ck_mn)"))
-        .withColumn("ys", expr("(day_num - d_mn) * 65535 div (d_mx - d_mn)"))
+        .withColumn("xs", expr("CASE WHEN ck_mx > ck_mn THEN " +
+          "(o_custkey - ck_mn) * 65535 div (ck_mx - ck_mn) ELSE 0 END"))
+        .withColumn("ys", expr("CASE WHEN d_mx > d_mn THEN " +
+          "(day_num - d_mn) * 65535 div (d_mx - d_mn) ELSE 0 END"))
         .withColumn("zkey", expr(morton))
       scaled
         .select(explode(array(
@@ -676,8 +680,12 @@ object RelationalQueries extends QueryModule {
          |             min(day_num) AS d_mn, max(day_num) AS d_mx
          |      FROM o),
          |s AS (SELECT o.o_custkey, o.day_num,
-         |             ((o.o_custkey - b.ck_mn) * 65535) // (b.ck_mx - b.ck_mn) AS xs,
-         |             ((o.day_num - b.d_mn) * 65535) // (b.d_mx - b.d_mn) AS ys
+         |             CASE WHEN b.ck_mx > b.ck_mn
+         |                  THEN ((o.o_custkey - b.ck_mn) * 65535) // (b.ck_mx - b.ck_mn)
+         |                  ELSE 0 END AS xs,
+         |             CASE WHEN b.d_mx > b.d_mn
+         |                  THEN ((o.day_num - b.d_mn) * 65535) // (b.d_mx - b.d_mn)
+         |                  ELSE 0 END AS ys
          |      FROM o CROSS JOIN b),
          |z AS (SELECT o_custkey, day_num, ys, $morton AS zkey FROM s),
          |lay AS (

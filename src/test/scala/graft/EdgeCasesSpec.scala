@@ -108,6 +108,102 @@ class EdgeCasesSpec extends SparkSpec {
     all(out.values) should be > 0.0
   }
 
+  /** A tiny events.parquet with a planted rate spike and a purchase
+    * with a known pre-purchase activity burst. */
+  private lazy val tinyEventsDir: String = {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // one view per hour for 25 hours, then a 10-event burst in hour 25
+    val hourly = (0 to 24).map(h =>
+      (h.toLong + 1, ts(h * 3600000L), 1L, "view", 1.0, "{}"))
+    val burst = (1 to 10).map(i =>
+      (100L + i, ts(25 * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    val extra = Seq(
+      (200L, ts(35 * 60000L), 1L, "view", 1.0, "{}"),
+      (201L, ts(45 * 60000L), 1L, "view", 1.0, "{}"),
+      (300L, ts(3600000L + 10000L), 1L, "purchase", 1.0, "{}"))
+    val df = (hourly ++ burst ++ extra)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("edge-events").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("hourly_anomalies: a planted burst flags, nothing flags before a full baseline") {
+    val out = SparkEntry.queries("hourly_anomalies")(spark, tinyEventsDir)
+      .collect()
+      .map(r => ((r.getTimestamp(0).getTime, r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))))
+    val flagged = out.filter(_._2._3)
+    flagged.length shouldEqual 1
+    val ((ts, tpe), (n, w, _)) = flagged.head
+    tpe shouldEqual "view"
+    n shouldEqual 10L // the burst hour
+    w shouldEqual 24L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    ts shouldEqual base + 25 * 3600000L
+    // the flat-baseline hours before the burst never flag
+    out.filter(t => t._1._2 == "view" && t._2._1 == 1L)
+      .foreach(_._2._3 shouldBe false)
+  }
+
+  test("event_window_join: only strictly-prior events inside 30 minutes count") {
+    val out = SparkEntry.queries("event_window_join")(spark, tinyEventsDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.length shouldEqual 1 // one purchase
+    // purchase at 01:00:10 — prior views at 01:00:00 (10 s),
+    // 00:45 (15m10s), 00:35 (25m10s); the 00:00:00 view is outside
+    out.head shouldEqual ((300L, 3L, 10000000L))
+  }
+
+  test("zorder_layout survives a constant key dimension (no divide-by-zero)") {
+    import spark.implicits._
+    // every order on the same day: the day coordinate is constant and
+    // must map to 0, not divide by zero (a single-day drop is routine)
+    val rows = (1 to 8).map(i => (i.toLong, i.toLong * 10, "2020-03-01"))
+    val df = rows.toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+    val dir = java.nio.file.Files.createTempDirectory("edge-zorder").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("zorder_layout")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    // both layouts still cover all 8 rows; every day span is 0
+    Seq("zorder", "bydate").foreach { l =>
+      out.filter(_._1 == l).map(_._2).sum shouldEqual 8L
+    }
+    all(out.map(_._3)) shouldEqual 0L
+  }
+
+  test("temperature_mix on a single-language corpus is the identity mixture") {
+    val out = SparkEntry.queries("temperature_mix")(spark, tinyDocsDir).collect()
+    out.length shouldEqual 1
+    val r = out.head
+    // one stratum: boost is exactly 1.0 and every doc draws one copy
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)) shouldEqual
+      (("en", 4L, 1000000L, 1.0, 4L))
+  }
+
+  test("build_postings: df band keeps shared tokens only, gaps and fingerprints exact") {
+    val out = SparkEntry.queries("build_postings")(spark, tinyDocsDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    // tok1..tok25 appear in docs 1 and 2 only: posting [1,2], gap [1],
+    // fingerprint (0·31+1) mod P = 1
+    (1 to 25).foreach { i =>
+      out(s"tok$i") shouldEqual ((2L, 1L, 2L, 1L, 1L))
+    }
+    // nothing below the df floor leaks through
+    out.values.foreach(_._1 should be >= 2L)
+  }
+
+  test("chi2_tokens on a corpus below the df floor is empty, not a crash") {
+    SparkEntry.queries("chi2_tokens")(spark, tinyDocsDir).count() shouldEqual 0
+  }
+
   test("sequence_pack_global: chunk ids are globally contiguous across strata") {
     val out = SparkEntry.queries("sequence_pack_global")(spark, tinyDocsDir)
       .collect()
