@@ -10,7 +10,16 @@ object Verify {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Comma-separated name filter for fast local iteration on a few
+    // queries (mirrors Bench's SPARK_GRAFT_BENCH_ONLY); the driver
+    // never sets it, so its runs always dump the full registry.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(t => names(t._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // coalesce(1) is SINK-ONLY (one comparable parquet file for the
       // sf0.01 oracle dump) — never imitate it on a bench/production
       // path, where it would serialize the whole plan into one task.

@@ -612,6 +612,98 @@ object RelationalQueries extends QueryModule {
             1L).otherwise(0L)).as("n_high"))
         .orderBy("o_orderpriority")
     }),
+
+    // SCD type-2 dimension build (X-92): each customer's order-priority
+    // history compressed to validity intervals — the change-data-capture
+    // shape every lakehouse MERGE pipeline maintains (detect change
+    // points vs the previous version, close the prior interval, flag
+    // the current one). Both windows partition on o_custkey (key
+    // cardinality grows with the data — parallelism is data-bound, the
+    // opposite of the sub-16-key funnel the plan gate bans), and the
+    // change filter preserves the first window's hash partitioning, so
+    // the whole history build is ONE exchange. Total order inside a
+    // customer is (o_orderdate, o_orderkey) — deterministic under
+    // same-day priority flips, which produce zero-length intervals
+    // rather than nondeterminism.
+    "scd2_dim" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val changes = Tables.orders(s, d)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      changes
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_from", col("o_orderdate"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "o_orderpriority", "version",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("o_custkey", "version")
+    }),
+
+    // Equi-depth histogram build (X-93): the ANALYZE-TABLE statistic a
+    // cost-based optimizer stores — 8 equal-row bins of the order-value
+    // distribution, each bin's upper boundary being the exact data
+    // value AT the ntile cutoff rank (percentile_disc semantics, no
+    // interpolation). Runs through the two-phase Quantile selection,
+    // so no task ever sorts more than a ~n/1024 bucket; the final
+    // bin-numbering window is unpartitioned but runs over the ≤ 8
+    // selected rank rows (allowlisted in PlanAuditSpec with that
+    // bound). Values are exact integer cents.
+    "equidepth_hist" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .select(lit("all").as("grp"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          col("o_orderkey"))
+      val selected = Quantile.selectRanks(cents, "grp", "p_c", "o_orderkey",
+        n => Quantile.ntileCutoffs(8)(n) :+ n)
+      val w = Window.orderBy("__grank")
+      selected
+        .withColumn("bin", row_number().over(w).cast("long"))
+        .withColumn("lo_rank", coalesce(lag(col("__grank"), 1).over(w), lit(0L)))
+        .select(col("bin"), col("__grank").as("hi_rank"),
+          (col("__grank") - col("lo_rank")).as("n_rows"),
+          col("p_c").as("hi_cents"))
+        .orderBy("bin")
+    }),
+
+    // Referential-integrity audit (X-94): orphan-row counts for every
+    // foreign-key edge of the star schema — the constraint check a
+    // 100 TB lakehouse runs after every ingest, because nothing else
+    // enforces FKs there. Each edge is a left join from the child key
+    // to the DISTINCT parent keys (never assume PK uniqueness of an
+    // unconstrained table) + a null count. The nation parent is a
+    // 25-row dim (broadcast-hinted); every growing parent
+    // (orders/customer/part/supplier) is shuffle-joined — at scale
+    // those keysets are far past broadcast range. Child scans read
+    // ONLY the key column, so the audit's IO is one column per edge.
+    "fk_orphans" -> ((s, d) => {
+      def audit(edge: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String,
+          hintDim: Boolean): org.apache.spark.sql.DataFrame = {
+        val p0 = parent.select(col(pk)).distinct()
+        val p = if (hintDim) broadcast(p0) else p0
+        child.select(col(ck))
+          .join(p, col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(edge).as("fk_edge"), col("n_child"), col("n_orphan"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", hintDim = true)
+        .unionByName(audit("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey", hintDim = true))
+        .unionByName(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", hintDim = false))
+        .unionByName(audit("lineitem->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", hintDim = false))
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey", hintDim = false))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", hintDim = false))
+        .orderBy("fk_edge")
+    }),
   )
 
   import Exact._
@@ -973,5 +1065,82 @@ object RelationalQueries extends QueryModule {
         |UNION ALL
         |SELECT 'only_1998', count(*) FROM (SELECT * FROM c98 EXCEPT SELECT * FROM c97)
         |ORDER BY cohort""".stripMargin,
+
+    // Same change-point detection and interval close; row_number cast
+    // to BIGINT to match the Spark long.
+    "scd2_dim" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM c ORDER BY o_custkey, version""".stripMargin,
+
+    // The oracle locates the same ntile cutoff ranks with the one-window
+    // form (fine at oracle scale; the engine side is the two-phase
+    // selection). Cutoff ranks: i·⌊n/8⌋ + min(i, n mod 8) for i < 8,
+    // plus n itself as the top bin's boundary.
+    "equidepth_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p_c,
+        |         o_orderkey
+        |  FROM orders),
+        |r AS (SELECT p_c,
+        |             CAST(row_number() OVER (ORDER BY p_c, o_orderkey) AS BIGINT) AS rn,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM c),
+        |cut AS (SELECT DISTINCT CASE WHEN i = 8 THEN n
+        |                             ELSE i * (n // 8) + least(i, n % 8) END AS rn
+        |        FROM range(1, 9) t(i), (SELECT max(n) AS n FROM r)),
+        |sel AS (SELECT r.rn, r.p_c FROM r JOIN cut USING (rn)),
+        |b AS (SELECT rn AS hi_rank, p_c AS hi_cents,
+        |             CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS bin,
+        |             CAST(coalesce(lag(rn) OVER (ORDER BY rn), 0) AS BIGINT) AS lo_rank
+        |      FROM sel)
+        |SELECT bin, hi_rank, hi_rank - lo_rank AS n_rows, hi_cents
+        |FROM b ORDER BY bin""".stripMargin,
+
+    // Same DISTINCT-parent left joins and null counts per FK edge.
+    "fk_orphans" ->
+      """SELECT * FROM (
+        |  SELECT 'customer->nation' AS fk_edge, count(*) AS n_child,
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        |  FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'supplier->nation', count(*),
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON s_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', count(*),
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*),
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', count(*),
+        |         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l_suppkey = p.k)
+        |ORDER BY fk_edge""".stripMargin,
   )
 }

@@ -786,6 +786,57 @@ object TextQueries extends QueryModule {
           sum(lit(1) - lit(2) * (floor(col("h") / lit(64.0)).cast("long") % 2))
             .as("feat"))
         .orderBy("doc_id", "bucket")),
+
+    // Targeted-domain data selection (X-95, the DSIR/importance-
+    // sampling shape — Xie et al. '23): score every document by how
+    // much of it leans toward a target domain's token distribution
+    // (here lang='en' stands in for "high-quality target corpus").
+    // Each token gets a ±1 weight by exact integer cross-
+    // multiplication of its target vs out-of-domain relative
+    // frequency (cnt_t·tot_s ⋛ cnt_s·tot_t in DECIMAL(38) — no
+    // division, no logs; ln() is libm-dependent and not bit-identical
+    // across engines, and the sign of the log-ratio IS this sign).
+    // Per-doc score = over-represented-token fraction in 1e6 fixed
+    // point; selected = strictly more over- than under-represented
+    // tokens. HONEST corpus note (measured): this synthetic corpus
+    // draws every language from ONE shared vocabulary — max relative-
+    // frequency ratio ≈ 1.17×, pure sampling noise — so an absolute
+    // ratio threshold (DSIR's 2×) never fires here; the sign form
+    // keeps the exact same two-aggregate + shuffle-join plan while
+    // producing a non-degenerate selection to verify against. All
+    // integer divisions are kept NON-NEGATIVE: Spark `div` truncates
+    // toward zero while DuckDB `//` floors, so a negative numerator
+    // would silently diverge between engine and oracle. Scale shape:
+    // two token hash-aggregates + ONE shuffle join of the exploded
+    // corpus against the weighted vocabulary — which grows with the
+    // corpus, so it is never broadcast-hinted (doc_lm_score's rule);
+    // only the 1-row domain-totals frame is hinted.
+    "domain_select" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(norm(col("text")))).as("token"))
+      val dom = e.groupBy("token").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cnt_s"))
+      val lhs = expr("CAST(cnt_t AS DECIMAL(38,0)) * tot_s")
+      val rhs = expr("CAST(cnt_s AS DECIMAL(38,0)) * tot_t")
+      val tot = dom.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_s")).as("tot_s"))
+      val w = dom.crossJoin(broadcast(tot))
+        .select(col("token"),
+          when(lhs > rhs, 1L).otherwise(0L).as("over"),
+          when(lhs < rhs, 1L).otherwise(0L).as("under"))
+      // inner join is total: every corpus token is in `dom` by construction
+      e.join(w, Seq("token"))
+        .groupBy("doc_id")
+        .agg(first(col("lang")).as("lang"),
+          count(lit(1)).as("n_tok"),
+          sum(col("over")).as("n_over"),
+          sum(col("under")).as("n_under"))
+        .withColumn("score_fx",
+          expr("CAST(CAST(n_over AS DECIMAL(24,0)) * 1000000 div n_tok AS BIGINT)"))
+        .withColumn("selected", col("n_over") > col("n_under"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
@@ -1246,5 +1297,33 @@ object TextQueries extends QueryModule {
          |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
          |         (h, x) -> (h * 31 + x) % 1000000007) AS chunk_fp
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same integer cross-multiplied ±1 token weighting and fixed-
+    // point over-represented fraction; DuckDB sums widen to HUGEINT,
+    // so the products are exact there too, and every `//` operand is
+    // non-negative (floor = truncate on that domain).
+    "domain_select" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS token
+         |  FROM documents),
+         |dom AS (SELECT token,
+         |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_s
+         |        FROM e GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+         |               CAST(sum(cnt_s) AS BIGINT) AS tot_s FROM dom),
+         |w AS (SELECT token,
+         |             CASE WHEN cnt_t * tot_s > cnt_s * tot_t THEN 1 ELSE 0 END AS over,
+         |             CASE WHEN cnt_t * tot_s < cnt_s * tot_t THEN 1 ELSE 0 END AS under
+         |      FROM dom, tot),
+         |j AS (SELECT e.doc_id, e.lang, w.over, w.under
+         |      FROM e JOIN w ON e.token = w.token)
+         |SELECT doc_id, min(lang) AS lang,
+         |       count(*) AS n_tok,
+         |       CAST(sum(over) AS BIGINT) AS n_over,
+         |       CAST(sum(under) AS BIGINT) AS n_under,
+         |       CAST((sum(over) * 1000000) // count(*) AS BIGINT) AS score_fx,
+         |       sum(over) > sum(under) AS selected
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -143,6 +143,9 @@ class PlanAuditSpec extends SparkSpec {
       "ann_recall" -> 6,           // 10-query frames: truth's hint ×2 (its lineage is embedded in both union branches) + lsh's 1 + ivf's 3 (materialized centroids on assign/probe + probes)
       "events_hourly_filled" -> 1, // |types| distinct frame crossed with the generated hour axis
       "hourly_anomalies" -> 1,     // same |types| distinct frame (the X-76 grid is its input)
+      "equidepth_hist" -> 3,       // two-phase Quantile shape: per-group stats hinted in both bucketed passes + the ≤ |bins| target-bucket frame
+      "fk_orphans" -> 2,           // the 25-row nation dim, hinted on its two FK edges (growing parents are shuffle-joined)
+      "domain_select" -> 1,        // 1-row domain-totals frame (the distinctive vocabulary is shuffle-joined, per doc_lm_score's rule)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -167,7 +170,8 @@ class PlanAuditSpec extends SparkSpec {
       "rolling_revenue_7d",   // ≤ |days| rows (daily aggregate)
       "sequence_pack_global", // ≤ |langs|×8 rows (stratum chunk offsets)
       "open_orders_by_day",   // ≤ |days| rows (sweep-line delta aggregate)
-      "rrf_fusion"            // global top-20 ranking: the final window's input is Rank's pre-pruned ≤ k × partitions survivors (the constant group key folds away)
+      "rrf_fusion",           // global top-20 ranking: the final window's input is Rank's pre-pruned ≤ k × partitions survivors (the constant group key folds away)
+      "equidepth_hist"        // bin numbering over the ≤ |bins| rank-selected rows (below it sits the Quantile target-bucket Join)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
