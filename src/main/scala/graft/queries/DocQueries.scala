@@ -84,6 +84,35 @@ object DocQueries extends QueryModule {
           Extraction.truncateEllipsis(col("text"), 120).as("preview"),
           length(col("text")).as("n_len"))
         .orderBy("doc_id")),
+
+    // Scale-safe global sequence assignment (X-99): contiguous ids in
+    // (lang, doc_id) order WITHOUT a global single-task sort — the
+    // distributed zipWithIndex, expressed declaratively. Range-
+    // repartition on the order keys (ONE exchange; partition count is
+    // bounded by the session parallelism), capture the physical
+    // partition id, rank locally per captured pid (every task sorts
+    // only its slice), aggregate per-partition counts (≤ P rows),
+    // prefix-sum them with an unpartitioned window over that P-row
+    // frame (allowlisted with that bound), broadcast the offsets
+    // back. The ids depend only on the TOTAL order (lang, doc_id is
+    // unique), not on where RangePartitioner's sampled boundaries
+    // fall, so the result is deterministic run to run.
+    "global_ids" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranged = Tables.documents(s, d).select("doc_id", "lang")
+        .repartitionByRange(col("lang"), col("doc_id"))
+        .withColumn("pid", spark_partition_id().cast("long"))
+      val local = ranged.withColumn("lrn",
+        row_number().over(Window.partitionBy("pid").orderBy("lang", "doc_id"))
+          .cast("long"))
+      val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      local.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), col("lang"), (col("off") + col("lrn")).as("gid"))
+        .orderBy("gid")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -130,5 +159,12 @@ object DocQueries extends QueryModule {
         |       CASE WHEN length(text) > 120 THEN substr(text, 1, 120) || '…' ELSE text END AS preview,
         |       CAST(length(text) AS INTEGER) AS n_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the SPECIFICATION (one global row_number);
+    // the engine side is the two-phase offset plan.
+    "global_ids" ->
+      """SELECT doc_id, lang,
+        |       CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS gid
+        |FROM documents ORDER BY gid""".stripMargin,
   )
 }

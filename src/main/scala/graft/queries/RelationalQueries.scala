@@ -704,6 +704,87 @@ object RelationalQueries extends QueryModule {
           Tables.supplier(s, d), "s_suppkey", hintDim = false))
         .orderBy("fk_edge")
     }),
+
+    // Snapshot diff / CDC class computation (X-97): the MERGE-input a
+    // lakehouse computes between two table versions — insert / delete /
+    // update / unchanged counts plus the net value delta. The two
+    // snapshots are derived here from `orders` by deterministic md5
+    // draws (2% inserted-since, 2% deleted-since, 3% value-drifted —
+    // the erasure_audit seeding idiom), but the diff itself treats
+    // them as INDEPENDENT tables: one full-outer shuffle join on the
+    // key, presence + value compare, one aggregate. No hint anywhere —
+    // neither snapshot of a 100 TB table is broadcastable. Value
+    // compare in exact integer cents.
+    "snapshot_diff" -> ((s, d) => {
+      import graft.operators.TextAnalysis.sampleBucket
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val old = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-ins") >= 2)
+        .withColumn("cents",
+          when(sampleBucket(col("o_orderkey"), "graft-snap-upd") < 3,
+            col("cents") - 100L).otherwise(col("cents")))
+        .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("st_old"),
+          col("cents").as("c_old"))
+      val neu = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-del") >= 2)
+        .select(col("o_orderkey").as("k_new"), col("o_orderstatus").as("st_new"),
+          col("cents").as("c_new"))
+      neu.join(old, col("k_new") === col("k_old"), "full_outer")
+        .withColumn("change_class",
+          when(col("k_old").isNull, "insert")
+            .when(col("k_new").isNull, "delete")
+            .when(col("c_new") =!= col("c_old") || col("st_new") =!= col("st_old"),
+              "update")
+            .otherwise("unchanged"))
+        .groupBy("change_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("c_new"), lit(0L)) - coalesce(col("c_old"), lit(0L)))
+            .as("delta_cents"))
+        .orderBy("change_class")
+    }),
+
+    // k-anonymity audit with one generalization step (X-98): the
+    // privacy gate a release pipeline runs before publishing — count
+    // quasi-identifier equivalence classes (nation × market segment),
+    // keep classes of size ≥ k as-is, and re-aggregate the violating
+    // ROWS one rung up the generalization lattice (segment → '*').
+    // Pure hash aggregates on data-bound keys; the second aggregate
+    // runs only over the violating classes' summary rows (≤ |QI
+    // domain|), not the raw table again.
+    "k_anonymity" -> ((s, d) => {
+      val k = 5L
+      val cls = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"))
+      val ok = cls.filter(col("n_rows") >= k)
+        .select(col("nationkey"), col("segment"), col("n_rows"),
+          lit(0L).as("level"), lit(true).as("anonymous"))
+      val gen = cls.filter(col("n_rows") < k)
+        .groupBy("nationkey").agg(sum(col("n_rows")).as("n_rows"))
+        .select(col("nationkey"), lit("*").as("segment"), col("n_rows"),
+          lit(1L).as("level"), (col("n_rows") >= k).as("anonymous"))
+      ok.unionByName(gen).orderBy("level", "nationkey", "segment")
+    }),
+
+    // Cohort retention matrix (X-100): customers bucketed by first-
+    // order month, activity counted per months-since-cohort — the
+    // classic retention triangle. Shape: one distinct (customer,
+    // month) aggregate, one per-customer min aggregate, one shuffle
+    // join on the customer key (both sides hash-partition on
+    // o_custkey, so the exchange is shared), one final aggregate on
+    // the stratum-cardinality (cohort, months_since) key. The cohort
+    // frame grows with the customer count — never broadcast-hinted.
+    "cohort_retention" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      val first = o.groupBy("o_custkey").agg(min(col("month")).as("cohort"))
+      o.distinct()
+        .join(first, "o_custkey")
+        .groupBy(col("cohort"),
+          months_between(col("month"), col("cohort")).cast("long").as("months_since"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "months_since")
+    }),
   )
 
   import Exact._
@@ -1142,5 +1223,56 @@ object RelationalQueries extends QueryModule {
         |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
         |    ON l_suppkey = p.k)
         |ORDER BY fk_edge""".stripMargin,
+
+    // Same md5 snapshot draws, full-outer presence/value compare, and
+    // integer-cents delta.
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM orders),
+        |old AS (SELECT o_orderkey AS k_old, o_orderstatus AS st_old,
+        |               CASE WHEN CAST('0x' || substr(md5('graft-snap-upd' || o_orderkey), 1, 4) AS BIGINT) % 100 < 3
+        |                    THEN cents - 100 ELSE cents END AS c_old
+        |        FROM o
+        |        WHERE CAST('0x' || substr(md5('graft-snap-ins' || o_orderkey), 1, 4) AS BIGINT) % 100 >= 2),
+        |new AS (SELECT o_orderkey AS k_new, o_orderstatus AS st_new, cents AS c_new
+        |        FROM o
+        |        WHERE CAST('0x' || substr(md5('graft-snap-del' || o_orderkey), 1, 4) AS BIGINT) % 100 >= 2),
+        |j AS (SELECT CASE WHEN k_old IS NULL THEN 'insert'
+        |                  WHEN k_new IS NULL THEN 'delete'
+        |                  WHEN c_new <> c_old OR st_new <> st_old THEN 'update'
+        |                  ELSE 'unchanged' END AS change_class,
+        |             coalesce(c_new, 0) - coalesce(c_old, 0) AS delta
+        |      FROM new FULL OUTER JOIN old ON k_new = k_old)
+        |SELECT change_class, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(delta) AS BIGINT) AS delta_cents
+        |FROM j GROUP BY change_class ORDER BY change_class""".stripMargin,
+
+    // Same class counts and one-step generalization of the violators.
+    "k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT nationkey, segment, n_rows, CAST(0 AS BIGINT) AS level,
+        |         true AS anonymous
+        |  FROM cls WHERE n_rows >= 5
+        |  UNION ALL
+        |  SELECT nationkey, '*', CAST(sum(n_rows) AS BIGINT), CAST(1 AS BIGINT),
+        |         sum(n_rows) >= 5
+        |  FROM cls WHERE n_rows < 5 GROUP BY nationkey)
+        |ORDER BY level, nationkey, segment""".stripMargin,
+
+    // Same distinct-activity / first-month join; month arithmetic on
+    // month-truncated values is exact in both engines.
+    "cohort_retention" ->
+      """WITH o AS (SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS month
+        |           FROM orders),
+        |f AS (SELECT o_custkey, min(month) AS cohort FROM o GROUP BY o_custkey)
+        |SELECT cohort, CAST(date_diff('month', cohort, month) AS BIGINT) AS months_since,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY cohort, months_since ORDER BY cohort, months_since""".stripMargin,
   )
 }

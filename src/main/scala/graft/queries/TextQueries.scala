@@ -837,6 +837,36 @@ object TextQueries extends QueryModule {
         .withColumn("selected", col("n_over") > col("n_under"))
         .orderBy("doc_id")
     }),
+
+    // Corpus-driven stopword strip with document reconstruction
+    // (X-96): drop the 3 highest-document-frequency tokens (ties
+    // broken on the token) and rebuild each document's text in
+    // original token order — the cleaning pass that has to PRESERVE
+    // ORDER, which is what makes it non-trivial distributed: position
+    // captured at explode time, removal by join, reconstruction by
+    // per-doc sort of the kept (pos, token) pairs (collect_list skips
+    // the nulled-out stopwords; array_sort on the struct orders by
+    // pos, which is unique per doc — deterministic). The stopword
+    // frame is k-bounded by construction (top-3 through the two-phase
+    // Rank pre-prune, no global sort) → legitimately broadcast; the
+    // df aggregate itself is vocabulary-sized and never hinted.
+    "stopword_strip" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(norm(col("text")))))
+        .withColumnRenamed("col", "token")
+      val df = e.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val stop = graft.operators.Rank.topKPerGroup(df.withColumn("g", lit(0)), 3,
+          Seq("g"), Seq(col("df").desc, col("token")))
+        .select(col("token"), lit(1L).as("is_stop"))
+      e.join(broadcast(stop), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(sum(when(col("is_stop").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("is_stop").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          concat_ws(" ", transform(array_sort(collect_list(
+              when(col("is_stop").isNull, struct(col("pos"), col("token"))))),
+            x => x("token"))).as("clean_text"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
@@ -1324,6 +1354,25 @@ object TextQueries extends QueryModule {
          |       CAST(sum(under) AS BIGINT) AS n_under,
          |       CAST((sum(over) * 1000000) // count(*) AS BIGINT) AS score_fx,
          |       sum(over) > sum(under) AS selected
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same top-3-by-(df desc, token) stopword set; parallel unnest
+    // zips token with its 1-based position, string_agg skips NULLed
+    // stopwords and orders by pos (coalesce for the all-removed edge:
+    // DuckDB string_agg of zero values is NULL, Spark concat_ws of an
+    // empty array is '').
+    "stopword_strip" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM e GROUP BY token),
+         |stop AS (SELECT token FROM df ORDER BY df DESC, token LIMIT 3),
+         |j AS (SELECT e.doc_id, e.pos, e.token, s.token IS NOT NULL AS is_stop
+         |      FROM e LEFT JOIN stop s ON e.token = s.token)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN is_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(CASE WHEN NOT is_stop THEN token END, ' ' ORDER BY pos), '') AS clean_text
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

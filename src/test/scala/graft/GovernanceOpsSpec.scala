@@ -95,6 +95,62 @@ class GovernanceOpsSpec extends SparkSpec {
     got.foreach(_._3 shouldBe 0L)
   }
 
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(salt: String, k: Long): Long =
+    java.lang.Long.parseLong(md5hex(salt + k).take(4), 16) % 100
+
+  test("snapshot_diff matches a naive two-map presence/value compare") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val old = rows.filter(r => bucket("graft-snap-ins", r._1) >= 2)
+      .map(r => r._1 -> (r._2,
+        if (bucket("graft-snap-upd", r._1) < 3) r._3 - 100 else r._3)).toMap
+    val neu = rows.filter(r => bucket("graft-snap-del", r._1) >= 2)
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val classes = (old.keySet ++ neu.keySet).toSeq.map { k =>
+      (old.get(k), neu.get(k)) match {
+        case (None, Some((_, c)))  => ("insert", c)
+        case (Some((_, c)), None)  => ("delete", -c)
+        case (Some(o), Some(n))    =>
+          (if (o != n) "update" else "unchanged", n._2 - o._2)
+        case (None, None)          => sys.error("unreachable")
+      }
+    }
+    val expected = classes.groupBy(_._1).toSeq
+      .map { case (c, vs) => (c, vs.length.toLong, vs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("snapshot_diff")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    // every CDC class occurs on the seeded draw rates
+    got.map(_._1).toSet shouldEqual Set("insert", "delete", "update", "unchanged")
+  }
+
+  test("k_anonymity matches naive class counts with one generalization step") {
+    val rows = Tables.customer(spark, sf).select("c_nationkey", "c_mktsegment")
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue, r.getString(1)))
+    val cls = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ok = cls.collect { case ((nk, seg), n) if n >= 5 => (nk, seg, n, 0L, true) }
+    val gen = cls.toSeq.collect { case ((nk, _), n) if n < 5 => nk -> n }
+      .groupBy(_._1).map { case (nk, vs) =>
+        val n = vs.map(_._2).sum
+        (nk, "*", n, 1L, n >= 5)
+      }
+    val expected = (ok ++ gen).toSeq.sortBy(r => (r._4, r._1, r._2))
+    val got = SparkEntry.queries("k_anonymity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    got shouldEqual expected
+    // the generalization rung is exercised on this slice
+    assert(got.exists(_._4 == 1L))
+  }
+
   test("domain_select matches a naive whole-corpus token-frequency scoring") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))

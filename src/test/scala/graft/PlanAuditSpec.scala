@@ -146,6 +146,8 @@ class PlanAuditSpec extends SparkSpec {
       "equidepth_hist" -> 3,       // two-phase Quantile shape: per-group stats hinted in both bucketed passes + the ≤ |bins| target-bucket frame
       "fk_orphans" -> 2,           // the 25-row nation dim, hinted on its two FK edges (growing parents are shuffle-joined)
       "domain_select" -> 1,        // 1-row domain-totals frame (the distinctive vocabulary is shuffle-joined, per doc_lm_score's rule)
+      "stopword_strip" -> 1,       // top-3 stopword frame: k-bounded by construction (the vocabulary-sized df aggregate is NOT hinted)
+      "global_ids" -> 1,           // per-partition offset frame: ≤ P rows by construction
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -171,7 +173,9 @@ class PlanAuditSpec extends SparkSpec {
       "sequence_pack_global", // ≤ |langs|×8 rows (stratum chunk offsets)
       "open_orders_by_day",   // ≤ |days| rows (sweep-line delta aggregate)
       "rrf_fusion",           // global top-20 ranking: the final window's input is Rank's pre-pruned ≤ k × partitions survivors (the constant group key folds away)
-      "equidepth_hist"        // bin numbering over the ≤ |bins| rank-selected rows (below it sits the Quantile target-bucket Join)
+      "equidepth_hist",       // bin numbering over the ≤ |bins| rank-selected rows (below it sits the Quantile target-bucket Join)
+      "stopword_strip",       // top-3 stopword ranking: same Rank pre-pruned ≤ k × partitions input as rrf_fusion
+      "global_ids"            // prefix-sum over the ≤ P per-partition count rows
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
