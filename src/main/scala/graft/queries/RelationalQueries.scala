@@ -785,6 +785,41 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort", "months_since")
     }),
+
+    // Poisson bootstrap (X-102): the distributed bootstrap — classic
+    // resampling draws n rows WITH replacement per replicate, which is
+    // unshardable (a global multinomial); the at-scale form gives each
+    // row an INDEPENDENT Poisson(1) weight per replicate, so every
+    // replicate is just a weighted aggregate inside the same single
+    // corpus scan. 16 replicates of mean order value: per-row weight
+    // from a deterministic md5 draw (16-bit u) through the literal
+    // Poisson(1) inverse-CDF thresholds (embedded identically in the
+    // oracle — determinism over distributional polish, the MinHash
+    // constant discipline), weighted sums in exact cents, mean in 1e6
+    // fixed point (non-negative div = floor). Cost: ONE scan, 16× map
+    // fan-out, partial agg collapses to ≤16 rows per task before the
+    // exchange — replicate count never multiplies shuffle volume.
+    "poisson_bootstrap" -> ((s, d) => {
+      // cumulative 65536·P(Poisson(1) ≤ k), k = 0..6; ≥ t6 → 7
+      val t = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("u", conv(substring(md5(concat(lit("graft-boot"),
+          col("b").cast("string"), lit("-"), col("o_orderkey").cast("string"))),
+          1, 4), 16, 10).cast("long"))
+        .withColumn("w", t.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
+          case ((th, k), rest) => when(col("u") < th, k.toLong).otherwise(rest)
+        })
+      o.groupBy(col("b").cast("long").as("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .withColumn("mean_fx",
+          expr("CAST(CAST(sum_cents AS DECIMAL(28,0)) * 1000000 div n_eff AS BIGINT)"))
+        .orderBy("b")
+    }),
   )
 
   import Exact._
@@ -1274,5 +1309,27 @@ object RelationalQueries extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY cohort, months_since ORDER BY cohort, months_since""".stripMargin,
+
+    // Same md5 16-bit draw and literal inverse-CDF thresholds; every
+    // // operand is non-negative (floor = truncate there).
+    "poisson_bootstrap" ->
+      """WITH e AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |         b
+        |  FROM orders, (SELECT unnest(range(0, 16)) AS b) r),
+        |u AS (SELECT b, cents,
+        |             CAST('0x' || substr(md5('graft-boot' || b || '-' || o_orderkey), 1, 4) AS BIGINT) AS u
+        |      FROM e),
+        |w AS (SELECT b, cents,
+        |             CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+        |                  WHEN u < 60273 THEN 2 WHEN u < 64291 THEN 3
+        |                  WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
+        |                  WHEN u < 65530 THEN 6 ELSE 7 END AS w
+        |      FROM u)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |       CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |       CAST((sum(w * cents) * 1000000) // sum(w) AS BIGINT) AS mean_fx
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
   )
 }

@@ -385,6 +385,54 @@ object SimilarityQueries extends QueryModule {
           col("sum_err_fx").cast("double") / col("n_dims") / lit(1e7))
         .orderBy("vec_id")
     }),
+
+    // Product quantization with realized reconstruction error (X-101):
+    // the OTHER half of the billion-vector compression toolbox — where
+    // SQ8 keeps every dimension at 8 bits, PQ splits the vector into
+    // M subspaces and stores one trained-centroid code per subspace
+    // (here M=4 × 16 dims, 8 centroids each → 4 codes/vector). Each
+    // subspace runs its own 2-round Lloyd training on exact integer
+    // subvectors: assignment by exact integer squared-L2 (zip_with +
+    // aggregate — pure BIGINT compares, nothing floating until the
+    // centroid mean's single IEEE division, floored identically by
+    // both engines — the kmeans_centroids discipline); update =
+    // floor(sum/count) per (sub, cluster, dim). The per-(vec, sub)
+    // final distance IS the realized subspace SSE — the X-55/X-71
+    // honesty columns. Scale shape per round: a 32-row centroid frame
+    // broadcast (M×8 bounded by construction), one corpus pass, one
+    // (sub, cluster, dim) aggregate; assignment windows partition on
+    // (vec_id, sub) — data-bound keys.
+    "pq_error" -> ((s, d) => {
+      val M = 4; val sd = Dim / M
+      val sv = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("qe"))
+        .withColumn("sv", expr(s"slice(qe, sub * $sd + 1, $sd)"))
+        .drop("qe")
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cluster"))
+        sv.join(broadcast(cents), "sub")
+          .withColumn("dist",
+            expr("aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .drop("ce", "rk")
+      }
+      val seeds = sv.filter(col("vec_id") < 8)
+        .select(col("sub"), col("vec_id").as("cluster"), col("sv").as("ce"))
+      val c1 = assign(seeds)
+        .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("spos", "v")))
+        .groupBy("sub", "cluster", "spos")
+        .agg(sum(col("v")).as("sv_"), count(lit(1)).as("cnt"))
+        .withColumn("val",
+          floor(col("sv_").cast("double") / col("cnt").cast("double")).cast("long"))
+        .groupBy("sub", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("spos"), col("val")))),
+          x => x("val")).as("ce"))
+      assign(c1)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("cluster").as("code"), col("dist").as("sse_fx"))
+        .orderBy("vec_id", "sub")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -591,5 +639,41 @@ object SimilarityQueries extends QueryModule {
         |       CAST(max(code) AS BIGINT) AS max_code,
         |       CAST(sum(abs(v - recon)) AS DOUBLE) / count(*) / 10000000.0 AS mae
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Same fx subvector split, exact squared-L2 assignment (ties to
+    // the lowest cluster), and floored-IEEE-mean update per subspace;
+    // DuckDB list slices are 1-based inclusive.
+    "pq_error" -> {
+      val sd = Dim / 4
+      def distSql(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${sd + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      s"""WITH q AS (SELECT vec_id,
+         |             list_transform(embedding,
+         |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qe
+         |           FROM embeddings),
+         |sv AS (SELECT vec_id, s.sub, qe[s.sub * $sd + 1 : (s.sub + 1) * $sd] AS sv
+         |       FROM q, (SELECT unnest(range(0, 4)) AS sub) s),
+         |seeds AS (SELECT sub, vec_id AS cluster, sv AS ce FROM sv WHERE vec_id < 8),
+         |a1 AS (SELECT vec_id, sub, sv, cluster, dist FROM (
+         |         SELECT v.vec_id, v.sub, v.sv, c.cluster,
+         |                ${distSql("v.sv", "c.ce")} AS dist,
+         |                row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                                   ORDER BY ${distSql("v.sv", "c.ce")}, c.cluster) AS rk
+         |         FROM sv v JOIN seeds c USING (sub)) WHERE rk = 1),
+         |u1 AS (SELECT sub, cluster, i.spos,
+         |              CAST(floor(CAST(sum(sv[i.spos]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |       FROM a1, (SELECT unnest(range(1, ${sd + 1})) AS spos) i
+         |       GROUP BY sub, cluster, i.spos),
+         |c1 AS (SELECT sub, cluster, list(val ORDER BY spos) AS ce
+         |       FROM u1 GROUP BY sub, cluster),
+         |a2 AS (SELECT vec_id, sub, cluster, dist FROM (
+         |         SELECT v.vec_id, v.sub, c.cluster,
+         |                ${distSql("v.sv", "c.ce")} AS dist,
+         |                row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                                   ORDER BY ${distSql("v.sv", "c.ce")}, c.cluster) AS rk
+         |         FROM sv v JOIN c1 c USING (sub)) WHERE rk = 1)
+         |SELECT vec_id, sub, CAST(cluster AS BIGINT) AS code, dist AS sse_fx
+         |FROM a2 ORDER BY vec_id, sub""".stripMargin
+    },
   )
 }

@@ -47,6 +47,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     got.map(_._3) shouldEqual (1L to docs.length).toSeq
   }
 
+  test("poisson_bootstrap matches naive per-replicate weighted means") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val th = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
+    def w(b: Int, k: Long): Long = {
+      val u = java.lang.Long.parseLong(md5hex(s"graft-boot$b-$k").take(4), 16)
+      th.indexWhere(u < _) match { case -1 => 7L; case i => i.toLong }
+    }
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val expected = (0 to 15).map { b =>
+      val ws = rows.map { case (k, c) => (w(b, k), c) }
+      val nEff = ws.map(_._1).sum
+      val sc = ws.map { case (wt, c) => wt * c }.sum
+      (b.toLong, nEff, sc, (BigInt(sc) * 1000000 / nEff).toLong)
+    }
+    val got = SparkEntry.queries("poisson_bootstrap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual expected
+    // replicate means genuinely vary (the CI is non-degenerate) and
+    // effective sizes hover around n (Poisson(1) weights)
+    assert(got.map(_._4).distinct.size > 1)
+    val n = rows.length.toLong
+    got.foreach { r => assert(r._2 > n / 2 && r._2 < n * 2) }
+  }
+
   test("cohort_retention matches a naive full activity matrix") {
     def monthOf(v: Any): (Int, Int) = v match {
       case t: java.sql.Timestamp =>

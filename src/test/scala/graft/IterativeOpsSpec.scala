@@ -117,4 +117,40 @@ class IterativeOpsSpec extends SparkSpec {
     }.toMap
     got shouldEqual want
   }
+
+  test("pq_error matches a plain-Scala per-subspace Lloyd PQ") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e7).toLong).toArray)
+      .sortBy(_._1)
+    val sd = 16
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (0 until 4).flatMap { s =>
+      val subs = vecs.map { case (id, qe) => id -> qe.slice(s * sd, (s + 1) * sd) }
+      def assign(cents: Map[Long, Array[Long]]): Seq[(Long, Long, Long)] =
+        subs.map { case (id, sv) =>
+          // min squared-L2, ties to the lowest cluster id
+          val (c, dist) = cents.toSeq.map { case (cid, ce) => (cid, d2(sv, ce)) }
+            .minBy { case (cid, dist) => (dist, cid) }
+          (id, c, dist)
+        }.toSeq
+      val seeds = subs.filter(_._1 < 8).toMap
+      val byId = subs.toMap
+      val c1 = assign(seeds).groupBy(_._2).map { case (c, members) =>
+        val svs = members.map(m => byId(m._1))
+        c -> Array.tabulate(sd)(i =>
+          math.floor(svs.map(_(i)).sum.toDouble / svs.size).toLong)
+      }
+      assign(c1).map { case (id, c, dist) => (id, s.toLong, c, dist) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("pq_error")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual expected
+    // compression is non-trivial: codes spread beyond one centroid per
+    // subspace and reconstruction error is nonzero somewhere
+    assert(got.map(r => (r._2, r._3)).distinct.size > 4)
+    assert(got.exists(_._4 > 0L))
+  }
 }

@@ -148,6 +148,7 @@ class PlanAuditSpec extends SparkSpec {
       "domain_select" -> 1,        // 1-row domain-totals frame (the distinctive vocabulary is shuffle-joined, per doc_lm_score's rule)
       "stopword_strip" -> 1,       // top-3 stopword frame: k-bounded by construction (the vocabulary-sized df aggregate is NOT hinted)
       "global_ids" -> 1,           // per-partition offset frame: ≤ P rows by construction
+      "pq_error" -> 2,             // M×8 = 32-row trained-centroid frames (round-2's lineage re-embeds round-1's hint)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
