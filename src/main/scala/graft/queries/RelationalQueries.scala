@@ -820,6 +820,59 @@ object RelationalQueries extends QueryModule {
           expr("CAST(CAST(sum_cents AS DECIMAL(28,0)) * 1000000 div n_eff AS BIGINT)"))
         .orderBy("b")
     }),
+
+    // Partition content fingerprints (X-103): an order-independent
+    // 56-bit digest per month partition — the primitive that makes
+    // snapshot_diff cheap at 100 TB: compare |partitions| fingerprints
+    // first, row-diff only the partitions that moved. XOR of per-row
+    // md5 hashes is commutative/associative, so the digest is
+    // independent of row order AND of how rows are distributed across
+    // tasks (any partial aggregation collapses identically); the row
+    // hash covers only integer/string renderings (no float formatting
+    // — cents as BIGINT) so both engines concat identical bytes. The
+    // paired sum-checksum catches the XOR blind spot (a row included
+    // twice cancels out of XOR but not out of the sum).
+    "partition_fingerprint" -> ((s, d) => {
+      val rh = conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
+        col("o_orderpriority"))), 1, 14), 16, 10).cast("long")
+      Tables.orders(s, d)
+        .withColumn("part_month", date_trunc("month", col("o_orderdate")))
+        .withColumn("rh", rh)
+        .groupBy("part_month")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(rh)").as("fingerprint"),
+          sum(col("rh")).as("checksum"))
+        .orderBy("part_month")
+    }),
+
+    // Incremental aggregate maintenance (X-104): the view-maintenance
+    // algebra every streaming/lakehouse materialization relies on —
+    // merge(agg(base), agg(delta)) must equal agg(base ∪ delta) when
+    // the aggregate is a commutative monoid (count/sum are; that is
+    // WHY incremental pipelines standardize on them and re-derive avg
+    // at read time). The engine side maintains: a 5% md5-drawn "late
+    // batch" is aggregated separately and merged into the base
+    // aggregate by summing partials. The ORACLE side is the direct
+    // recompute over everything — the hash match IS the proof the
+    // merge algebra is exact (the global_ids specification pattern).
+    // Scale shape: the delta aggregate touches only delta-sized data;
+    // the merge is |strata| rows.
+    "incremental_agg" -> ((s, d) => {
+      import graft.operators.TextAnalysis.sampleBucket
+      val o = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+          sampleBucket(col("o_orderkey"), "graft-late").as("bkt"))
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("month").agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"))
+      agg(o.filter(col("bkt") >= 5)).unionByName(agg(o.filter(col("bkt") < 5)))
+        .groupBy("month")
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_cents")).as("sum_cents"))
+        .orderBy("month")
+    }),
   )
 
   import Exact._
@@ -1331,5 +1384,27 @@ object RelationalQueries extends QueryModule {
         |       CAST(sum(w * cents) AS BIGINT) AS sum_cents,
         |       CAST((sum(w * cents) * 1000000) // sum(w) AS BIGINT) AS mean_fx
         |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+    // Same integer-rendered row bytes, 56-bit md5 prefix, XOR + sum.
+    "partition_fingerprint" ->
+      """WITH r AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part_month,
+        |         CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |           o_orderstatus,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+        |           o_orderpriority)), 1, 14) AS BIGINT) AS rh
+        |  FROM orders)
+        |SELECT part_month, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(bit_xor(rh) AS BIGINT) AS fingerprint,
+        |       CAST(sum(rh) AS BIGINT) AS checksum
+        |FROM r GROUP BY part_month ORDER BY part_month""".stripMargin,
+
+    // The oracle is the direct recompute over base ∪ delta — matching
+    // it proves the engine's partial-aggregate merge is exact.
+    "incremental_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
   )
 }

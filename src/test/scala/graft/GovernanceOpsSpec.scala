@@ -151,6 +151,66 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(got.exists(_._4 == 1L))
   }
 
+  test("partition_fingerprint matches naive XOR/sum digests and is row-order independent") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate").collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+        val rh = java.lang.Long.parseLong(
+          md5hex(s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|$cents|${r.getString(4)}")
+            .take(14), 16)
+        val m = r.get(5) match {
+          case t: java.sql.Timestamp => val d = t.toLocalDateTime; (d.getYear, d.getMonthValue)
+          case t: java.time.LocalDateTime => (t.getYear, t.getMonthValue)
+          case other => sys.error(s"unexpected: $other")
+        }
+        (m, rh)
+      }
+    // fold in REVERSED order: the digest must not care
+    val expected = rows.groupBy(_._1).toSeq.map { case (m, vs) =>
+      val hs = vs.map(_._2).reverse
+      (m, hs.length.toLong, hs.reduce(_ ^ _), hs.sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("partition_fingerprint")(spark, sf).collect()
+      .map { r =>
+        val m = r.get(0) match {
+          case t: java.sql.Timestamp => val d = t.toLocalDateTime; (d.getYear, d.getMonthValue)
+          case t: java.time.LocalDateTime => (t.getYear, t.getMonthValue)
+          case other => sys.error(s"unexpected: $other")
+        }
+        (m, r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toSeq
+    got shouldEqual expected
+  }
+
+  test("incremental_agg merge equals a naive direct recompute") {
+    val rows = Tables.orders(spark, sf).select("o_orderdate", "o_totalprice")
+      .collect().map { r =>
+        val m = r.get(0) match {
+          case t: java.sql.Timestamp => val d = t.toLocalDateTime; (d.getYear, d.getMonthValue)
+          case t: java.time.LocalDateTime => (t.getYear, t.getMonthValue)
+          case other => sys.error(s"unexpected: $other")
+        }
+        (m, BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+      }
+    val expected = rows.groupBy(_._1).toSeq
+      .map { case (m, vs) => (m, vs.length.toLong, vs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("incremental_agg")(spark, sf).collect()
+      .map { r =>
+        val m = r.get(0) match {
+          case t: java.sql.Timestamp => val d = t.toLocalDateTime; (d.getYear, d.getMonthValue)
+          case t: java.time.LocalDateTime => (t.getYear, t.getMonthValue)
+          case other => sys.error(s"unexpected: $other")
+        }
+        (m, r.getLong(1), r.getLong(2))
+      }.toSeq
+    got shouldEqual expected
+  }
+
   test("domain_select matches a naive whole-corpus token-frequency scoring") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
