@@ -873,6 +873,79 @@ object RelationalQueries extends QueryModule {
         .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_cents")).as("sum_cents"))
         .orderBy("month")
     }),
+
+    // Small-file compaction planning (X-105): the maintenance job every
+    // lakehouse table needs — pack many small files into target-sized
+    // compaction bins. Planning runs entirely on FILE METADATA (here one
+    // stats row per (month, day) "file" — what a table format's manifest
+    // stores), never on row data: the frame is |files|-sized, so the
+    // per-partition packing window is over an aggregate, not a scan (the
+    // low-card-window gate's required shape). Assignment is sequential
+    // packing — bin = ⌊rows-before ÷ target⌋ in day order — the
+    // deterministic, shardable form of first-fit (true FFD is a
+    // sequential greedy loop; cumulative-quotient packing gives the
+    // same ≥½-full bins guarantee with one window).
+    "compaction_plan" -> ((s, d) => {
+      val files = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("part_month"),
+          date_trunc("day", col("o_orderdate")).as("file_day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val before = Window.partitionBy("part_month").orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum(col("n_rows")).over(before), lit(0L)))
+        .withColumn("bin", expr("CAST(cum_before div 128 AS BIGINT)"))
+        .drop("cum_before")
+        .groupBy("part_month", "bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("bin_rows"),
+          min(col("file_day")).as("first_day"), max(col("file_day")).as("last_day"))
+        .orderBy("part_month", "bin")
+    }),
+
+    // CBO join-cardinality estimation (X-106): the Selinger formula
+    // |A ⋈ B| ≈ n_A·n_B ÷ max(ndv_A, ndv_B) computed from per-table
+    // stats, beside the REALIZED join size and the estimation error —
+    // what ANALYZE statistics exist to predict. The realized size is
+    // never computed by materializing the join: it is Σ_k cnt_A(k)·
+    // cnt_B(k) over the two per-key COUNT frames — aggregate first,
+    // join the (much smaller) key-count frames, one more 1-row fold.
+    // Arithmetic in DECIMAL(38,0): n_A·n_B overflows BIGINT at real
+    // table sizes. The exact countDistinct here is the stats-BUILD
+    // cost (one shuffle per table at ANALYZE time, amortized over
+    // every plan that reads the stat); X-55's HLL is the sketch form
+    // a 100 TB ANALYZE would use. The verification arm (actual +
+    // error) is the demonstration the query exists for — a production
+    // optimizer consumes only the estimate.
+    "join_size_estimate" -> ((s, d) => {
+      import org.apache.spark.sql.DataFrame
+      def stats(df: DataFrame, key: String, pre: String): DataFrame =
+        df.agg(count(lit(1)).cast("decimal(38,0)").as(s"n_$pre"),
+          countDistinct(col(key)).cast("decimal(38,0)").as(s"ndv_$pre"))
+      def actual(a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame =
+        a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .cast("decimal(38,0)").as("actual"))
+      def edge(nm: String, a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame =
+        stats(a, ka, "l").crossJoin(broadcast(stats(b, kb, "r")))
+          .crossJoin(broadcast(actual(a, ka, b, kb)))
+          .select(lit(nm).as("edge"),
+            col("n_l").cast("long").as("n_left"),
+            col("n_r").cast("long").as("n_right"),
+            greatest(col("ndv_l"), col("ndv_r")).cast("long").as("ndv_key"),
+            expr("CAST(n_l * n_r div greatest(ndv_l, ndv_r) AS BIGINT)").as("est_rows"),
+            col("actual").cast("long").as("actual_rows"),
+            expr("CAST(CASE WHEN actual = 0 THEN NULL ELSE " +
+              "abs(n_l * n_r div greatest(ndv_l, ndv_r) - actual) * 1000000 div actual " +
+              "END AS BIGINT)").as("err_ppm"))
+      edge("lineitem-orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(edge("lineitem-part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(edge("orders-customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("edge")
+    }),
   )
 
   import Exact._
@@ -1406,5 +1479,55 @@ object RelationalQueries extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    // Same (month, day) file stats, same cumulative-quotient packing.
+    "compaction_plan" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part_month,
+        |         date_trunc('day', o_orderdate) AS file_day,
+        |         count(*) AS n_rows
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *, CAST(coalesce(sum(n_rows) OVER (PARTITION BY part_month
+        |           ORDER BY file_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) // 128 AS BIGINT) AS bin
+        |  FROM f)
+        |SELECT part_month, bin, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+        |       min(file_day) AS first_day, max(file_day) AS last_day
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Selinger estimate from per-table stats; realized size from the
+    // per-key count frames (Σ cnt_a·cnt_b), never the joined rows.
+    "join_size_estimate" ->
+      """WITH s AS (
+        |  SELECT 'lineitem-orders' AS edge,
+        |         (SELECT count(*) FROM lineitem) AS n_l,
+        |         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_l,
+        |         (SELECT count(*) FROM orders) AS n_r,
+        |         (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_r,
+        |         (SELECT count(*) FROM lineitem a JOIN orders b ON a.l_orderkey = b.o_orderkey) AS actual
+        |  UNION ALL
+        |  SELECT 'lineitem-part',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |         (SELECT count(*) FROM part),
+        |         (SELECT count(DISTINCT p_partkey) FROM part),
+        |         (SELECT count(*) FROM lineitem a JOIN part b ON a.l_partkey = b.p_partkey)
+        |  UNION ALL
+        |  SELECT 'orders-customer',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(DISTINCT o_custkey) FROM orders),
+        |         (SELECT count(*) FROM customer),
+        |         (SELECT count(DISTINCT c_custkey) FROM customer),
+        |         (SELECT count(*) FROM orders a JOIN customer b ON a.o_custkey = b.c_custkey))
+        |SELECT edge, CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+        |       CAST(greatest(ndv_l, ndv_r) AS BIGINT) AS ndv_key,
+        |       CAST(n_l * n_r // greatest(ndv_l, ndv_r) AS BIGINT) AS est_rows,
+        |       CAST(actual AS BIGINT) AS actual_rows,
+        |       CAST(CASE WHEN actual = 0 THEN NULL ELSE
+        |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
+        |       END AS BIGINT) AS err_ppm
+        |FROM s ORDER BY edge""".stripMargin,
   )
 }

@@ -211,6 +211,65 @@ class GovernanceOpsSpec extends SparkSpec {
     got shouldEqual expected
   }
 
+  test("compaction_plan matches a naive sequential file packing") {
+    val files = Tables.orders(spark, sf).select("o_orderdate").collect()
+      .map(r => dateOf(r.get(0)))
+      .groupBy(identity).map { case (d, vs) => (d, vs.length.toLong) }.toSeq
+    val expected = files.groupBy(d => (d._1.getYear, d._1.getMonthValue)).toSeq
+      .flatMap { case (m, fs) =>
+        val ordered = fs.sortBy(_._1.toEpochDay)
+        val cums = ordered.scanLeft(0L)(_ + _._2)
+        ordered.zip(cums).map { case ((day, n), before) =>
+          (m, before / 128, day, n)
+        }.groupBy(t => (t._1, t._2)).toSeq.map { case ((mm, bin), vs) =>
+          (mm, bin, vs.length.toLong, vs.map(_._4).sum,
+            vs.map(_._3.toEpochDay).min, vs.map(_._3.toEpochDay).max)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("compaction_plan")(spark, sf).collect()
+      .map { r =>
+        val m = r.get(0) match {
+          case t: java.sql.Timestamp => val d = t.toLocalDateTime; (d.getYear, d.getMonthValue)
+          case t: java.time.LocalDateTime => (t.getYear, t.getMonthValue)
+          case other => sys.error(s"unexpected: $other")
+        }
+        (m, r.getLong(1), r.getLong(2), r.getLong(3),
+          dateOf(r.get(4)).toEpochDay, dateOf(r.get(5)).toEpochDay)
+      }.toSeq
+    got shouldEqual expected
+    // every non-final bin in a month is at least half the 128-row
+    // target — the guarantee sequential packing is chosen for
+    got.groupBy(r => r._1).foreach { case (_, bins) =>
+      bins.sortBy(_._2).dropRight(1).foreach(b => assert(b._4 >= 64))
+    }
+  }
+
+  test("join_size_estimate matches naive stats + per-key count products") {
+    def keys(t: String, k: String) = Tables.table(spark, sf, t)
+      .select(k).collect().map(_.getLong(0)).toSeq
+    val edges = Seq(
+      ("lineitem-orders", keys("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+      ("lineitem-part", keys("lineitem", "l_partkey"), keys("part", "p_partkey")),
+      ("orders-customer", keys("orders", "o_custkey"), keys("customer", "c_custkey")))
+    val expected = edges.map { case (nm, l, r) =>
+      val (nl, nr) = (l.length.toLong, r.length.toLong)
+      val ndv = math.max(l.distinct.length, r.distinct.length).toLong
+      val est = nl * nr / ndv
+      val rc = r.groupBy(identity).map { case (k, vs) => (k, vs.length.toLong) }
+      val actual = l.groupBy(identity).toSeq
+        .map { case (k, vs) => vs.length.toLong * rc.getOrElse(k, 0L) }.sum
+      (nm, nl, nr, ndv, est, actual, math.abs(est - actual) * 1000000L / actual)
+    }
+    val got = SparkEntry.queries("join_size_estimate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldEqual expected
+    // the PK-FK edges estimate well (ndv ≈ parent keys); the point of
+    // the error column is that it is measurably nonzero where orphaned
+    // keys or skew break the uniformity assumption
+    assert(got.forall(_._6 > 0))
+  }
+
   test("domain_select matches a naive whole-corpus token-frequency scoring") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))

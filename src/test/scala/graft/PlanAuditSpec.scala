@@ -149,6 +149,7 @@ class PlanAuditSpec extends SparkSpec {
       "stopword_strip" -> 1,       // top-3 stopword frame: k-bounded by construction (the vocabulary-sized df aggregate is NOT hinted)
       "global_ids" -> 1,           // per-partition offset frame: ≤ P rows by construction
       "pq_error" -> 2,             // M×8 = 32-row trained-centroid frames (round-2's lineage re-embeds round-1's hint)
+      "join_size_estimate" -> 6,   // per star edge: 1-row right-side stats + 1-row realized-count frames (3 edges × 2)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
