@@ -147,6 +147,63 @@ object DedupQueries extends QueryModule {
         .orderBy("d_new", "d_idx")
     }),
 
+    // Multi-pass sorted-neighborhood blocking (X-107): the third
+    // classic record-linkage candidate generator beside LSH banding
+    // (X-8) and inverted-index AllPairs (X-7) — sort on a blocking key,
+    // compare only records within a w-row sliding window, so
+    // candidates are bounded at n·w instead of n². Two passes with
+    // different keys (normalized-text prefix; token-SORTED prefix,
+    // robust to local edits and reordering) because single-key SNM
+    // misses near-dups whose edit falls inside the key — multi-pass is
+    // the standard remedy. At scale the sort is NEVER one task: ranks
+    // come from the global_ids two-phase shape (range repartition →
+    // per-partition local rank → ≤ P-row offset prefix sum broadcast
+    // back), and each pass's rank frame is materialized ONCE (the
+    // index-build posture) so the w-neighbor self-join's two sides
+    // don't each re-run the sort. The neighbor join is an equi-join on
+    // rank+δ (δ ∈ 1..w via a 3-element generator) — one shuffle,
+    // probe volume exactly n·w.
+    "sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.norm(col("text")).as("nt"))
+        .select(col("doc_id"),
+          substring(col("nt"), 1, 48).as("pfx"),
+          substring(col("nt"), 1, 32).as("k1"),
+          substring(concat_ws(" ", array_sort(split(col("nt"), " "))), 1, 32).as("k2"))
+      def ranked(key: String): DataFrame = {
+        val keyed = base.select(col("doc_id"), col("pfx"), col(key).as("bkey"))
+          .repartitionByRange(col("bkey"), col("doc_id"))
+          .withColumn("pid", spark_partition_id().cast("long"))
+        val local = keyed.withColumn("lrn", row_number()
+          .over(Window.partitionBy("pid").orderBy("bkey", "doc_id")).cast("long"))
+        val offs = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        materialize(local.join(broadcast(offs), "pid")
+          .select(col("doc_id"), col("pfx"), (col("off") + col("lrn")).as("rnk")))
+      }
+      def pass(key: String, flag: Long): DataFrame = {
+        val r = ranked(key)
+        r.select(col("rnk"), col("doc_id").as("da"), col("pfx").as("pa"))
+          .withColumn("delta", explode(array((1 to 3).map(i => lit(i.toLong)): _*)))
+          .withColumn("rnk_b", col("rnk") + col("delta"))
+          .join(r.select(col("rnk").as("rnk_b"), col("doc_id").as("db"),
+            col("pfx").as("pb")), "rnk_b")
+          .select(least(col("da"), col("db")).as("d1"),
+            greatest(col("da"), col("db")).as("d2"),
+            levenshtein(col("pa"), col("pb")).as("dist"),
+            lit(flag).as("pass_bit"))
+      }
+      pass("k1", 1L).unionByName(pass("k2", 2L))
+        .groupBy("d1", "d2")
+        .agg(sum(col("pass_bit")).as("passes"),
+          min(col("dist")).cast("int").as("pfx_dist"))
+        .orderBy("d1", "d2")
+    }),
+
     // Pairs → clusters: connected components over the Jaccard ≥ 0.5
     // near-dup pairs; every member labeled with its component's minimum
     // doc_id (the canonical survivor a dedup pass would keep).
@@ -407,6 +464,29 @@ object DedupQueries extends QueryModule {
          |FROM p
          |WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // Same two blocking keys, window w = 3; ranks as plain row_number
+    // (the oracle need not scale), same pair canonicalization.
+    "sorted_neighborhood" ->
+      """WITH n AS (SELECT doc_id,
+        |             trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |           FROM documents),
+        |k AS (SELECT doc_id, substr(nt, 1, 48) AS pfx,
+        |             substr(nt, 1, 32) AS k1,
+        |             substr(array_to_string(list_sort(string_split(nt, ' ')), ' '), 1, 32) AS k2
+        |      FROM n),
+        |r1 AS (SELECT doc_id, pfx, row_number() OVER (ORDER BY k1, doc_id) AS rnk FROM k),
+        |r2 AS (SELECT doc_id, pfx, row_number() OVER (ORDER BY k2, doc_id) AS rnk FROM k),
+        |u AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pfx AS pa, b.pfx AS pb, 1 AS pass
+        |  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 3
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, a.pfx, b.pfx, 2
+        |  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 3)
+        |SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+        |       CAST(sum(pass) AS BIGINT) AS passes,
+        |       CAST(min(levenshtein(pa, pb)) AS INTEGER) AS pfx_dist
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same pair derivation as ngram_jaccard, then min-label transitive
     // closure via a recursive CTE (the SQL mirror of the iterative

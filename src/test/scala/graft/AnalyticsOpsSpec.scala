@@ -47,6 +47,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     got.map(_._3) shouldEqual (1L to docs.length).toSeq
   }
 
+  test("sorted_neighborhood matches a naive two-pass windowed scan") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val recs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val nt = r.getString(1).replaceAll("\\s+", " ").trim
+        (r.getLong(0), nt.take(48), nt.take(32),
+          nt.split(" ", -1).sorted.mkString(" ").take(32))
+      }
+    def pass(key: ((Long, String, String, String)) => String, flag: Long) = {
+      val ordered = recs.sortBy(r => (key(r), r._1)).toIndexedSeq
+      for {
+        i <- ordered.indices; d <- 1 to 3; if i + d < ordered.length
+      } yield {
+        val (a, b) = (ordered(i), ordered(i + d))
+        (math.min(a._1, b._1), math.max(a._1, b._1), lev(a._2, b._2), flag)
+      }
+    }
+    val expected = (pass(_._3, 1L) ++ pass(_._4, 2L))
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((d1, d2), vs) => (d1, d2, vs.map(_._4).sum, vs.map(_._3).min) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("sorted_neighborhood")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    got shouldEqual expected
+    // structural invariants: pass masks are 1/2/3 and both passes
+    // contribute candidates on their own
+    assert(got.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 2L))
+  }
+
   test("poisson_bootstrap matches naive per-replicate weighted means") {
     def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
