@@ -97,6 +97,32 @@ object DocQueries extends QueryModule {
     // back. The ids depend only on the TOTAL order (lang, doc_id is
     // unique), not on where RangePartitioner's sampled boundaries
     // fall, so the result is deterministic run to run.
+    // Training-export shard manifest (X-108): deterministically assign
+    // every document to a (lang, shard) output shard by an md5 draw on
+    // the doc id (stable under reruns and cluster layout — a rand()
+    // assignment would re-shard every run), and emit the per-shard
+    // manifest an export job writes NEXT TO the shards: row count,
+    // token totals, an order-independent XOR content digest + sum
+    // checksum (the partition_fingerprint discipline — a consumer
+    // validates a shard against its manifest line without re-reading
+    // the corpus), and the doc-id range. One narrow scan + one hash
+    // aggregate; output is |langs|·|shards| rows.
+    "shard_manifest" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{norm, tokens}
+      val dh = expr("CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT)")
+      val shard = expr(
+        "CAST(conv(substring(md5(concat('graft-shard', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 4")
+      Tables.documents(s, d)
+        .select(col("lang"), shard.as("shard"), dh.as("dh"),
+          size(tokens(norm(col("text")))).cast("long").as("n_toks"),
+          col("doc_id"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+          expr("bit_xor(dh)").as("fingerprint"), sum(col("dh")).as("checksum"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang", "shard")
+    }),
+
     "global_ids" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ranged = Tables.documents(s, d).select("doc_id", "lang")
@@ -166,5 +192,21 @@ object DocQueries extends QueryModule {
       """SELECT doc_id, lang,
         |       CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS gid
         |FROM documents ORDER BY gid""".stripMargin,
+
+    // Same md5 shard draw, token count, and XOR/sum digests.
+    "shard_manifest" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         CAST('0x' || substr(md5('graft-shard' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 4 AS shard,
+        |         CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS dh,
+        |         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_toks,
+        |         doc_id
+        |  FROM documents)
+        |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |       CAST(bit_xor(dh) AS BIGINT) AS fingerprint,
+        |       CAST(sum(dh) AS BIGINT) AS checksum,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

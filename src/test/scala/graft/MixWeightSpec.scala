@@ -46,6 +46,32 @@ class MixWeightSpec extends SparkSpec {
     assert(got.length > docs.length / 2 && got.length < docs.length * 5 / 2)
   }
 
+  test("shard_manifest matches naive per-shard digests and covers every doc exactly once") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val recs = docs.map { case (id, lang, text) =>
+      val shard = java.lang.Long.parseLong(md5hex(s"graft-shard$id").take(4), 16) % 4
+      val dh = java.lang.Long.parseLong(md5hex(text).take(14), 16)
+      val nToks = text.replaceAll("\\s+", " ").trim.split(" ", -1).length.toLong
+      (lang, shard, dh, nToks, id)
+    }
+    val expected = recs.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((lang, shard), vs) =>
+        (lang, shard, vs.length.toLong, vs.map(_._4).sum,
+          vs.map(_._3).reduce(_ ^ _), vs.map(_._3).sum,
+          vs.map(_._5).min, vs.map(_._5).max)
+      }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("shard_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    got shouldEqual expected
+    // the assignment is a partition: shard counts sum to the corpus and
+    // every (lang, shard) cell is non-empty at this corpus size
+    got.map(_._3).sum shouldBe docs.length.toLong
+    assert(got.forall(_._3 > 0))
+  }
+
   test("hashed_features matches a naive token-hash fold and buckets stay in range") {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"),
