@@ -148,6 +148,43 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    // PMI collocation mining (X-109): the phrase-extraction pass a
+    // tokenizer/data-curation pipeline runs to find multi-word units —
+    // rank bigrams by observed-over-expected frequency. PMI =
+    // ln(c_ab·N²/(c_a·c_b·B)) is monotone in its argument, so ranking
+    // uses the exact fixed-point RATIO c_ab·N²·10⁶ ÷ (c_a·c_b·B) in
+    // DECIMAL(38,0)/HUGEINT — no log, no float, hash-stable. Min
+    // support c_ab ≥ 5 (the standard guard: rare pairs have unstable
+    // PMI). Plan shape: two hash aggregates (unigram, bigram counts),
+    // the bigram frame shuffle-joined to the vocabulary-sized unigram
+    // frame TWICE (left/right word — never hinted, the doc_lm_score
+    // rule), two 1-row totals broadcast, global top-20 as
+    // TakeOrdered (no full sort survives).
+    "pmi_collocations" -> ((s, d) => {
+      val toksDf = Tables.documents(s, d)
+        .select(tokens(norm(col("text"))).as("toks"))
+      val uni = toksDf.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val bi = toksDf.select(explode(ngrams(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val totals = uni.agg(sum(col("c_w")).cast("decimal(38,0)").as("n_toks"))
+        .crossJoin(broadcast(
+          toksDf.select((greatest(size(col("toks")) - 1, lit(0))).as("nb"))
+            .agg(sum(col("nb")).cast("decimal(38,0)").as("n_bi"))))
+      bi
+        .withColumn("wa", substring_index(col("bigram"), " ", 1))
+        .withColumn("wb", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("wa"), col("c_w").as("c_a")), "wa")
+        .join(uni.select(col("w").as("wb"), col("c_w").as("c_b")), "wb")
+        .crossJoin(broadcast(totals))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_toks * n_toks * 1000000 " +
+            "div (CAST(c_a AS DECIMAL(38,0)) * c_b * n_bi) AS BIGINT)").as("pmi_ratio_fx"))
+        .orderBy(col("pmi_ratio_fx").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Deterministic per-language stratified sampling: hash-bucket on
     // doc_id (stable under reruns/partitioning, unlike rand()) with a
     // per-stratum keep rate.
@@ -1009,6 +1046,26 @@ object TextQueries extends QueryModule {
          |      FROM t)
          |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    // Same counts; the ratio in HUGEINT (c_ab·N²·10⁶ overflows BIGINT).
+    "pmi_collocations" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |      FROM t),
+         |bc AS (SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram
+         |       HAVING count(*) >= 5),
+         |tot AS (SELECT (SELECT count(*) FROM u) AS n_toks,
+         |               (SELECT sum(greatest(len(toks) - 1, 0)) FROM t) AS n_bi)
+         |SELECT bigram, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+         |       CAST(CAST(c_ab AS HUGEINT) * n_toks * n_toks * 1000000
+         |         // (CAST(ua.c_w AS HUGEINT) * ub.c_w * n_bi) AS BIGINT) AS pmi_ratio_fx
+         |FROM bc
+         |JOIN uc ua ON split_part(bigram, ' ', 1) = ua.w
+         |JOIN uc ub ON split_part(bigram, ' ', 2) = ub.w, tot
+         |ORDER BY pmi_ratio_fx DESC, bigram LIMIT 20""".stripMargin,
 
     "stratified_sample" ->
       """WITH b AS (

@@ -150,6 +150,7 @@ class PlanAuditSpec extends SparkSpec {
       "global_ids" -> 1,           // per-partition offset frame: ≤ P rows by construction
       "pq_error" -> 2,             // M×8 = 32-row trained-centroid frames (round-2's lineage re-embeds round-1's hint)
       "join_size_estimate" -> 6,   // per star edge: 1-row right-side stats + 1-row realized-count frames (3 edges × 2)
+      "pmi_collocations" -> 2,     // 1-row token-total and 1-row bigram-total frames (the vocabulary-sized unigram frame is shuffle-joined, never hinted)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

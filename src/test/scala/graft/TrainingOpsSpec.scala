@@ -52,6 +52,31 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach(_._5 should be <= n * 1000000L)
   }
 
+  test("pmi_collocations matches a naive count-everything computation") {
+    val toksAll = Tables.documents(spark, sf)
+      .select(graft.operators.TextAnalysis.tokens(
+        graft.operators.TextAnalysis.norm(col("text"))).as("toks"))
+      .collect().map(_.getSeq[String](0).toIndexedSeq)
+    val uni = toksAll.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = toksAll.flatMap(ts => ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nToks = uni.values.sum
+    val nBi = toksAll.map(ts => math.max(ts.length - 1, 0).toLong).sum
+    val expected = bi.toSeq.collect { case (bg, cab) if cab >= 5 =>
+      val Array(a, b) = bg.split(" ", 2)
+      val fx = (BigInt(cab) * nToks * nToks * 1000000 /
+        (BigInt(uni(a)) * uni(b) * nBi)).toLong
+      (bg, cab, uni(a), uni(b), fx)
+    }.sortBy(r => (-r._5, r._1)).take(20)
+    val got = q("pmi_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldEqual expected
+    // a collocation is over-represented: top-ranked ratios exceed
+    // independence (ratio_fx > 10⁶ means observed > expected)
+    assert(got.nonEmpty && got.head._5 > 1000000L)
+  }
+
   test("decontaminate: never flags a benchmark doc, and hits are positive") {
     val r = q("decontaminate")
     r.filter(col("doc_id") % 10 === 0).count() shouldEqual 0
