@@ -175,6 +175,63 @@ object LinkQueries extends QueryModule {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities (X-111, Kleinberg, JACM'99) over the
+    // same synthesized link graph — the query-independent ranking pair
+    // next to PageRank (X-52): a good HUB points at good authorities,
+    // a good AUTHORITY is pointed at by good hubs. Two unrolled
+    // mutual-reinforcement rounds; where the textbook normalizes by
+    // the L2 norm (a sqrt no two engines compute bit-identically),
+    // scores are normalized by the MAX (L∞) in integer fixed point —
+    // score·10⁶ div max, truncating division of non-negative longs,
+    // so both engines reproduce every intermediate exactly and the
+    // ranking is unchanged (normalization only rescales). Scale shape
+    // = the PageRank recipe: edge list materialized once and
+    // pre-partitioned on src; each round's score frame materialized
+    // (consumed by the max aggregate AND the next join, and real runs
+    // iterate to convergence, so lineage must stay flat); per-round
+    // cost is two key joins + two aggregates + a 1-row max broadcast.
+    // Sinks (no outlinks) get hub 0; no-inbound docs get authority 0
+    // — kept via left join, never silently dropped.
+    "link_hits" -> ((s, d) => {
+      val F = 1000000L
+      val docs = Tables.documents(s, d).select("doc_id")
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val edges = graft.operators.Dedup.materialize(
+        docs.crossJoin(broadcast(stats))
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("src"),
+            explode(array((1 to 3).map(j =>
+              (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
+          .repartition(col("src")))
+      def normalized(scores: DataFrame, c: String): DataFrame = {
+        val m = scores.agg(max(col(c)).as("mx"))
+        scores.crossJoin(broadcast(m))
+          .select(col("doc_id"), expr(s"($c * ${F}L) div mx").as(c))
+      }
+      def round(aPrev: DataFrame): (DataFrame, DataFrame) = {
+        val a = graft.operators.Dedup.materialize(aPrev)
+        val hRaw = edges.join(a, edges("dst") === a("doc_id"))
+          .groupBy("src").agg(sum(col("a")).as("h"))
+        val h = graft.operators.Dedup.materialize(normalized(
+          docs.join(hRaw, docs("doc_id") === hRaw("src"), "left_outer")
+            .select(docs("doc_id"), coalesce(col("h"), lit(0L)).as("h")), "h"))
+        val aRaw = edges.join(h, edges("src") === h("doc_id"))
+          .groupBy("dst").agg(sum(col("h")).as("a"))
+        val aNext = normalized(
+          docs.join(aRaw, docs("doc_id") === aRaw("dst"), "left_outer")
+            .select(docs("doc_id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        (h, aNext)
+      }
+      val a0 = docs.select(col("doc_id"), lit(F).as("a"))
+      val (_, a1) = round(a0)
+      val (h2, a2) = round(a1)
+      h2.join(a2, Seq("doc_id"))
+        .select(col("doc_id"), col("h").as("hub_fx"), col("a").as("auth_fx"),
+          (col("h").cast("double") / F).as("hub"),
+          (col("a").cast("double") / F).as("auth"))
+        .orderBy("doc_id")
+    }),
+
     // S-4: link scan as row explosion — each document yields its <a>
     // elements (href + anchor) as rows, the operator feeding P-2..P-4
     // (/root/reference/app.py:147-155). Links are synthesized
@@ -213,6 +270,37 @@ object LinkQueries extends QueryModule {
          |${iterSql("r2", "c3", "d3", "r3")}
          |SELECT doc_id, r AS rank_fx, CAST(r AS DOUBLE) / 1000000000000 AS rank
          |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+
+    // Same edge synthesis as link_pagerank; per round: hub sum over
+    // out-edges, max-normalize, authority sum over in-edges,
+    // max-normalize — every step exact-integer, mirroring Spark.
+    "link_hits" -> {
+      def roundSql(prevA: String, i: Int) =
+        s"""h${i}r AS (SELECT e.src, CAST(sum(p.a) AS BIGINT) AS h
+           |       FROM edges e JOIN $prevA p ON e.dst = p.doc_id GROUP BY e.src),
+           |h${i}f AS (SELECT d.doc_id, COALESCE(h${i}r.h, 0) AS h
+           |       FROM docs d LEFT JOIN h${i}r ON d.doc_id = h${i}r.src),
+           |h$i AS (SELECT doc_id, CAST((h * 1000000) // (SELECT max(h) FROM h${i}f) AS BIGINT) AS h
+           |       FROM h${i}f),
+           |a${i}r AS (SELECT e.dst, CAST(sum(p.h) AS BIGINT) AS a
+           |       FROM edges e JOIN h$i p ON e.src = p.doc_id GROUP BY e.dst),
+           |a${i}f AS (SELECT d.doc_id, COALESCE(a${i}r.a, 0) AS a
+           |       FROM docs d LEFT JOIN a${i}r ON d.doc_id = a${i}r.dst),
+           |a$i AS (SELECT doc_id, CAST((a * 1000000) // (SELECT max(a) FROM a${i}f) AS BIGINT) AS a
+           |       FROM a${i}f)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |edges AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+         |          FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |          WHERE doc_id % 7 <> 0),
+         |a0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS a FROM docs),
+         |${roundSql("a0", 1)},
+         |${roundSql("a1", 2)}
+         |SELECT h2.doc_id, h2.h AS hub_fx, a2.a AS auth_fx,
+         |       CAST(h2.h AS DOUBLE) / 1000000 AS hub,
+         |       CAST(a2.a AS DOUBLE) / 1000000 AS auth
+         |FROM h2 JOIN a2 USING (doc_id) ORDER BY h2.doc_id""".stripMargin
     },
 
     // Same edge synthesis as link_pagerank; orientation, wedge, and

@@ -34,6 +34,14 @@ object SimilarityQueries extends QueryModule {
   private val NdBits = 16
   private val Dim = 64
 
+  /** Semantic-dedup (X-110) knobs: the within-cluster pair join is
+    * quadratic in cluster size by design, so the bound is enforced
+    * (Fuzzy.MaxDomainKey pattern), and the cosine cutoff sits just
+    * under this corpus's background max so the report is non-empty. */
+  val SemDedupMaxKey = "spark.graft.semdedup.maxCluster"
+  val SemDedupDefaultMax = 10000L
+  private val SemThreshold = 0.45
+
   /** Deterministic ±1 random-hyperplane weights (SplitMix64-style
     * scramble of a fixed seed). Evaluated at plan-construction time in
     * Scala only; both the Spark plan and the oracle SQL embed the same
@@ -386,6 +394,64 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Semantic dedup, SemDeDup-shaped (X-110, Abbas et al. 2023):
+    // embedding-space near-dup removal by clustering FIRST, then exact
+    // pairwise cosine only WITHIN each cluster — the composition of the
+    // trained k-means index (X-51) with pair verification that replaces
+    // a corpus-wide all-pairs product with |clusters| bounded blocks.
+    // Index-build posture: train 2 Lloyd rounds, materialize the 8-row
+    // centroid frame, assign the whole corpus ONCE and materialize the
+    // assignment (train once / serve many — the ivf_topk discipline;
+    // without the cut the self-join would re-run training+assignment on
+    // both sides). At 100 TB the algorithm's own scale contract is that
+    // k grows with n so clusters stay bounded — ENFORCED, not assumed,
+    // by the Fuzzy.MaxDomainKey pattern: the max cluster size is
+    // counted off the materialized frame (one tiny agg) and the query
+    // fails fast past spark.graft.semdedup.maxCluster, naming more
+    // clusters (or the banded X-18 path) as the fix. Pair generation
+    // is an equi-join on the cluster key — never a cartesian.
+    //
+    // Output: the DROP report — vectors with an earlier (lower-id)
+    // same-cluster neighbor at cosine ≥ 0.45, with that earliest
+    // neighbor and the exact fixed-point cosine. Greedy earliest-id
+    // retention is intentionally pair-local; transitive-chain policies
+    // (keep-best-per-component) are dedup_clusters/dedup_artifacts'
+    // job, and cross-cluster near-dups are the recall the clustering
+    // trades away (exactly X-73's measured story). 0.45 sits just
+    // under this corpus's background max cosine (~0.48..0.60 by SF) so
+    // the report is non-empty at every SF without planted variants.
+    "semantic_dedup" -> ((s, d) => {
+      val b = base(s, d)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+      val assigned = graft.operators.Dedup.materialize(
+        nearestClusters(b, c2, 1).select("vec_id", "cluster", "qe", "nq"))
+      val maxCluster = s.conf.getOption(SemDedupMaxKey)
+        .map(_.toLong).getOrElse(SemDedupDefaultMax)
+      val biggest = assigned.groupBy("cluster").count()
+        .agg(max(col("count"))).first().getLong(0)
+      require(biggest <= maxCluster,
+        s"semantic dedup is quadratic within a cluster: largest cluster " +
+          s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster; " +
+          "train more clusters (k scales with n) or use the banded " +
+          "embedding_neardup path")
+      val l = assigned.select(col("cluster"), col("vec_id").as("near_id"),
+        col("qe").as("l_qe"), col("nq").as("l_nq"))
+      val r = assigned.select(col("cluster"), col("vec_id"),
+        col("qe").as("r_qe"), col("nq").as("r_nq"))
+      l.join(r, "cluster")
+        .filter(col("near_id") < col("vec_id"))
+        .withColumn("cos", cosFx(dotFx(col("l_qe"), col("r_qe")),
+          col("l_nq"), col("r_nq")))
+        .filter(col("cos") >= SemThreshold)
+        .groupBy("vec_id", "cluster")
+        .agg(min(struct(col("near_id"), col("cos"))).as("m"))
+        .select(col("vec_id"), col("cluster"),
+          col("m.near_id").as("near_id"), col("m.cos").as("cos"))
+        .orderBy("vec_id")
+    }),
+
     // Product quantization with realized reconstruction error (X-101):
     // the OTHER half of the billion-vector compression toolbox — where
     // SQ8 keeps every dimension at 8 bits, PQ splits the vector into
@@ -470,6 +536,24 @@ object SimilarityQueries extends QueryModule {
          |SELECT q_id, neighbor_id, bucket, rk, cos FROM r
          |WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
     },
+
+    "semantic_dedup" ->
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |assigned AS ${nearestSql("c2", "", 1)},
+         |pr AS (
+         |  SELECT b.vec_id, a.cluster, a.vec_id AS near_id,
+         |         CAST(${dotSql2("a.qe", "b.qe")} AS DOUBLE)
+         |           / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+         |  FROM assigned a JOIN assigned b USING (cluster)
+         |  WHERE a.vec_id < b.vec_id),
+         |d AS (SELECT vec_id, cluster, near_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY near_id) AS rn
+         |      FROM pr WHERE cos >= 0.45)
+         |SELECT vec_id, cluster, near_id, cos FROM d WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH $baseSql,

@@ -41,6 +41,36 @@ class IterativeOpsSpec extends SparkSpec {
     total should be >= (Scale - dustBound)
   }
 
+  test("link_hits matches a plain-Scala mutual-reinforcement iteration") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val ids = docIds.toSet
+    val edges = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (_, dst) => ids.contains(dst) }
+    val F = 1000000L
+    def normalize(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => v * F / mx).toMap
+    }
+    var a = docIds.map(_ -> F).toMap
+    var h = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      h = normalize(docIds.map(d => d ->
+        edges.collect { case (s0, t) if s0 == d => a(t) }.sum).toMap)
+      a = normalize(docIds.map(d => d ->
+        edges.collect { case (s0, t) if t == d => h(s0) }.sum).toMap)
+    }
+    val got = SparkEntry.queries("link_hits")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldEqual docIds.map(d => d -> ((h(d), a(d)))).toMap
+    // sinks exist and carry hub 0; the max-normalized scores peak at 1e6
+    assert(got.values.exists(_._1 == 0L))
+    got.values.map(_._1).max shouldEqual F
+    got.values.map(_._2).max shouldEqual F
+  }
+
   test("link_triangles matches a naive all-triples triangle count") {
     val docIds = Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).sorted
@@ -152,5 +182,57 @@ class IterativeOpsSpec extends SparkSpec {
     // subspace and reconstruction error is nonzero somewhere
     assert(got.map(r => (r._2, r._3)).distinct.size > 4)
     assert(got.exists(_._4 > 0L))
+  }
+
+  test("semantic_dedup matches a plain-Scala cluster-then-pair reference") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e7).toLong).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      vecs.map { case (id, qe) =>
+        id -> cents.toSeq.sortBy(_._1).minBy { case (_, ce) => -cos(qe, ce) }._1
+      }.toMap
+    val qById = vecs.toMap
+    def update(a: Map[Long, Long]): Map[Long, Array[Long]] =
+      a.groupBy(_._2).map { case (c, members) =>
+        val qs = members.keys.toSeq.map(qById)
+        c -> Array.tabulate(64)(i =>
+          math.floor(qs.map(_(i)).sum.toDouble / qs.size).toLong)
+      }
+    val c0 = vecs.filter(_._1 < 8).map { case (id, qe) => id -> qe }.toMap
+    val c2 = update(assign(update(assign(c0))))
+    val a3 = assign(c2)
+    // within-cluster pairs at cosine >= 0.45; keep the EARLIEST
+    // qualifying neighbor per dropped vector
+    val expected = vecs.flatMap { case (v, qv) =>
+      val earlier = vecs.filter { case (u, _) => u < v && a3(u) == a3(v) }
+        .map { case (u, qu) => (u, cos(qu, qv)) }
+        .filter(_._2 >= 0.45)
+      if (earlier.isEmpty) None
+      else {
+        val (u, c) = earlier.minBy(_._1)
+        Some(v -> ((a3(v), u, c)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("semantic_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    got shouldEqual expected
+  }
+
+  test("semantic_dedup fails fast past the cluster-size bound") {
+    spark.conf.set(queries.SimilarityQueries.SemDedupMaxKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("semantic_dedup")(spark, sf).collect()
+      }
+      e.getMessage should include("maxCluster")
+    } finally spark.conf.unset(queries.SimilarityQueries.SemDedupMaxKey)
   }
 }

@@ -107,6 +107,7 @@ class PlanAuditSpec extends SparkSpec {
       "ivf_topk" -> 3,             // ≤8-row MATERIALIZED trained-centroid frame hinted on the assign + probe sides, + ≤20 probes (the 2 training rounds' hints sit behind the index materialization)
       "kmeans_centroids" -> 4,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint, and the final count join re-embeds the assignment tree
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
+      "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
       "bpe_merges" -> 7,           // 1-row argmax-pair + 1-row token-total frames through 2 unrolled merge rounds (round 2's lineage re-embeds round 1's hints)
