@@ -41,24 +41,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = fanOut(table(s, d, "lineitem"), s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType directly; with `spark.sql.legacy.parquet.nanosAsLong`
-    * set it arrives as nanos-since-epoch, and we convert to a microsecond
-    * TimestampType column (`div` keeps the arithmetic in exact longs — a
-    * double division would lose precision at ~1.7e18 ns). The conf is set
-    * at session construction in [[graft.Sessions.builder]] and defensively
-    * re-asserted here so the table also loads from sessions graft didn't
-    * build (the driver contract passes us an arbitrary session). Oracle
-    * side must CAST(ts AS TIMESTAMP) for ts-sensitive comparisons (DuckDB
-    * reads native TIMESTAMP_NS). */
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations, and every downstream operator assumes session-zoned
+    * TimestampType (unix_micros, watermarks, window()); [[normalizeTs]]
+    * absorbs both so a regenerated dataset can't break ts arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column to TimestampType regardless of how the
+    * parquet writer encoded it:
+    *  - TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong` →
+    *    LongType nanos-since-epoch; convert with integer `div` (a double
+    *    division would lose precision at ~1.7e18 ns).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType;
+    *    cast re-interprets the wall-clock in the session zone, which is
+    *    pinned to UTC in [[graft.Sessions.builder]] — the same instant
+    *    DuckDB computes for a naive timestamp (epoch_us treats it as
+    *    UTC), so oracle comparisons stay exact.
+    *  - TimestampType passes through.
+    * A metadata-only projection either way — no data pass. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
       case _ => raw
     }
   }

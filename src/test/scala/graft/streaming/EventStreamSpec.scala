@@ -217,13 +217,12 @@ class EventStreamSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    // micro-batch consumption of the same table the batch queries use
-    // (ts arrives as nanos-long under the session conf, same read path)
+    // micro-batch consumption of the same table the batch queries use,
+    // through the same physical-type normalization as the batch loader
     val raw = spark.readStream.schema(
         spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(streamDir)
-    val q = EventStream.typeCounts(
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val q = EventStream.typeCounts(graft.Tables.normalizeTs(raw))
       .writeStream.outputMode("update").format("memory")
       .queryName("filestream").option("checkpointLocation", tmp("fs")).start()
     try {
