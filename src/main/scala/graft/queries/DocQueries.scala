@@ -118,7 +118,11 @@ object DocQueries extends QueryModule {
           col("doc_id"))
         .groupBy("lang", "shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
-          expr("bit_xor(dh)").as("fingerprint"), sum(col("dh")).as("checksum"),
+          expr("bit_xor(dh)").as("fingerprint"),
+          // modular: Σ of 56-bit hashes overflows BIGINT past ~128
+          // rows/shard — accumulate DECIMAL(38,0), reduce mod 2^56
+          (sum(col("dh").cast("decimal(38,0)")) % lit(72057594037927936L))
+            .cast("long").as("checksum"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("lang", "shard")
     }),
@@ -205,7 +209,7 @@ object DocQueries extends QueryModule {
         |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
         |       CAST(bit_xor(dh) AS BIGINT) AS fingerprint,
-        |       CAST(sum(dh) AS BIGINT) AS checksum,
+        |       CAST(sum(dh) % 72057594037927936 AS BIGINT) AS checksum,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )

@@ -843,7 +843,12 @@ object RelationalQueries extends QueryModule {
         .groupBy("part_month")
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(rh)").as("fingerprint"),
-          sum(col("rh")).as("checksum"))
+          // modular sum: Σ of 56-bit hashes overflows a BIGINT past
+          // ~128 rows/partition, so accumulate in DECIMAL(38,0) and
+          // reduce mod 2^56 — still order-independent and still
+          // catches XOR's double-inclusion blind spot
+          (sum(col("rh").cast("decimal(38,0)")) % lit(72057594037927936L))
+            .cast("long").as("checksum"))
         .orderBy("part_month")
     }),
 
@@ -945,6 +950,99 @@ object RelationalQueries extends QueryModule {
         .unionByName(edge("orders-customer", Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey"))
         .orderBy("edge")
+    }),
+
+    // Exact OLS trend slope (X-112): per-priority linear trend of order
+    // value over time via the closed-form normal equations — slope =
+    // (n·Σxy − Σx·Σy) ÷ (n·Σx² − (Σx)²) — the drift statistic a
+    // monitoring pipeline fits per stratum to answer "is this metric
+    // trending, and how fast" without any iterative optimizer. ONE
+    // hash aggregate over five monoid sums (the incremental_agg
+    // algebra — this regression is maintainable by partial merge),
+    // then arithmetic on the |groups|-row frame. All sums in
+    // DECIMAL(38,0): x = days since 1992-01-01 (≤ ~2.5k), y = exact
+    // cents; n·Σxy·10⁶ stays inside 38 digits through ~10¹⁰ rows/group
+    // — past that, re-origin x to the group's min day (shrinks Σx
+    // terms by orders of magnitude) before widening anything. The
+    // slope ships as exact fixed-point µcents/day (both engines
+    // truncate integer division toward zero); the only IEEE op is the
+    // final display division of identical integers.
+    "ols_trend" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = Tables.orders(s, d).select(
+        col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast(dec).as("x"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .cast(dec).as("y"))
+      base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("o_orderpriority"),
+          col("n").cast("long").as("n_orders"),
+          expr(s"CAST((n * sxy - sx * sy) * 1000000 div " +
+            "nullif(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_fx"),
+          expr("CAST(sy div n AS BIGINT)").as("mean_cents"))
+        .withColumn("slope_cents_per_day",
+          col("slope_fx").cast("double") / 1e6)
+        .orderBy("o_orderpriority")
+    }),
+
+    // CDC MERGE apply + digest proof (X-113): the consumer of X-97's
+    // change classes — reconstruct snapshot v2 from v1 plus the delta
+    // (DELETE keys dropped by an anti join, INSERT/UPDATE rows unioned
+    // in), then PROVE the reconstruction equals the directly-read v2
+    // with per-status row counts, cent sums, and the X-103
+    // order-independent XOR fingerprint computed over BOTH sides. The
+    // merge is the row-level maintenance path a lakehouse MERGE runs:
+    // every join/aggregate keys on the growing order key or the status
+    // stratum — no hint anywhere (neither a snapshot nor a delta of a
+    // 100 TB table is assumed broadcastable; AQE may still broadcast a
+    // measured-small delta at runtime).
+    "merge_apply" -> ((s, d) => {
+      import graft.operators.TextAnalysis.sampleBucket
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val old = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-ins") >= 2)
+        .withColumn("cents",
+          when(sampleBucket(col("o_orderkey"), "graft-snap-upd") < 3,
+            col("cents") - 100L).otherwise(col("cents")))
+      val neu = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-del") >= 2)
+      // the CDC delta, exactly as a MERGE statement consumes it:
+      // upserts carry v2 values; deletes carry only keys
+      val joined = neu.select(col("o_orderkey").as("k_new"),
+          col("o_orderstatus").as("st_new"), col("cents").as("c_new"))
+        .join(old.select(col("o_orderkey").as("k_old"),
+          col("o_orderstatus").as("st_old"), col("cents").as("c_old")),
+          col("k_new") === col("k_old"), "full_outer")
+      val upserts = joined
+        .filter(col("k_old").isNull ||
+          (col("k_new").isNotNull &&
+            (col("c_new") =!= col("c_old") || col("st_new") =!= col("st_old"))))
+        .select(col("k_new").as("o_orderkey"), col("st_new").as("o_orderstatus"),
+          col("c_new").as("cents"))
+      val touched = joined
+        .filter(col("k_new").isNull || col("k_old").isNull ||
+          col("c_new") =!= col("c_old") || col("st_new") =!= col("st_old"))
+        .select(coalesce(col("k_new"), col("k_old")).as("o_orderkey"))
+      val merged = old.join(touched, Seq("o_orderkey"), "left_anti")
+        .unionByName(upserts)
+      def digest(df: org.apache.spark.sql.DataFrame, side: String) = {
+        val rh = conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("cents"))), 1, 14), 16, 10).cast("long")
+        df.withColumn("rh", rh).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as(s"n_$side"),
+            sum(col("cents")).as(s"cents_$side"),
+            expr("bit_xor(rh)").as(s"fp_$side"))
+      }
+      digest(merged, "merged").join(digest(neu, "direct"), "o_orderstatus")
+        .withColumn("digests_match",
+          col("n_merged") === col("n_direct") &&
+          col("cents_merged") === col("cents_direct") &&
+          col("fp_merged") === col("fp_direct"))
+        .orderBy("o_orderstatus")
     }),
   )
 
@@ -1469,7 +1567,7 @@ object RelationalQueries extends QueryModule {
         |  FROM orders)
         |SELECT part_month, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(bit_xor(rh) AS BIGINT) AS fingerprint,
-        |       CAST(sum(rh) AS BIGINT) AS checksum
+        |       CAST(sum(rh) % 72057594037927936 AS BIGINT) AS checksum
         |FROM r GROUP BY part_month ORDER BY part_month""".stripMargin,
 
     // The oracle is the direct recompute over base ∪ delta — matching
@@ -1529,5 +1627,61 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // Same five monoid sums in HUGEINT and the same closed-form slope;
+    // // and Spark's div both truncate toward zero, so the signed
+    // fixed-point slope is bit-identical.
+    "ols_trend" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+        |         CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS y
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM b GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+        |       CAST((n * sxy - sx * sy) * 1000000 // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS slope_fx,
+        |       CAST(sy // n AS BIGINT) AS mean_cents,
+        |       CAST(CAST((n * sxy - sx * sy) * 1000000 // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS DOUBLE) / 1e6 AS slope_cents_per_day
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Same snapshot draws, MERGE reconstruction, and double-sided
+    // digest; the fingerprint hash is the partition_fingerprint 56-bit
+    // md5-prefix idiom over "key|cents".
+    "merge_apply" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM orders),
+        |old AS (SELECT o_orderkey, o_orderstatus,
+        |               CASE WHEN CAST('0x' || substr(md5('graft-snap-upd' || o_orderkey), 1, 4) AS BIGINT) % 100 < 3
+        |                    THEN cents - 100 ELSE cents END AS cents
+        |        FROM o
+        |        WHERE CAST('0x' || substr(md5('graft-snap-ins' || o_orderkey), 1, 4) AS BIGINT) % 100 >= 2),
+        |new AS (SELECT o_orderkey, o_orderstatus, cents FROM o
+        |        WHERE CAST('0x' || substr(md5('graft-snap-del' || o_orderkey), 1, 4) AS BIGINT) % 100 >= 2),
+        |j AS (SELECT n.o_orderkey AS k_new, n.o_orderstatus AS st_new, n.cents AS c_new,
+        |             d.o_orderkey AS k_old, d.o_orderstatus AS st_old, d.cents AS c_old
+        |      FROM new n FULL OUTER JOIN old d ON n.o_orderkey = d.o_orderkey),
+        |ups AS (SELECT k_new AS o_orderkey, st_new AS o_orderstatus, c_new AS cents FROM j
+        |        WHERE k_old IS NULL OR (k_new IS NOT NULL AND (c_new <> c_old OR st_new <> st_old))),
+        |touched AS (SELECT coalesce(k_new, k_old) AS o_orderkey FROM j
+        |            WHERE k_new IS NULL OR k_old IS NULL OR c_new <> c_old OR st_new <> st_old),
+        |merged AS (SELECT * FROM old WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+        |           UNION ALL SELECT * FROM ups),
+        |dm AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_merged,
+        |              CAST(sum(cents) AS BIGINT) AS cents_merged,
+        |              bit_xor(CAST('0x' || substr(md5(o_orderkey || '|' || cents), 1, 14) AS BIGINT)) AS fp_merged
+        |       FROM merged GROUP BY 1),
+        |dd AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_direct,
+        |              CAST(sum(cents) AS BIGINT) AS cents_direct,
+        |              bit_xor(CAST('0x' || substr(md5(o_orderkey || '|' || cents), 1, 14) AS BIGINT)) AS fp_direct
+        |       FROM new GROUP BY 1)
+        |SELECT o_orderstatus, n_merged, cents_merged, fp_merged,
+        |       n_direct, cents_direct, fp_direct,
+        |       n_merged = n_direct AND cents_merged = cents_direct
+        |         AND fp_merged = fp_direct AS digests_match
+        |FROM dm JOIN dd USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -171,7 +171,8 @@ class GovernanceOpsSpec extends SparkSpec {
     // fold in REVERSED order: the digest must not care
     val expected = rows.groupBy(_._1).toSeq.map { case (m, vs) =>
       val hs = vs.map(_._2).reverse
-      (m, hs.length.toLong, hs.reduce(_ ^ _), hs.sum)
+      val modSum = (hs.map(BigInt(_)).sum mod BigInt(1L << 56)).toLong
+      (m, hs.length.toLong, hs.reduce(_ ^ _), modSum)
     }.sortBy(_._1)
     val got = SparkEntry.queries("partition_fingerprint")(spark, sf).collect()
       .map { r =>
@@ -302,5 +303,40 @@ class GovernanceOpsSpec extends SparkSpec {
     // directions exist and both selection outcomes occur
     assert(got.exists(_._7) && got.exists(!_._7))
     assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
+  }
+
+  test("merge_apply reconstructs snapshot v2 exactly (all digests match a naive merge)") {
+    // naive MERGE: rebuild v2 from v1 + the per-key change classes,
+    // entirely in driver-side maps, and digest both sides
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val old = rows.filter(r => bucket("graft-snap-ins", r._1) >= 2)
+      .map(r => r._1 -> (r._2,
+        if (bucket("graft-snap-upd", r._1) < 3) r._3 - 100 else r._3)).toMap
+    val neu = rows.filter(r => bucket("graft-snap-del", r._1) >= 2)
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val merged = old.filter { case (k, v) => neu.get(k).contains(v) } ++
+      neu.filter { case (k, v) => !old.get(k).contains(v) }
+    merged shouldEqual neu // the naive merge itself must equal direct v2
+    def digest(m: Map[Long, (String, Long)]) =
+      m.toSeq.groupBy(_._2._1).view.mapValues { vs =>
+        val hs = vs.map { case (k, (_, c)) =>
+          java.lang.Long.parseLong(md5hex(s"$k|$c").take(14), 16)
+        }
+        (vs.length.toLong, vs.map(_._2._2).sum, hs.reduce(_ ^ _))
+      }.toMap
+    val expected = digest(merged).map { case (st, (n, c, fp)) =>
+      (st, n, c, fp, n, c, fp, true)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("merge_apply")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    got shouldEqual expected
+    // the reconstruction is exercised: all three CDC classes are drawn
+    // on these seeds, yet every per-status digest still matches
+    got.foreach(_._8 shouldBe true)
   }
 }

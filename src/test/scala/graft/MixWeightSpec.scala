@@ -59,7 +59,8 @@ class MixWeightSpec extends SparkSpec {
     val expected = recs.groupBy(r => (r._1, r._2)).toSeq
       .map { case ((lang, shard), vs) =>
         (lang, shard, vs.length.toLong, vs.map(_._4).sum,
-          vs.map(_._3).reduce(_ ^ _), vs.map(_._3).sum,
+          vs.map(_._3).reduce(_ ^ _),
+          (vs.map(r => BigInt(r._3)).sum mod BigInt(1L << 56)).toLong,
           vs.map(_._5).min, vs.map(_._5).max)
       }.sortBy(r => (r._1, r._2))
     val got = SparkEntry.queries("shard_manifest")(spark, sf).collect()

@@ -225,4 +225,29 @@ class MonitoringOpsSpec extends SparkSpec {
       l1 shouldEqual expNum.toDouble / (nSrc.toDouble * n2.toDouble)
     }
   }
+
+  test("ols_trend matches a naive BigInt normal-equations fit") {
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderpriority", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val x = BigInt(java.time.temporal.ChronoUnit.DAYS.between(epoch, day(r.get(1))))
+        val y = BigInt(BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+        (r.getString(0), x, y)
+      }
+    val expected = rows.groupBy(_._1).toSeq.map { case (p, vs) =>
+      val n = BigInt(vs.length)
+      val sx = vs.map(_._2).sum; val sy = vs.map(_._3).sum
+      val sxy = vs.map(v => v._2 * v._3).sum
+      val sxx = vs.map(v => v._2 * v._2).sum
+      val den = n * sxx - sx * sx
+      val slope = ((n * sxy - sx * sy) * 1000000 / den).toLong // BigInt / truncates toward zero
+      (p, vs.length.toLong, slope, (sy / n).toLong, slope.toDouble / 1e6)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("ols_trend")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    got shouldEqual expected
+  }
 }
