@@ -499,6 +499,56 @@ object SimilarityQueries extends QueryModule {
           col("cluster").as("code"), col("dist").as("sse_fx"))
         .orderBy("vec_id", "sub")
     }),
+
+    // Top principal component by power iteration (X-114): the
+    // whitening/drift-direction statistic an embedding pipeline fits
+    // before PCA-reducing or monitoring a corpus. Two stages, each in
+    // its right shape: (1) the 64×64 second-moment (Gram) matrix in
+    // ONE corpus pass through graft.functions.GramAggregator — per-task
+    // state is a single 32 KB buffer, partial/final aggregate, nothing
+    // corpus-sized shuffles (the explode+self-join alternative shuffles
+    // 64n rows to rebuild what the buffer folds locally); the 4096-row
+    // result is MATERIALIZED once (the ivf_topk index discipline —
+    // each power-iteration round re-embeds G's lineage, and without
+    // the cut every reference would re-run the corpus scan); (2) two
+    // unrolled power-iteration rounds over that tiny frame: matvec =
+    // join + 64-group aggregate, then exact L∞ normalization via a
+    // 1-row max broadcast (the link_hits discipline — rescales without
+    // any sqrt). Arithmetic: inputs quantized at 1e4 (products ≤ 1e8,
+    // long-safe through ~10¹⁰ rows — beyond that shard and merge Gram
+    // frames in DECIMAL), matvec products in DECIMAL(38,0), and both
+    // engines truncate the fixed-point divisions identically. λ ships
+    // as the round-2 L∞ growth — the standard power-iteration
+    // eigenvalue estimate.
+    "embedding_gram_pca" -> ((s, d) => {
+      val gram = udaf(new graft.functions.GramAggregator(64),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val q = Tables.embeddings(s, d).select(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(10000.0d)).cast("long")).as("q"))
+      val g = graft.operators.Dedup.materialize(
+        q.agg(gram(col("q")).as("g"))
+          .select(posexplode(col("g")).as(Seq("idx", "s")))
+          .select(expr("CAST(idx div 64 AS BIGINT)").as("i"),
+            expr("CAST(idx % 64 AS BIGINT)").as("j"), col("s")))
+      val v0 = s.range(64).select(col("id").as("j"), lit(1000000L).as("v"))
+      def matvec(v: DataFrame): DataFrame =
+        g.join(broadcast(v), "j")
+          .groupBy("i")
+          .agg(sum(col("s").cast("decimal(38,0)") * col("v")).as("w"))
+      def normalize(w: DataFrame): DataFrame =
+        w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("m"))))
+          .select(col("i").as("j"),
+            expr("CAST(w * 1000000 div m AS BIGINT)").as("v"))
+      val v1 = normalize(matvec(v0))
+      val w2 = matvec(v1)
+      val m2 = w2.agg(max(abs(col("w"))).as("m"))
+      normalize(w2)
+        .crossJoin(broadcast(m2))
+        .select(col("j").as("dim"), col("v").as("v_fx"),
+          expr("CAST(m div 1000000 AS BIGINT)").as("lambda_fx"))
+        .orderBy("dim")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -759,5 +809,29 @@ object SimilarityQueries extends QueryModule {
          |SELECT vec_id, sub, CAST(cluster AS BIGINT) AS code, dist AS sse_fx
          |FROM a2 ORDER BY vec_id, sub""".stripMargin
     },
+
+    // Same 1e4 quantization, Gram sums, and two L∞-normalized power
+    // rounds; // and Spark's div both truncate toward zero, so every
+    // fixed-point component matches bit-for-bit.
+    "embedding_gram_pca" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS ql
+        |  FROM embeddings),
+        |g AS (SELECT CAST(t1.i - 1 AS BIGINT) AS i, CAST(t2.j - 1 AS BIGINT) AS j,
+        |             CAST(sum(ql[t1.i] * ql[t2.j]) AS HUGEINT) AS s
+        |      FROM q, generate_series(1, 64) t1(i), generate_series(1, 64) t2(j)
+        |      GROUP BY 1, 2),
+        |v0 AS (SELECT CAST(j - 1 AS BIGINT) AS j, CAST(1000000 AS HUGEINT) AS v
+        |       FROM generate_series(1, 64) t(j)),
+        |w1 AS (SELECT i, sum(s * v) AS w FROM g JOIN v0 USING (j) GROUP BY i),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT i AS j, w * 1000000 // m AS v FROM w1, m1),
+        |w2 AS (SELECT i, sum(s * v) AS w FROM g JOIN v1 USING (j) GROUP BY i),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT i AS j, w * 1000000 // m AS v FROM w2, m2)
+        |SELECT v2.j AS dim, CAST(v2.v AS BIGINT) AS v_fx,
+        |       CAST(m2.m // 1000000 AS BIGINT) AS lambda_fx
+        |FROM v2, m2 ORDER BY dim""".stripMargin,
   )
 }

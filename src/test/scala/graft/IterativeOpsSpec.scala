@@ -235,4 +235,30 @@ class IterativeOpsSpec extends SparkSpec {
       e.getMessage should include("maxCluster")
     } finally spark.conf.unset(queries.SimilarityQueries.SemDedupMaxKey)
   }
+
+  test("embedding_gram_pca matches a plain-Scala Gram + power iteration") {
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.floor(x.toDouble * 10000).toLong))
+    val d = 64
+    val g = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      g(i)(j) = vecs.iterator.map(v => BigInt(v(i)) * v(j)).sum
+    def round(v: Array[BigInt]): (Array[BigInt], BigInt) = {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      (w.map(x => x * 1000000 / m), m) // BigInt / truncates toward zero
+    }
+    val (v1, _) = round(Array.fill(d)(BigInt(1000000)))
+    val (v2, m2) = round(v1)
+    val got = SparkEntry.queries("embedding_gram_pca")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.map(_._1).toSeq shouldEqual (0L until 64L)
+    got.map(_._2).toSeq shouldEqual v2.map(_.toLong).toSeq
+    got.map(_._3).distinct.toSeq shouldEqual Seq((m2 / 1000000).toLong)
+    // the iteration converged onto a real direction: successive rounds
+    // agree in orientation (positive dot product) and the dominant
+    // eigenvalue is strictly positive
+    (v1, v2).zipped.map((a, b) => a * b).sum should be > BigInt(0)
+    assert(m2 > 0)
+  }
 }

@@ -152,6 +152,7 @@ class PlanAuditSpec extends SparkSpec {
       "pq_error" -> 2,             // M×8 = 32-row trained-centroid frames (round-2's lineage re-embeds round-1's hint)
       "join_size_estimate" -> 6,   // per star edge: 1-row right-side stats + 1-row realized-count frames (3 edges × 2)
       "pmi_collocations" -> 2,     // 1-row token-total and 1-row bigram-total frames (the vocabulary-sized unigram frame is shuffle-joined, never hinted)
+      "embedding_gram_pca" -> 14,  // 64-row eigenvector and 1-row L∞-max frames through 2 power rounds — every reference past the MATERIALIZED 4096-row Gram frame re-embeds the earlier rounds' hints (the kmeans/bpe_merges lineage effect); nothing corpus-sized is hinted
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
