@@ -904,6 +904,44 @@ object TextQueries extends QueryModule {
             x => x("token"))).as("clean_text"))
         .orderBy("doc_id")
     }),
+
+    // Quality/length Pareto frontier (X-115): the skyline of documents
+    // no other document beats on BOTH axes (fewer-or-equal tokens AND
+    // higher-or-equal quality, strictly better on one) — the
+    // data-selection curve that answers "best attainable quality at
+    // every token budget" without fixing the budget first. Distributed
+    // shape: skyline membership only ever depends on the best quality
+    // at each length, so (1) ONE hash aggregate reduces the corpus to
+    // per-length maxima — a frame bounded by the token-count VALUE
+    // DOMAIN (max document length), not the corpus; (2) the frontier
+    // lengths fall out of a running strictly-shorter max over that
+    // tiny frame (unpartitioned RANGE window, allowlisted with the
+    // domain bound); (3) one join back tags the surviving documents.
+    // The quality score is the proven-bit-identical text_quality
+    // double, and max() over doubles is order-independent, so the
+    // frontier is hash-exact. Equal (length, quality) points tie on
+    // the frontier and are all kept — standard skyline semantics.
+    "pareto_docs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          occurrences(col("toks"), LangProfiles.head._2).as("stop_hits"))
+        .withColumn("quality",
+          qualityScore(col("n_tokens"), col("n_distinct"), col("stop_hits")))
+        .select("doc_id", "n_tokens", "quality")
+      val perLen = base.groupBy("n_tokens").agg(max(col("quality")).as("qmax"))
+      val frontier = perLen
+        .withColumn("best_shorter", max(col("qmax")).over(
+          Window.orderBy("n_tokens").rangeBetween(Window.unboundedPreceding, -1)))
+        .filter(col("best_shorter").isNull || col("qmax") > col("best_shorter"))
+        .select(col("n_tokens").as("f_tokens"), col("qmax"))
+      base.join(broadcast(frontier),
+          col("n_tokens") === col("f_tokens") && col("quality") === col("qmax"))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("n_tokens", "doc_id")
+    }),
   )
 
   /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
@@ -1431,5 +1469,25 @@ object TextQueries extends QueryModule {
          |       CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
          |       coalesce(string_agg(CASE WHEN NOT is_stop THEN token END, ' ' ORDER BY pos), '') AS clean_text
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // One-window global skyline (fine at oracle scale; the engine side
+    // is the per-length aggregate + domain-bounded frontier window).
+    "pareto_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |             CAST(len(toks) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |             ${occSql(LangProfiles.head._2)} AS stop_hits
+         |      FROM t),
+         |s AS (SELECT doc_id, n_tokens, $scoreSql AS quality FROM b),
+         |m AS (SELECT n_tokens, max(quality) AS qmax FROM s GROUP BY 1),
+         |f AS (SELECT n_tokens, qmax,
+         |             max(qmax) OVER (ORDER BY n_tokens
+         |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_shorter
+         |      FROM m)
+         |SELECT s.doc_id, s.n_tokens, s.quality
+         |FROM s JOIN f ON s.n_tokens = f.n_tokens AND s.quality = f.qmax
+         |WHERE f.best_shorter IS NULL OR f.qmax > f.best_shorter
+         |ORDER BY s.n_tokens, s.doc_id""".stripMargin,
   )
 }

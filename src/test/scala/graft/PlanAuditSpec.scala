@@ -153,6 +153,7 @@ class PlanAuditSpec extends SparkSpec {
       "join_size_estimate" -> 6,   // per star edge: 1-row right-side stats + 1-row realized-count frames (3 edges × 2)
       "pmi_collocations" -> 2,     // 1-row token-total and 1-row bigram-total frames (the vocabulary-sized unigram frame is shuffle-joined, never hinted)
       "embedding_gram_pca" -> 14,  // 64-row eigenvector and 1-row L∞-max frames through 2 power rounds — every reference past the MATERIALIZED 4096-row Gram frame re-embeds the earlier rounds' hints (the kmeans/bpe_merges lineage effect); nothing corpus-sized is hinted
+      "pareto_docs" -> 1,          // frontier frame: ≤ |distinct token-count values| rows (value-domain-bounded, further thinned to the strictly-improving lengths)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -180,7 +181,8 @@ class PlanAuditSpec extends SparkSpec {
       "rrf_fusion",           // global top-20 ranking: the final window's input is Rank's pre-pruned ≤ k × partitions survivors (the constant group key folds away)
       "equidepth_hist",       // bin numbering over the ≤ |bins| rank-selected rows (below it sits the Quantile target-bucket Join)
       "stopword_strip",       // top-3 stopword ranking: same Rank pre-pruned ≤ k × partitions input as rrf_fusion
-      "global_ids"            // prefix-sum over the ≤ P per-partition count rows
+      "global_ids",           // prefix-sum over the ≤ P per-partition count rows
+      "pareto_docs"           // strictly-shorter running max over the per-length maxima: ≤ |distinct token-count values| rows (value-domain-bounded aggregate, not corpus-bound)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

@@ -102,4 +102,26 @@ class TrainingOpsSpec extends SparkSpec {
     // (no planted emails in the tiny sf0.001 slice — the equivalence
     // above is the invariant; sf0.01's oracle run covers the hit path)
   }
+
+  test("pareto_docs matches a naive all-pairs domination scan") {
+    val scored = SparkEntry.queries("text_quality")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    // naive skyline: keep a point iff NO other point dominates it
+    // (≤ tokens, ≥ quality, strictly better on at least one axis)
+    val expected = scored.filter { case (_, t, q) =>
+      !scored.exists { case (_, t2, q2) =>
+        t2 <= t && q2 >= q && (t2 < t || q2 > q)
+      }
+    }.map(p => (p._1, p._2, p._3)).sortBy(p => (p._2, p._1)).toSeq
+    val got = SparkEntry.queries("pareto_docs")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldEqual expected
+    // the frontier is a real curve on this corpus: more than one point,
+    // far fewer than the corpus, and quality strictly increases with
+    // the token budget along it
+    assert(got.length > 1 && got.length < scored.length)
+    val byLen = got.groupBy(_._2).view.mapValues(_.head._3).toSeq.sortBy(_._1)
+    byLen.map(_._2) shouldEqual byLen.map(_._2).sorted
+  }
 }
