@@ -244,6 +244,47 @@ object LinkQueries extends QueryModule {
           concat(lit("/"), col("lang"), lit("/p"), col("doc_id"),
             lit("/"), col("link_idx")).as("href"))
         .orderBy("doc_id", "link_idx")),
+
+    // 2-hop neighbor feature aggregation (X-116): the GraphSAGE-style
+    // message-passing round a graph-ML pipeline runs to featurize
+    // nodes from their neighborhood — h1(v) = floor-mean of in-
+    // neighbors' features, h2(v) = the same aggregation over h1 (so h2
+    // summarizes the 2-hop neighborhood). Same synthesized link graph
+    // as PageRank (1-in-7 sinks). Scale shape: the edge list is
+    // MATERIALIZED once pre-partitioned on src (the CC recipe), each
+    // hop is one key join + one hash aggregate on data-bound keys, and
+    // h1 is materialized between hops — hop 2 re-embeds h1's
+    // join+aggregate lineage otherwise (the ivf/kmeans discipline).
+    // No-inbound nodes fall back to their own feature (the standard
+    // self-loop fallback), exactly mirrored in the oracle. All
+    // arithmetic is long sums + one floor division per hop (operands
+    // non-negative, so floor = both engines' truncation).
+    "neighbor_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val edges = graft.operators.Dedup.materialize(
+        docs.select("doc_id").crossJoin(broadcast(stats))
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("src"),
+            explode(array((1 to 3).map(j =>
+              (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
+          .repartition(col("src")))
+      def hop(h: DataFrame, valCol: String): DataFrame =
+        edges.join(h, edges("src") === h("doc_id"))
+          .groupBy("dst")
+          .agg(count(lit(1)).as("indeg"), sum(col(valCol)).as("s"))
+      val a1 = hop(docs, "n_chars")
+      val h1 = graft.operators.Dedup.materialize(
+        docs.join(a1, docs("doc_id") === a1("dst"), "left_outer")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("indeg"), lit(0L)).as("in_deg"),
+            coalesce(expr("s div indeg"), col("n_chars")).as("h1")))
+      val a2 = hop(h1, "h1")
+      h1.join(a2, h1("doc_id") === a2("dst"), "left_outer")
+        .select(col("doc_id"), col("n_chars"), col("in_deg"), col("h1"),
+          coalesce(expr("s div indeg"), col("h1")).as("h2"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -378,5 +419,28 @@ object LinkQueries extends QueryModule {
         |       '/' || lang || '/p' || doc_id || '/' || i AS href
         |FROM documents, range(3) t(i)
         |ORDER BY doc_id, link_idx""".stripMargin,
+
+    // Same synthesized edges and two floor-mean hops; operands are
+    // non-negative so // = floor = Spark's div.
+    "neighbor_features" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n.n AS dst
+        |      FROM documents, n, generate_series(1, 3) t(j)
+        |      WHERE doc_id % 7 <> 0),
+        |f AS (SELECT doc_id, n_chars FROM documents),
+        |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg,
+        |              CAST(sum(f.n_chars) AS BIGINT) AS s
+        |       FROM e JOIN f ON e.src = f.doc_id GROUP BY dst),
+        |h1 AS (SELECT f.doc_id, f.n_chars,
+        |              coalesce(a1.indeg, 0) AS in_deg,
+        |              coalesce(a1.s // a1.indeg, f.n_chars) AS h1
+        |       FROM f LEFT JOIN a1 ON f.doc_id = a1.dst),
+        |a2 AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg,
+        |              CAST(sum(h1.h1) AS BIGINT) AS s
+        |       FROM e JOIN h1 ON e.src = h1.doc_id GROUP BY dst)
+        |SELECT h1.doc_id, h1.n_chars, h1.in_deg, h1.h1,
+        |       coalesce(a2.s // a2.indeg, h1.h1) AS h2
+        |FROM h1 LEFT JOIN a2 ON h1.doc_id = a2.dst
+        |ORDER BY h1.doc_id""".stripMargin,
   )
 }

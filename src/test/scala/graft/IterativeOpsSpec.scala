@@ -236,6 +236,35 @@ class IterativeOpsSpec extends SparkSpec {
     } finally spark.conf.unset(queries.SimilarityQueries.SemDedupMaxKey)
   }
 
+  test("neighbor_features matches a plain-Scala 2-hop message pass") {
+    val feats = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = feats.size
+    val edges = feats.keys.toSeq.filter(_ % 7 != 0)
+      .flatMap(src => (1 to 3).map(j => (src, (src * 31 + j * 97) % n)))
+    val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def pass(h: Map[Long, Long]): Map[Long, Long] =
+      feats.keys.map { v =>
+        v -> inN.get(v).map(ns => ns.map(h).sum / ns.length).getOrElse(h(v))
+      }.toMap
+    val h1 = pass(feats)
+    val h2 = pass(h1)
+    val got = SparkEntry.queries("neighbor_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.length shouldEqual n
+    got.foreach { case (v, f, indeg, g1, g2) =>
+      f shouldEqual feats(v)
+      indeg shouldEqual inN.get(v).map(_.length.toLong).getOrElse(0L)
+      g1 shouldEqual h1(v)
+      g2 shouldEqual h2(v)
+    }
+    // the graph actually mixes: both hops move most nodes off their
+    // own raw feature, and sinks still receive messages (indeg > 0)
+    assert(got.count(r => r._4 != r._2) > n / 2)
+    assert(got.exists(r => r._1 % 7 == 0 && r._3 > 0))
+  }
+
   test("embedding_gram_pca matches a plain-Scala Gram + power iteration") {
     val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(x => math.floor(x.toDouble * 10000).toLong))
