@@ -143,6 +143,39 @@ object DocQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), (col("off") + col("lrn")).as("gid"))
         .orderBy("gid")
     }),
+
+    // Shard-rebalance movement audit (X-118): how many documents MOVE
+    // when the export grows from 4 to 5 shards, under (a) the naive
+    // mod-rehash of X-108's assignment hash and (b) rendezvous/HRW
+    // hashing (highest random weight per (shard, doc) — Thaler &
+    // Ravishankar '96, the stateless consistent-placement scheme).
+    // This measured comparison IS the case for consistent placement at
+    // 100 TB: mod-rehash moves ~1 − 1/lcm-ish ≈ 80% of the corpus (a
+    // full re-export), HRW moves exactly the docs the NEW shard wins
+    // ≈ 1/5. Pure narrow scan + per-row column arithmetic + ONE 1-row
+    // aggregate unpivoted to two report rows; 16-bit hashes get the
+    // shard id packed into the low 3 bits (h·8 + s) so argmax ties
+    // break deterministically and identically in both engines.
+    "shard_rebalance" -> ((s, d) => {
+      def h(salt: String): org.apache.spark.sql.Column =
+        expr(s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+      def hrw(s0: Int): org.apache.spark.sql.Column = expr(
+        (0 until s0).map(i =>
+          s"CAST(conv(substring(md5(concat('graft-hrw', '$i', '|', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) * 8 + $i")
+          .mkString("greatest(", ", ", ") % 8"))
+      val per = Tables.documents(s, d).select(
+        (h("graft-shard") % 4 =!= h("graft-shard") % 5).as("mod_moved"),
+        (hrw(4) =!= hrw(5)).as("hrw_moved"))
+      val agg = per.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_m"),
+        sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("hrw_m"))
+      def row(name: String, c: String) =
+        agg.select(lit(name).as("strategy"), col("n_docs"),
+          col(c).as("n_moved"),
+          expr(s"CAST($c * 1000000 div n_docs AS BIGINT)").as("moved_ppm"))
+      row("mod_rehash", "mod_m").unionByName(row("rendezvous", "hrw_m"))
+        .orderBy("strategy")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -212,5 +245,29 @@ object DocQueries extends QueryModule {
         |       CAST(sum(dh) % 72057594037927936 AS BIGINT) AS checksum,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same hashes, same packed-tie-break argmax, same 1-row fold.
+    "shard_rebalance" -> {
+      def h(i: Int) =
+        s"CAST('0x' || substr(md5('graft-hrw' || '$i' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 8 + $i"
+      s"""WITH b AS (
+         |  SELECT CAST('0x' || substr(md5('graft-shard' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS hs,
+         |         greatest(${(0 until 4).map(h).mkString(", ")}) % 8 AS hrw4,
+         |         greatest(${(0 until 5).map(h).mkString(", ")}) % 8 AS hrw5
+         |  FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN hs % 4 <> hs % 5 THEN 1 ELSE 0 END) AS BIGINT) AS mod_m,
+         |             CAST(sum(CASE WHEN hrw4 <> hrw5 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_m
+         |      FROM b)
+         |SELECT * FROM (
+         |  SELECT 'mod_rehash' AS strategy, n_docs, mod_m AS n_moved,
+         |         CAST(CAST(mod_m AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS moved_ppm
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 'rendezvous', n_docs, hrw_m,
+         |         CAST(CAST(hrw_m AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |  FROM a)
+         |ORDER BY strategy""".stripMargin
+    },
   )
 }

@@ -405,6 +405,36 @@ object EventQueries extends QueryModule {
           col("cum_n").cast("double") / sum(col("n")).over(total).cast("double"))
         .orderBy("day")
     }),
+
+    // Session transition matrix (X-117): within-session (from → to)
+    // event-type counts plus the exact fixed-point row-conditional
+    // probability — the first-order Markov model behind next-action
+    // prediction and funnel diagnosis. The per-user window reuses the
+    // user_sessions discipline (data-bound key, one exchange); session
+    // boundaries come from the same lag + 30-minute cutoff, and a
+    // transition only counts INSIDE a session (the cross-session pair
+    // is exactly what the model must not learn). Everything after the
+    // window is a (|types|² ≤ 25)-key aggregate + a |types|-row
+    // conditional join — report-scale frames, shuffle-joined anyway
+    // (broadcast would also be fine; the join is cheap either way).
+    "event_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_ts").isNotNull &&
+          col("ts") <= col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+      val pairs = steps.groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = pairs.groupBy("from_type").agg(sum(col("n_trans")).as("n_from"))
+      pairs.join(totals, "from_type")
+        .withColumn("p_fx",
+          expr("CAST(n_trans * 1000000 div n_from AS BIGINT)"))
+        .select("from_type", "to_type", "n_trans", "n_from", "p_fx")
+        .orderBy("from_type", "to_type")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -679,5 +709,26 @@ object EventQueries extends QueryModule {
         |       CAST(CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |            / CAST(sum(n) OVER () AS DOUBLE) AS DOUBLE) AS ratio
         |FROM daily ORDER BY day""".stripMargin,
+
+    // Same per-user lag, in-session cutoff, and fixed-point
+    // conditional probabilities.
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |           FROM events),
+        |s AS (SELECT user_id, ts, event_type,
+        |             lag(ts) OVER w AS prev_ts,
+        |             lag(event_type) OVER w AS prev_type
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT prev_type AS from_type, event_type AS to_type,
+        |             CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM s
+        |      WHERE prev_ts IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTE
+        |      GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n_trans, t.n_from,
+        |       CAST(CAST(p.n_trans AS HUGEINT) * 1000000 // t.n_from AS BIGINT) AS p_fx
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -144,4 +144,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     got.filter(_._2 == 0L).map(_._1).toSet shouldEqual got.map(_._1).toSet
     assert(got.exists(_._2 > 0L))
   }
+
+  test("event_transitions matches a naive per-user sequential scan") {
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.LocalDateTime =>
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => sys.error(s"unexpected ts: $other")
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), millis(r.get(1)), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) if b._2 <= a._2 + 30 * 60 * 1000 => (a._4, b._4)
+      }
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.map { case ((f, t), n) =>
+      (f, t, n, totals(f), n * 1000000L / totals(f))
+    }.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("event_transitions")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldEqual expected
+    // per-from probabilities sum to ~1 (fixed-point floor loses < |types| ppm)
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.map(_._5).sum
+      assert(s > 1000000L - rs.length && s <= 1000000L)
+    }
+  }
 }

@@ -73,6 +73,27 @@ class MixWeightSpec extends SparkSpec {
     assert(got.forall(_._3 > 0))
   }
 
+  test("shard_rebalance matches naive hashing and shows the consistent-placement gap") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    def h16(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(4), 16)
+    def hrw(id: Long, shards: Int): Long =
+      (0 until shards).map(i => h16(s"graft-hrw$i|$id") * 8 + i).max % 8
+    val modMoved = ids.count { id =>
+      val h = h16(s"graft-shard$id"); h % 4 != h % 5
+    }.toLong
+    val hrwMoved = ids.count(id => hrw(id, 4) != hrw(id, 5)).toLong
+    val n = ids.length.toLong
+    val got = SparkEntry.queries("shard_rebalance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual Seq(
+      ("mod_rehash", n, modMoved, modMoved * 1000000L / n),
+      ("rendezvous", n, hrwMoved, hrwMoved * 1000000L / n))
+    // the measured case for consistent placement: mod-rehash reshuffles
+    // the large majority, rendezvous only ~the 1/5 the new shard wins
+    assert(modMoved * 2 > n)
+    assert(hrwMoved * 3 < n)
+  }
+
   test("hashed_features matches a naive token-hash fold and buckets stay in range") {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"),
