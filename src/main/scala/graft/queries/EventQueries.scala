@@ -406,6 +406,33 @@ object EventQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // Half-life-decayed engagement (X-120): recency-weighted value per
+    // event type with weight 2^(−age_days), truncated at 30 days — the
+    // freshness scoring every ranking/engagement pipeline runs, made
+    // EXACT by keeping the whole computation in the binary fixed point
+    // the decay naturally lives in: w = 1 << (30 − age) (an integer,
+    // never pow()/exp()), Σ cents·w in DECIMAL(38,0), one final shift-
+    // down division both engines truncate identically. ONE narrow scan
+    // + a 1-row reference-date broadcast + one |types|-key aggregate;
+    // the 30-day horizon bounds the shift so weights fit a long at any
+    // corpus size.
+    "decayed_engagement" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val ref = ev.agg(max(col("day")).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(col("ref_day"), col("day")))
+        .withColumn("w", when(col("age") <= 30,
+          expr("shiftleft(1L, CAST(30 - age AS INT))")).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_recent"),
+          expr("CAST(sum(CAST(cents AS DECIMAL(38,0)) * w) div shiftleft(1L, 30) AS BIGINT)")
+            .as("decayed_cents"))
+        .orderBy("event_type")
+    }),
+
     // Session transition matrix (X-117): within-session (from → to)
     // event-type counts plus the exact fixed-point row-conditional
     // probability — the first-order Markov model behind next-action
@@ -709,6 +736,22 @@ object EventQueries extends QueryModule {
         |       CAST(CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |            / CAST(sum(n) OVER () AS DOUBLE) AS DOUBLE) AS ratio
         |FROM daily ORDER BY day""".stripMargin,
+
+    // Same shifted-integer weights and truncating shift-down division.
+    "decayed_engagement" ->
+      """WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT max(day) AS ref_day FROM e),
+        |w AS (SELECT event_type, cents,
+        |             CASE WHEN date_diff('day', day, ref_day) <= 30
+        |                  THEN CAST(1 AS BIGINT) << CAST(30 - date_diff('day', day, ref_day) AS INTEGER)
+        |                  ELSE 0 END AS w
+        |      FROM e, r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+        |       CAST(sum(CAST(cents AS HUGEINT) * w) // (CAST(1 AS BIGINT) << 30) AS BIGINT) AS decayed_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same per-user lag, in-session cutoff, and fixed-point
     // conditional probabilities.

@@ -952,6 +952,36 @@ object RelationalQueries extends QueryModule {
         .orderBy("edge")
     }),
 
+    // Winsorized mean (X-119): the robust mean that survives fat tails
+    // by CLIPPING at exact per-group p5/p95 (percentile_disc values)
+    // instead of dropping rows — the screen a metrics pipeline applies
+    // before averaging anything money-shaped. Composition of two
+    // existing disciplines: the clip bounds come from ONE two-phase
+    // Quantile selection (both ranks in the same pass — never a
+    // per-group sort), join back broadcast (|groups| rows by
+    // construction), then one clipped aggregate in exact cents. The
+    // raw mean ships beside it so the query also REPORTS how much the
+    // tails were moving the naive number.
+    "winsorized_mean" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          col("o_orderkey"))
+      val sel = Quantile.selectRanks(cents, "o_orderpriority", "p_c", "o_orderkey",
+        n => Seq(Quantile.idiv(n + lit(19L), 20),
+          Quantile.idiv(n * lit(19L) + lit(19L), 20)))
+      val bounds = sel.groupBy("o_orderpriority")
+        .agg(min(col("p_c")).as("lo_c"), max(col("p_c")).as("hi_c"))
+      cents.join(broadcast(bounds), "o_orderpriority")
+        .withColumn("w_c", least(greatest(col("p_c"), col("lo_c")), col("hi_c")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("lo_c")).as("p05_cents"), max(col("hi_c")).as("p95_cents"),
+          (sum(col("w_c")).cast("double") / count(lit(1)) / lit(100.0)).as("win_mean"),
+          (sum(col("p_c")).cast("double") / count(lit(1)) / lit(100.0)).as("raw_mean"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Exact OLS trend slope (X-112): per-priority linear trend of order
     // value over time via the closed-form normal equations — slope =
     // (n·Σxy − Σx·Σy) ÷ (n·Σx² − (Σx)²) — the drift statistic a
@@ -1627,6 +1657,28 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // One-window rank selection for the clip bounds (oracle scale),
+    // identical clipping and double-division order.
+    "winsorized_mean" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p_c,
+        |             o_orderkey
+        |           FROM orders),
+        |r AS (SELECT *,
+        |             CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                  ORDER BY p_c, o_orderkey) AS BIGINT) AS rn,
+        |             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |      FROM c),
+        |b AS (SELECT o_orderpriority, min(p_c) AS lo_c, max(p_c) AS hi_c
+        |      FROM r WHERE rn = (n + 19) // 20 OR rn = (n * 19 + 19) // 20
+        |      GROUP BY 1)
+        |SELECT c.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       max(b.lo_c) AS p05_cents, max(b.hi_c) AS p95_cents,
+        |       CAST(sum(least(greatest(c.p_c, b.lo_c), b.hi_c)) AS DOUBLE) / count(*) / 100.0 AS win_mean,
+        |       CAST(sum(c.p_c) AS DOUBLE) / count(*) / 100.0 AS raw_mean
+        |FROM c JOIN b USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same five monoid sums in HUGEINT and the same closed-form slope;
     // // and Spark's div both truncate toward zero, so the signed

@@ -145,6 +145,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L))
   }
 
+  test("decayed_engagement matches a naive shifted-weight fold") {
+    def dayOf(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+      case other => sys.error(s"unexpected ts: $other")
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), dayOf(r.get(1)),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val ref = ev.map(_._2).maxBy(_.toEpochDay)
+    val expected = ev.groupBy(_._1).toSeq.map { case (t, vs) =>
+      val ws = vs.map { case (_, day, cents) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(day.atStartOfDay, ref.atStartOfDay)
+        val w = if (age <= 30) 1L << (30 - age).toInt else 0L
+        (cents, w)
+      }
+      val s = ws.map { case (c, w) => BigInt(c) * w }.sum
+      (t, vs.length.toLong, ws.count(_._2 > 0).toLong, (s / (1L << 30)).toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("decayed_engagement")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldEqual expected
+    // the horizon is real on this span: some events are recent (w > 0)
+    assert(got.exists(_._3 > 0))
+  }
+
   test("event_transitions matches a naive per-user sequential scan") {
     def millis(v: Any): Long = v match {
       case t: java.sql.Timestamp => t.getTime

@@ -154,6 +154,8 @@ class PlanAuditSpec extends SparkSpec {
       "pmi_collocations" -> 2,     // 1-row token-total and 1-row bigram-total frames (the vocabulary-sized unigram frame is shuffle-joined, never hinted)
       "embedding_gram_pca" -> 14,  // 64-row eigenvector and 1-row L∞-max frames through 2 power rounds — every reference past the MATERIALIZED 4096-row Gram frame re-embeds the earlier rounds' hints (the kmeans/bpe_merges lineage effect); nothing corpus-sized is hinted
       "pareto_docs" -> 1,          // frontier frame: ≤ |distinct token-count values| rows (value-domain-bounded, further thinned to the strictly-improving lengths)
+      "winsorized_mean" -> 4,      // two-phase Quantile shape (3 hints, as median_order_value) + the |groups|-row clip-bounds frame joined back
+      "decayed_engagement" -> 1,   // 1-row reference-date frame
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

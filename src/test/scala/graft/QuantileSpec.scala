@@ -80,4 +80,28 @@ class QuantileSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
     emulated shouldEqual real
   }
+
+  test("winsorized_mean matches a naive sort-and-clip reference") {
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact, r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.map { case (p, vs) =>
+      val sorted = vs.sortBy(v => (v._2, v._3)).map(_._2)
+      val n = sorted.length
+      val lo = sorted((n + 19) / 20 - 1)
+      val hi = sorted((n * 19 + 19) / 20 - 1)
+      val win = sorted.map(c => math.min(math.max(c, lo), hi)).sum
+      (p, n.toLong, lo, hi,
+        win.toDouble / n / 100.0, sorted.sum.toDouble / n / 100.0)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("winsorized_mean")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    got shouldEqual expected
+    // clipping is non-trivial on this data: the winsorized mean moves
+    // off the raw mean for every group, and bounds are ordered
+    got.foreach { g => assert(g._5 != g._6); assert(g._3 <= g._4) }
+  }
 }
