@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.legacy.parquet.nanosAsLong` belongs here (not inside a
   * table loader): it must hold before the first parquet footer is read,
   * and setting it lazily from a getter was a hidden global side effect.
+  * It is a no-op on testdata generations that write TIMESTAMP(MICROS)
+  * — [[graft.Tables.normalizeTs]] absorbs either physical type — but
+  * stays set so a nanos-era dataset still loads.
   */
 object Sessions {
   def builder(cpus: String): SparkSession.Builder =
