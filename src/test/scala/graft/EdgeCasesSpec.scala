@@ -214,4 +214,111 @@ class EdgeCasesSpec extends SparkSpec {
     ids shouldEqual (0L until ids.size).toSet
     all(out.map(_.getAs[Long]("seq_offset"))) should be >= 0L
   }
+
+  test("ols_trend: a single-date group has no slope (NULL, not a crash or a 0)") {
+    val out = SparkEntry.queries("ols_trend")(spark, tinyOrdersDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // all ten 1-URGENT orders share one date → den = nΣx²−(Σx)² = 0:
+    // the trend is UNDEFINED and must surface as NULL
+    assert(out("1-URGENT").isNullAt(2))
+    out("1-URGENT").getLong(3) shouldEqual 550L // mean still reported
+    // 2-HIGH: two points 8 days apart, 5000 → 2500 cents:
+    // slope = −2500/8 = −312.5 cents/day = −312500000 µcents/day
+    out("2-HIGH").getLong(2) shouldEqual -312500000L
+  }
+
+  test("winsorized_mean: when p5/p95 span the whole group, clipping is a no-op") {
+    val out = SparkEntry.queries("winsorized_mean")(spark, tinyOrdersDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // n=10: rank ⌈0.05n⌉ = 1 and ⌈0.95n⌉ = 10 — the bounds are the
+    // extremes, so the winsorized mean degrades gracefully to the raw
+    out("1-URGENT") shouldEqual ((100L, 1000L, 5.5, 5.5))
+    out("2-HIGH") shouldEqual ((2500L, 5000L, 37.5, 37.5))
+  }
+
+  test("GramAggregator over an empty frame yields the zero matrix") {
+    import spark.implicits._
+    val gram = udaf(new graft.functions.GramAggregator(4),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val out = Seq.empty[Seq[Long]].toDF("q").agg(gram(col("q"))).collect()
+    out.head.getSeq[Long](0) shouldEqual Seq.fill(16)(0L)
+  }
+
+  private lazy val tinyEmbDir: String = {
+    import spark.implicits._
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val df = Seq((1L, axis(0), 0), (2L, axis(0), 0), (3L, axis(1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("edge-emb").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("embedding_gram_pca recovers the dominant axis of an axis-aligned corpus") {
+    // two e0 vectors vs one e1: Gram = diag(2e8, 1e8, 0…) in q-units —
+    // the iteration must converge onto e0 with λ = 2e8
+    val out = SparkEntry.queries("embedding_gram_pca")(spark, tinyEmbDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldEqual 64
+    val v = out.map(r => r._1 -> r._2).toMap
+    v(0L) shouldEqual 1000000L       // the dominant direction, L∞ = 1
+    v(1L) shouldEqual 250000L        // (1e8·5e5) / (2e8·1e6) of round 2
+    (2L until 64L).foreach(d => v(d) shouldEqual 0L)
+    out.map(_._3).distinct.toSeq shouldEqual Seq(200000000L)
+  }
+
+  test("neighbor_features: an all-sink graph keeps every node on its own feature") {
+    import spark.implicits._
+    // doc_ids all ≡ 0 (mod 7) → every node is a sink → the edge list is
+    // EMPTY and both hops must fall back to the self-feature
+    val df = Seq((0L, "a"), (7L, "bb"), (14L, "ccc")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("edge-sink").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("neighbor_features")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.toSeq shouldEqual Seq((0L, 1L, 0L, 1L, 1L), (7L, 2L, 0L, 2L, 2L),
+      (14L, 3L, 0L, 3L, 3L))
+  }
+
+  private lazy val transitionEventsDir: String = {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: B is exactly 30 min after A (inside the session),
+      // C is 31 min after B (session break — NOT a transition)
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:30:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-01 11:01:00"), 1L, "purchase", 1.0, "{}"),
+      // decay horizon pins: exactly 30 days before the newest event
+      // (weight 1) and 31 days before (weight 0)
+      (4L, ts("2024-01-31 11:01:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-30 11:01:00"), 2L, "view", 5.0, "{}"),
+      (6L, ts("2024-03-01 11:01:00"), 2L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("edge-events").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("event_transitions: the 30-minute boundary is inclusive, a 31-minute gap breaks") {
+    val out = SparkEntry.queries("event_transitions")(spark, transitionEventsDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // user 2's three views are days apart — no in-session pair there
+    out.toSeq shouldEqual Seq(("view", "click", 1L, 1000000L))
+  }
+
+  test("decayed_engagement: 30-day-old events weigh 1, 31-day-old weigh 0") {
+    val out = SparkEntry.queries("decayed_engagement")(spark, transitionEventsDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // views: 200¢·2^30 (ref day) + 100¢·2^0 (30 days) + 500¢·0 (31 days)
+    // + 100¢·2^30 (user 1's same-day view) → (300·2^30 + 100) >> 30 = 300
+    out("view") shouldEqual ((4L, 3L, 300L))
+    out("click")._3 shouldEqual 100L
+    out("purchase")._3 shouldEqual 100L
+  }
 }
