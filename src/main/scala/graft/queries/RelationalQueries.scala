@@ -952,6 +952,83 @@ object RelationalQueries extends QueryModule {
         .orderBy("edge")
     }),
 
+    // Exact CUSUM changepoint statistic (X-121): the cumulative
+    // deviation of daily revenue from the global per-order mean — the
+    // classic drift detector whose PEAK locates the most likely
+    // changepoint (Page '54). Kept integer-exact by never materializing
+    // the mean: the deviation prefix Σ(x−μ) = (N·P_t − C_t·S)/N is
+    // carried as its NUMERATOR in DECIMAL(38,0) (P_t, C_t = cents/count
+    // prefixes; S, N = 1-row totals), so peak selection compares exact
+    // integers and only the reported cents column divides. One daily
+    // hash aggregate, then windows over the |days|-row frame
+    // (allowlisted with that bound) + a 1-row totals broadcast.
+    "revenue_cusum" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_t"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .as("s_t"))
+      val tot = daily.agg(sum(col("n_t")).cast("decimal(38,0)").as("nn"),
+        sum(col("s_t")).cast("decimal(38,0)").as("ss"))
+      val wDay = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("p_t", sum(col("s_t")).over(wDay).cast("decimal(38,0)"))
+        .withColumn("c_t", sum(col("n_t")).over(wDay).cast("decimal(38,0)"))
+        .withColumn("num", col("nn") * col("p_t") - col("c_t") * col("ss"))
+        .withColumn("cusum_cents", expr("CAST(num div nn AS BIGINT)"))
+        .withColumn("is_peak", abs(col("num")) === max(abs(col("num"))).over(wAll))
+        .select("day", "n_t", "s_t", "cusum_cents", "is_peak")
+        .orderBy("day")
+    }),
+
+    // Zone-map scan-pruning audit (X-122): given per-partition min/max
+    // statistics (the zone maps an Iceberg/Delta manifest stores —
+    // |partitions| METADATA rows from one aggregate), how much of the
+    // table can each of a set of literal range predicates SKIP without
+    // reading data? A partition is scanned iff its [min,max] overlaps
+    // the range; everything else is pruned by metadata alone. Probes
+    // cover BOTH a clustered dimension (order date — month partitions
+    // have narrow date spans, so date ranges prune almost everything)
+    // and an unclustered one (price — every partition spans ~the full
+    // price domain, so nothing prunes): the measured demonstration of
+    // WHY the second predicate key needs X-86's z-ordering. The probe
+    // set is a literal VALUES frame crossed against the stats frame —
+    // |preds|·|partitions| metadata rows of pure arithmetic.
+    "scan_prune_audit" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+      val dayN = datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .cast("long")
+      val stats = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("part_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(dayN).as("lo_day"), max(dayN).as("hi_day"),
+          min(cents).as("lo_c"), max(cents).as("hi_c"))
+      // day numbers are days since 1992-01-01: Q1'95 = [1096, 1185]
+      val preds = s.sql(
+        """SELECT * FROM VALUES
+          |  ('day_q1_1995',  'day',   CAST(1096 AS BIGINT), CAST(1185 AS BIGINT)),
+          |  ('day_one_week', 'day',   CAST(1096 AS BIGINT), CAST(1102 AS BIGINT)),
+          |  ('price_mid',    'cents', CAST(10000000 AS BIGINT), CAST(20000000 AS BIGINT)),
+          |  ('price_low',    'cents', CAST(0 AS BIGINT), CAST(2000000 AS BIGINT))
+          |AS t(pred, dim, p_lo, p_hi)""".stripMargin)
+      stats.crossJoin(broadcast(preds))
+        .withColumn("scan",
+          when(col("dim") === "day",
+            col("hi_day") >= col("p_lo") && col("lo_day") <= col("p_hi"))
+            .otherwise(col("hi_c") >= col("p_lo") && col("lo_c") <= col("p_hi")))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n_partitions"),
+          sum(when(!col("scan"), 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(!col("scan"), col("n_rows")).otherwise(0L)).as("rows_pruned"),
+          sum(col("n_rows")).as("rows_total"))
+        .withColumn("pruned_ppm",
+          expr("CAST(rows_pruned * 1000000 div rows_total AS BIGINT)"))
+        .orderBy("pred")
+    }),
+
     // Winsorized mean (X-119): the robust mean that survives fat tails
     // by CLIPPING at exact per-group p5/p95 (percentile_disc values)
     // instead of dropping rows — the screen a metrics pipeline applies
@@ -1657,6 +1734,51 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // Same exact-numerator CUSUM: num = N·P_t − C_t·S in HUGEINT, peak
+    // by integer compare, // and div truncate alike.
+    "revenue_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_t,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s_t
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_t) AS HUGEINT) AS nn, CAST(sum(s_t) AS HUGEINT) AS ss FROM daily),
+        |c AS (SELECT day, n_t, s_t,
+        |             CAST(sum(s_t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS p_t,
+        |             CAST(sum(n_t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS c_t
+        |      FROM daily),
+        |x AS (SELECT day, n_t, s_t, nn * p_t - c_t * ss AS num, nn FROM c, t)
+        |SELECT day, n_t, s_t, CAST(num // nn AS BIGINT) AS cusum_cents,
+        |       abs(num) = max(abs(num)) OVER () AS is_peak
+        |FROM x ORDER BY day""".stripMargin,
+
+    // Same zone maps, probe frame, and overlap test.
+    "scan_prune_audit" ->
+      """WITH s AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part_month,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(min(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS lo_day,
+        |         CAST(max(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS hi_day,
+        |         min(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS lo_c,
+        |         max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS hi_c
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES
+        |        ('day_q1_1995',  'day',   CAST(1096 AS BIGINT), CAST(1185 AS BIGINT)),
+        |        ('day_one_week', 'day',   CAST(1096 AS BIGINT), CAST(1102 AS BIGINT)),
+        |        ('price_mid',    'cents', CAST(10000000 AS BIGINT), CAST(20000000 AS BIGINT)),
+        |        ('price_low',    'cents', CAST(0 AS BIGINT), CAST(2000000 AS BIGINT))
+        |      ) t(pred, dim, p_lo, p_hi)),
+        |j AS (SELECT pred, n_rows,
+        |             CASE WHEN dim = 'day' THEN hi_day >= p_lo AND lo_day <= p_hi
+        |                  ELSE hi_c >= p_lo AND lo_c <= p_hi END AS scan
+        |      FROM s, p)
+        |SELECT pred, CAST(count(*) AS BIGINT) AS n_partitions,
+        |       CAST(sum(CASE WHEN NOT scan THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |       CAST(sum(CASE WHEN NOT scan THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned,
+        |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |       CAST(CAST(sum(CASE WHEN NOT scan THEN n_rows ELSE 0 END) AS HUGEINT) * 1000000
+        |            // sum(n_rows) AS BIGINT) AS pruned_ppm
+        |FROM j GROUP BY pred ORDER BY pred""".stripMargin,
 
     // One-window rank selection for the clip bounds (oracle scale),
     // identical clipping and double-division order.

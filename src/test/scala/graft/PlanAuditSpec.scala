@@ -156,6 +156,8 @@ class PlanAuditSpec extends SparkSpec {
       "pareto_docs" -> 1,          // frontier frame: ≤ |distinct token-count values| rows (value-domain-bounded, further thinned to the strictly-improving lengths)
       "winsorized_mean" -> 4,      // two-phase Quantile shape (3 hints, as median_order_value) + the |groups|-row clip-bounds frame joined back
       "decayed_engagement" -> 1,   // 1-row reference-date frame
+      "revenue_cusum" -> 1,        // 1-row (N, S) totals frame
+      "scan_prune_audit" -> 1,     // 4-row literal predicate frame
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -184,7 +186,8 @@ class PlanAuditSpec extends SparkSpec {
       "equidepth_hist",       // bin numbering over the ≤ |bins| rank-selected rows (below it sits the Quantile target-bucket Join)
       "stopword_strip",       // top-3 stopword ranking: same Rank pre-pruned ≤ k × partitions input as rrf_fusion
       "global_ids",           // prefix-sum over the ≤ P per-partition count rows
-      "pareto_docs"           // strictly-shorter running max over the per-length maxima: ≤ |distinct token-count values| rows (value-domain-bounded aggregate, not corpus-bound)
+      "pareto_docs",          // strictly-shorter running max over the per-length maxima: ≤ |distinct token-count values| rows (value-domain-bounded aggregate, not corpus-bound)
+      "revenue_cusum"         // ≤ |days| rows (daily aggregate; prefix + peak windows)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
