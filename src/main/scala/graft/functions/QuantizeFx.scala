@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native Catalyst expression: fixed-point quantization of a float
+  * embedding — `floor(x · scale)` per element as `array<bigint>` (the
+  * representation every fixed-point similarity operator in
+  * [[graft.operators.Similarity]] consumes).
+  *
+  * Why a custom Expression and not `transform(arr, x -> floor(x*s))`:
+  * higher-order functions evaluate their lambda interpreted per
+  * ELEMENT (boxed values, closure dispatch) and exclude the enclosing
+  * projection from whole-stage codegen — and quantization runs over
+  * every element of every embedding in every similarity query, the
+  * hottest per-row loop in the family. This expression generates a
+  * primitive double→long loop via `doGenCode`, keeping the scan
+  * codegen span intact. float→double widening then `Math.floor` is
+  * exactly the arithmetic of the HOF form (pinned in
+  * DotProductFxSpec), so the DuckDB oracles are unchanged.
+  *
+  * Null semantics: null input array → null (UnaryExpression default);
+  * a null ELEMENT quantizes to 0 — quantized arrays are never
+  * null-valued in this codebase (the HOF form would propagate an
+  * element null; tolerating keeps the output `containsNull = false`,
+  * which downstream native loops rely on).
+  */
+case class QuantizeFx(child: Expression, scale: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_fx expects array<float|double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = math.floor(v * scale).toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val get = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      s"""
+         |int $n = $x.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    $out[$i] = (long) java.lang.Math.floor($get * $scale);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeFx {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  /** Column-API form: floor(x · scale) per element, codegen'd. */
+  def quantize_fx(a: Column, scale: Double): Column =
+    column(QuantizeFx(expression(a), scale))
+}

@@ -524,8 +524,7 @@ object SimilarityQueries extends QueryModule {
       val gram = udaf(new graft.functions.GramAggregator(64),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
       val q = Tables.embeddings(s, d).select(
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(10000.0d)).cast("long")).as("q"))
+        graft.functions.QuantizeFx.quantize_fx(col("embedding"), 10000.0).as("q"))
       val g = graft.operators.Dedup.materialize(
         q.agg(gram(col("q")).as("g"))
           .select(posexplode(col("g")).as(Seq("idx", "s")))

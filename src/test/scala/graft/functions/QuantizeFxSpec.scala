@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeFxSpec extends SparkSpec {
+  import QuantizeFx.quantize_fx
+
+  /** The HOF reference semantics the native expression must match on
+    * non-null elements (the only kind quantized arrays carry). */
+  private def hofQuantize(a: org.apache.spark.sql.Column, s: Double) =
+    transform(a, x => floor(x.cast("double") * lit(s)).cast("long"))
+
+  test("matches the HOF form on random float arrays at both family scales") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    Seq(1e7, 1e4).foreach { s =>
+      val df = rows.toDF("a")
+        .select(quantize_fx(col("a"), s).as("native"),
+          hofQuantize(col("a"), s).as("hof"))
+      df.filter(col("native") =!= col("hof")).count() shouldEqual 0
+    }
+  }
+
+  test("floor semantics on negatives: floor(-0.15·10) = -2, not -1") {
+    import spark.implicits._
+    val r = Seq(Seq(-0.15f, 0.15f)).toDF("a")
+      .select(quantize_fx(col("a"), 10.0)).collect()
+    r.head.getSeq[Long](0) shouldEqual Seq(-2L, 1L)
+  }
+
+  test("null array → null; output is long-typed and non-null-elemented") {
+    import spark.implicits._
+    val df = Seq(Some(Seq(0.5f)), None).toDF("a")
+      .select(quantize_fx(col("a"), 1e7).as("q"))
+    val r = df.collect()
+    r(0).getSeq[Long](0) shouldEqual Seq(5000000L)
+    r(1).isNullAt(0) shouldEqual true
+    import org.apache.spark.sql.types._
+    df.schema("q").dataType shouldEqual ArrayType(LongType, containsNull = false)
+  }
+
+  test("double arrays quantize too, and interpreted eval matches codegen") {
+    import spark.implicits._
+    val vals = Seq(Seq(0.1234567d, -0.9999999d))
+    val expected = vals.head.map(x => math.floor(x * 1e7).toLong)
+    val codegen = vals.toDF("a")
+      .select(quantize_fx(col("a"), 1e7)).collect().head.getSeq[Long](0)
+    codegen shouldEqual expected
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = vals.toDF("a")
+        .select(quantize_fx(col("a"), 1e7)).collect().head.getSeq[Long](0)
+      interp shouldEqual expected
+    }
+  }
+}
