@@ -406,6 +406,48 @@ object EventQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // View→purchase conversion latency (X-123): for every purchase,
+    // the delay since the user's latest PRIOR view (X-17's as-of join
+    // — one key shuffle + a window pass, never a range-join nested
+    // loop), then exact median and p90 of those delays through the
+    // two-phase Quantile selection (the global median has a CONSTANT
+    // group key — precisely the case where the histogram phases keep
+    // parallelism data-bound where one global sort-window would
+    // funnel). Delays compare in exact epoch microseconds; the
+    // reported seconds are one truncating division both engines share.
+    "conversion_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+      val delays = graft.operators.AsOf.joinPrior(
+          purchases, views, "user_id", "p_ts", "v_ts",
+          rightVals = Seq("v_ts"), tiebreak = "v_id")
+        .filter(col("asof_v_ts").isNotNull)
+        .select(lit("all").as("grp"),
+          (unix_micros(col("p_ts")) - unix_micros(col("asof_v_ts"))).as("d_us"),
+          col("event_id"))
+      // delays MATERIALIZED before the two rank selections (median,
+      // p90) — each selection re-embeds its input lineage several
+      // times, and without the cut both would re-run the as-of join
+      // (the order_value_mad discipline)
+      val dmat = graft.operators.Dedup.materialize(delays)
+      val med = graft.operators.Quantile.selectRanks(dmat, "grp", "d_us", "event_id",
+          n => Seq(graft.operators.Quantile.idiv(n + lit(1L), 2), graft.operators.Quantile.idiv(n + lit(2L), 2)))
+        .groupBy("grp")
+        .agg(max(col("__n")).as("n_conversions"),
+          expr("CAST(sum(d_us) div count(1) AS BIGINT)").as("median_us"))
+      val p90 = graft.operators.Quantile.selectRanks(dmat, "grp", "d_us", "event_id",
+          n => Seq(graft.operators.Quantile.idiv(n * lit(9L) + lit(9L), 10)))
+        .select(col("grp"), col("d_us").as("p90_us"))
+      med.join(p90, "grp")
+        .select(col("n_conversions"),
+          expr("CAST(median_us div 1000000 AS BIGINT)").as("median_s"),
+          expr("CAST(p90_us div 1000000 AS BIGINT)").as("p90_s"))
+    }),
+
     // Half-life-decayed engagement (X-120): recency-weighted value per
     // event type with weight 2^(−age_days), truncated at 30 days — the
     // freshness scoring every ranking/engagement pipeline runs, made
@@ -736,6 +778,28 @@ object EventQueries extends QueryModule {
         |       CAST(CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |            / CAST(sum(n) OVER () AS DOUBLE) AS DOUBLE) AS ratio
         |FROM daily ORDER BY day""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the same backward-join semantics as
+    // the engine's tagged-union window; one-window rank selection for
+    // the quantiles at oracle scale.
+    "conversion_latency" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |           FROM events),
+        |v AS (SELECT user_id, ts AS v_ts FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id FROM e WHERE event_type = 'purchase'),
+        |d AS (SELECT epoch_us(p.p_ts) - epoch_us(v.v_ts) AS d_us, p.event_id
+        |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.v_ts <= p.p_ts),
+        |r AS (SELECT d_us,
+        |             CAST(row_number() OVER (ORDER BY d_us, event_id) AS BIGINT) AS rn,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM d),
+        |med AS (SELECT max(n) AS n_conversions,
+        |               CAST(sum(d_us) // count(*) AS BIGINT) AS median_us
+        |        FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+        |p90 AS (SELECT d_us AS p90_us FROM r WHERE rn = (n * 9 + 9) // 10)
+        |SELECT n_conversions, CAST(median_us // 1000000 AS BIGINT) AS median_s,
+        |       CAST(p90_us // 1000000 AS BIGINT) AS p90_s
+        |FROM med, p90""".stripMargin,
 
     // Same shifted-integer weights and truncating shift-down division.
     "decayed_engagement" ->

@@ -952,6 +952,40 @@ object RelationalQueries extends QueryModule {
         .orderBy("edge")
     }),
 
+    // Point-in-time join against the SCD2 dimension (X-124): each
+    // order joined to the dimension version VALID AT its order date —
+    // the temporal join every warehouse/feature-store read path runs
+    // against a type-2 dimension, and the classic trap: written as a
+    // range theta-join (valid_from <= ts < valid_to) Spark plans a
+    // nested loop. The scale shape is X-17's as-of composition: tag
+    // version-change rows and fact rows, ONE shuffle on the customer
+    // key, one window pass carrying the latest version forward
+    // (ties: highest same-day version wins, = interval semantics with
+    // zero-length same-day intervals skipped). Because the dimension
+    // here is BUILT from the same order history, the join is
+    // self-verifying: n_match counts orders whose as-of priority
+    // equals their actual priority (mismatches can only arise from
+    // same-day flips, where day granularity genuinely can't order).
+    "pit_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val changes = o
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
+          col("version"), col("o_orderpriority").as("dim_priority"))
+      graft.operators.AsOf.joinPrior(o, changes, "o_custkey",
+          "o_orderdate", "valid_from",
+          rightVals = Seq("version", "dim_priority"), tiebreak = "version")
+        .groupBy(col("asof_version").as("version"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("asof_dim_priority") === col("o_orderpriority"), 1L)
+            .otherwise(0L)).as("n_match"))
+        .orderBy("version")
+    }),
+
     // Exact CUSUM changepoint statistic (X-121): the cumulative
     // deviation of daily revenue from the global per-order mean — the
     // classic drift detector whose PEAK locates the most likely
@@ -1734,6 +1768,29 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // Interval form of the same join: version intervals from lead(),
+    // zero-length same-day intervals fall out of the strict upper
+    // bound — identical winners to the as-of window's version tiebreak.
+    "pit_join" ->
+      """WITH w AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |                  lag(o_orderpriority) OVER win AS prev
+        |           FROM orders
+        |           WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |c AS (SELECT o_custkey, o_orderdate AS valid_from,
+        |             o_orderpriority AS dim_priority,
+        |             CAST(row_number() OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+        |      FROM w WHERE prev IS NULL OR prev <> o_orderpriority),
+        |i AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey
+        |                  ORDER BY version) AS valid_to FROM c),
+        |j AS (SELECT o.o_orderpriority, i.dim_priority, i.version
+        |      FROM orders o JOIN i ON o.o_custkey = i.o_custkey
+        |       AND o.o_orderdate >= i.valid_from
+        |       AND (i.valid_to IS NULL OR o.o_orderdate < i.valid_to))
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN o_orderpriority = dim_priority THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM j GROUP BY version ORDER BY version""".stripMargin,
 
     // Same exact-numerator CUSUM: num = N·P_t − C_t·S in HUGEINT, peak
     // by integer compare, // and div truncate alike.

@@ -145,6 +145,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L))
   }
 
+  test("conversion_latency matches a naive latest-prior-view scan") {
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case other => sys.error(s"unexpected ts: $other")
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), micros(r.get(1)), r.getLong(2), r.getString(3)))
+    val delays = ev.filter(_._4 == "purchase").flatMap { p =>
+      val prior = ev.filter(e => e._4 == "view" && e._1 == p._1 && e._2 <= p._2)
+      if (prior.isEmpty) None else Some((p._2 - prior.map(_._2).max, p._3))
+    }.sortBy(d => (d._1, d._2))
+    val n = delays.length
+    val medianUs = (delays((n + 1) / 2 - 1)._1 + delays((n + 2) / 2 - 1)._1) /
+      (if (n % 2 == 0) 2 else 2) // sum of the (coinciding) mid rows / count
+    val expectedMedianUs =
+      if (n % 2 == 1) delays((n + 1) / 2 - 1)._1
+      else (delays(n / 2 - 1)._1 + delays(n / 2)._1) / 2
+    val p90Us = delays((n * 9 + 9) / 10 - 1)._1
+    val got = SparkEntry.queries("conversion_latency")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    got.getLong(0) shouldEqual n.toLong
+    got.getLong(1) shouldEqual expectedMedianUs / 1000000L
+    got.getLong(2) shouldEqual p90Us / 1000000L
+    medianUs shouldEqual expectedMedianUs // the div-by-count form agrees
+    // latency is a real distribution here: the p90 dominates the median
+    assert(got.getLong(2) >= got.getLong(1))
+  }
+
   test("decayed_engagement matches a naive shifted-weight fold") {
     def dayOf(v: Any): java.time.LocalDate = v match {
       case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate

@@ -305,6 +305,41 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
   }
 
+  test("pit_join matches a naive per-customer version scan and self-verifies") {
+    def dayOf(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+      case other => sys.error(s"unexpected date: $other")
+    }
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), dayOf(r.get(2)), r.getString(3)))
+    val expected = orders.groupBy(_._1).values.flatMap { os =>
+      val hist = os.sortBy(o => (o._3.toEpochDay, o._2))
+      val changes = hist.zipWithIndex.filter { case (o, i) =>
+        i == 0 || hist(i - 1)._4 != o._4
+      }.zipWithIndex.map { case ((o, _), v) => (o._3, v + 1L, o._4) }
+      os.map { o =>
+        // latest valid_from ≤ order date, highest version on ties
+        val (_, version, pri) = changes.filter(_._1.toEpochDay <= o._3.toEpochDay)
+          .maxBy(c => (c._1.toEpochDay, c._2))
+        (version, pri == o._4)
+      }
+    }.toSeq
+    val exp = expected.groupBy(_._1).toSeq
+      .map { case (v, vs) => (v, vs.length.toLong, vs.count(_._2).toLong) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("pit_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual exp
+    // self-verification: every order joined (totals match) and almost
+    // all recover their own priority (mismatch ⊆ same-day flips)
+    got.map(_._2).sum shouldEqual orders.length.toLong
+    val (nAll, nMatch) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(nMatch * 10 > nAll * 9)
+  }
+
   test("merge_apply reconstructs snapshot v2 exactly (all digests match a naive merge)") {
     // naive MERGE: rebuild v2 from v1 + the per-key change classes,
     // entirely in driver-side maps, and digest both sides

@@ -158,6 +158,7 @@ class PlanAuditSpec extends SparkSpec {
       "decayed_engagement" -> 1,   // 1-row reference-date frame
       "revenue_cusum" -> 1,        // 1-row (N, S) totals frame
       "scan_prune_audit" -> 1,     // 4-row literal predicate frame
+      "conversion_latency" -> 6,   // two two-phase Quantile selections (3 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
