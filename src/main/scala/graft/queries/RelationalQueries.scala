@@ -952,6 +952,61 @@ object RelationalQueries extends QueryModule {
         .orderBy("edge")
     }),
 
+    // Basket co-occurrence pairs (X-125): top co-purchased part pairs
+    // by shared-order count — the candidate generator behind
+    // collaborative filtering / market-basket mining. The pair
+    // explosion that melts tasks in naive co-occurrence is bounded
+    // here by the RIGHT dimension: pairs are generated WITHIN each
+    // basket (C(|basket|,2), and baskets are small by schema — ≤7
+    // lineitems — where a per-ITEM posting-list self-join would be
+    // df², unbounded under item popularity skew). Chained generators
+    // (transform + slice, the X-7 discipline) keep every intermediate
+    // value O(|basket|); one hash aggregate on the pair key; top-20
+    // as TakeOrdered under a total order (count desc, then the pair) —
+    // never a global sort.
+    "copurchase_pairs" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+          .as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
+    // Largest-remainder budget apportionment (X-126): split a fixed
+    // training budget (1M documents) across languages proportionally
+    // to corpus mass with Hamilton's method — floor shares first, the
+    // leftover seats to the largest remainders — the EXACT-integer
+    // allocation a data-mixing pipeline needs (naive rounding of
+    // n_l·B/N drifts from the budget; largest-remainder conserves it
+    // by construction, asserted by the oracle's total). All frames
+    // past the one |langs|-key aggregate are stratum-cardinality; the
+    // remainder-rank window runs over that tiny frame (allowlisted).
+    "budget_allocation" -> ((s, d) => {
+      val B = 1000000L
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("nn"))
+      val based = byLang.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"n_docs * $B div nn"))
+        .withColumn("rem", expr(s"(n_docs * $B) % nn"))
+      val short = based.agg((lit(B) - sum(col("base"))).as("k"))
+      based.crossJoin(broadcast(short))
+        .withColumn("rrk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .withColumn("quota", col("base") + when(col("rrk") <= col("k"), 1L).otherwise(0L))
+        .select("lang", "n_docs", "quota")
+        .orderBy("lang")
+    }),
+
     // Point-in-time join against the SCD2 dimension (X-124): each
     // order joined to the dimension version VALID AT its order date —
     // the temporal join every warehouse/feature-store read path runs
@@ -1768,6 +1823,32 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // Same within-basket pair generation via a keyed self-join (fine
+    // at oracle scale), identical total order at the cutoff.
+    "copurchase_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2
+        |      FROM b a JOIN b c
+        |        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey)
+        |SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM p GROUP BY p1, p2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    // Same floor shares + largest-remainder top-up; the oracle's
+    // conserved total is the method's defining property.
+    "budget_allocation" ->
+      """WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM l),
+        |b AS (SELECT lang, n_docs,
+        |             n_docs * 1000000 // nn AS base,
+        |             (n_docs * 1000000) % nn AS rem
+        |      FROM l, t),
+        |k AS (SELECT 1000000 - sum(base) AS kk FROM b),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rrk FROM b)
+        |SELECT lang, n_docs,
+        |       CAST(base + CASE WHEN rrk <= k.kk THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r, k ORDER BY lang""".stripMargin,
 
     // Interval form of the same join: version intervals from lead(),
     // zero-length same-day intervals fall out of the strict upper

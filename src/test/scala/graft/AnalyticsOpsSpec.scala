@@ -145,6 +145,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L))
   }
 
+  test("copurchase_pairs matches a naive basket cross-count") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val expected = pairs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy(p => (-p._3, p._1, p._2)).take(20)
+    val got = SparkEntry.queries("copurchase_pairs")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    // pairs are canonical (p1 < p2) and counts positive
+    got.foreach { p => assert(p._1 < p._2); assert(p._3 >= 1L) }
+  }
+
   test("conversion_latency matches a naive latest-prior-view scan") {
     def micros(v: Any): Long = v match {
       case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000

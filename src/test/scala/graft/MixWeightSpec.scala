@@ -73,6 +73,25 @@ class MixWeightSpec extends SparkSpec {
     assert(got.forall(_._3 > 0))
   }
 
+  test("budget_allocation matches naive Hamilton apportionment and conserves the budget") {
+    val B = 1000000L
+    val counts = Tables.documents(spark, sf).select("lang").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nn = counts.values.sum
+    val base = counts.view.mapValues(n => n * B / nn).toMap
+    val rem = counts.map { case (l, n) => l -> (n * B) % nn }
+    val k = B - base.values.sum
+    val topUp = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(k.toInt).map(_._1).toSet
+    val expected = counts.keys.toSeq.sorted.map { l =>
+      (l, counts(l), base(l) + (if (topUp(l)) 1L else 0L))
+    }
+    val got = SparkEntry.queries("budget_allocation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    // the defining property: quotas sum EXACTLY to the budget
+    got.map(_._3).sum shouldEqual B
+  }
+
   test("shard_rebalance matches naive hashing and shows the consistent-placement gap") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
     def h16(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(4), 16)

@@ -159,6 +159,7 @@ class PlanAuditSpec extends SparkSpec {
       "revenue_cusum" -> 1,        // 1-row (N, S) totals frame
       "scan_prune_audit" -> 1,     // 4-row literal predicate frame
       "conversion_latency" -> 6,   // two two-phase Quantile selections (3 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
+      "budget_allocation" -> 3,    // 1-row corpus total (embedded again in the leftover-seat frame's lineage) + the 1-row leftover-seat count (all other frames are |langs| rows)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -188,7 +189,8 @@ class PlanAuditSpec extends SparkSpec {
       "stopword_strip",       // top-3 stopword ranking: same Rank pre-pruned ≤ k × partitions input as rrf_fusion
       "global_ids",           // prefix-sum over the ≤ P per-partition count rows
       "pareto_docs",          // strictly-shorter running max over the per-length maxima: ≤ |distinct token-count values| rows (value-domain-bounded aggregate, not corpus-bound)
-      "revenue_cusum"         // ≤ |days| rows (daily aggregate; prefix + peak windows)
+      "revenue_cusum",        // ≤ |days| rows (daily aggregate; prefix + peak windows)
+      "budget_allocation"     // remainder rank over the ≤ |langs| per-language share rows
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
