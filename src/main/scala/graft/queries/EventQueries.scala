@@ -406,6 +406,57 @@ object EventQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // Watermark lateness audit (X-127): how much data would each
+    // watermark setting DROP on this stream? Arrival order is the
+    // ingest sequence (event_id); the watermark at an event's arrival
+    // is the running MAX event time seen so far minus the bound, so an
+    // event is dropped iff prefixmax(ts) − ts > bound. The prefix max
+    // is computed WITHOUT a global sort-window by the global_ids
+    // discipline generalized from prefix-SUM to prefix-MAX (any
+    // associative monoid works): range-repartition on event_id,
+    // partition-local running max, ≤ P per-partition maxima folded by
+    // an exclusive prefix over that P-row frame (allowlisted), offsets
+    // broadcast back. Three bounds are probed from a literal frame —
+    // the measured trade a stream operator reads before choosing its
+    // withWatermark argument. The synthetic stream arrives perfectly
+    // in event-time order (nothing would ever drop), so a
+    // deterministic md5-drawn 10% of events carry planted event-time
+    // delays up to 2 h (the embedding_neardup planted-variant idiom) —
+    // mirrored in the oracle, and what makes the three bounds separate.
+    "lateness_audit" -> ((s, d) => {
+      import graft.operators.TextAnalysis.sampleBucket
+      val delayUs = when(sampleBucket(col("event_id"), "graft-late-arrival") < 10,
+        (expr("CAST(conv(substring(md5(concat('graft-delay', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+          % 7200L) * 1000000L).otherwise(0L)
+      val ranged = Tables.events(s, d)
+        .select(col("event_id"), (unix_micros(col("ts")) - delayUs).as("us"))
+        .repartitionByRange(col("event_id"))
+        .withColumn("pid", spark_partition_id().cast("long"))
+      val local = ranged.withColumn("lmax",
+        max(col("us")).over(Window.partitionBy("pid").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offsets = ranged.groupBy("pid").agg(max(col("us")).as("pmax"))
+        .withColumn("off", max(col("pmax")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("pid", "off")
+      val bounds = s.sql(
+        """SELECT * FROM VALUES
+          |  ('1_minute',   CAST(60000000 AS BIGINT)),
+          |  ('10_minutes', CAST(600000000 AS BIGINT)),
+          |  ('1_hour',     CAST(3600000000 AS BIGINT))
+          |AS t(bound, bound_us)""".stripMargin)
+      local.join(broadcast(offsets), "pid")
+        .withColumn("pm", greatest(col("lmax"), coalesce(col("off"), col("lmax"))))
+        .crossJoin(broadcast(bounds))
+        .groupBy("bound")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("pm") - col("us") > col("bound_us"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("dropped_ppm",
+          expr("CAST(n_dropped * 1000000 div n_events AS BIGINT)"))
+        .orderBy("bound")
+    }),
+
     // View→purchase conversion latency (X-123): for every purchase,
     // the delay since the user's latest PRIOR view (X-17's as-of join
     // — one key shuffle + a window pass, never a range-join nested
@@ -778,6 +829,29 @@ object EventQueries extends QueryModule {
         |       CAST(CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |            / CAST(sum(n) OVER () AS DOUBLE) AS DOUBLE) AS ratio
         |FROM daily ORDER BY day""".stripMargin,
+
+    // One-window global prefix max at oracle scale; identical planted
+    // delays, bounds frame, and drop rule.
+    "lateness_audit" ->
+      """WITH e AS (SELECT event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |               - CASE WHEN CAST('0x' || substr(md5('graft-late-arrival' || event_id), 1, 4) AS BIGINT) % 100 < 10
+        |                      THEN (CAST('0x' || substr(md5('graft-delay' || event_id), 1, 4) AS BIGINT) % 7200) * 1000000
+        |                      ELSE 0 END AS us
+        |           FROM events),
+        |p AS (SELECT event_id, us,
+        |             max(us) OVER (ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm
+        |      FROM e),
+        |b AS (SELECT * FROM (VALUES
+        |        ('1_minute',   CAST(60000000 AS BIGINT)),
+        |        ('10_minutes', CAST(600000000 AS BIGINT)),
+        |        ('1_hour',     CAST(3600000000 AS BIGINT))) t(bound, bound_us))
+        |SELECT bound, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN pm - us > bound_us THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(CAST(sum(CASE WHEN pm - us > bound_us THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+        |            // count(*) AS BIGINT) AS dropped_ppm
+        |FROM p, b GROUP BY bound ORDER BY bound""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the same backward-join semantics as
     // the engine's tagged-union window; one-window rank selection for

@@ -905,6 +905,40 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Next-token conditional table (X-128): for the 20 highest-df
+    // context tokens, the top-3 next tokens with exact fixed-point
+    // conditional probability — the bigram-LM / autocomplete table a
+    // corpus build materializes. Every ranking runs through the
+    // two-phase Rank pre-prune (context top-20 on the unigram frame,
+    // next-token top-3 per context on the bigram frame — both
+    // data-bound keys, no global sort); the 20-row context frame is
+    // k-bounded by construction (legitimately broadcast), while the
+    // per-context totals join stays a shuffle join on the context key.
+    "next_token_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(tokens(norm(col("text"))).as("t"))
+      val pairs = toks
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(a, b) -> struct(a AS ctx, b AS nxt))")).as("p"))
+        .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      val counts = pairs.groupBy("ctx", "nxt").agg(count(lit(1)).as("cnt"))
+      val topCtx = graft.operators.Rank.topKPerGroup(
+          toks.select(explode(col("t")).as("ctx"))
+            .groupBy("ctx").agg(count(lit(1)).as("uc"))
+            .withColumn("g", lit(0)), 20,
+          Seq("g"), Seq(col("uc").desc, col("ctx")))
+        .select("ctx")
+      val inTop = counts.join(broadcast(topCtx), "ctx")
+      val totals = inTop.groupBy("ctx").agg(sum(col("cnt")).as("n_ctx"))
+      graft.operators.Rank.topKPerGroup(inTop, 3,
+          Seq("ctx"), Seq(col("cnt").desc, col("nxt")))
+        .join(totals, "ctx")
+        .select(col("ctx"), col("rk").cast("long").as("rk"), col("nxt"),
+          col("cnt"), expr("CAST(cnt * 1000000 div n_ctx AS BIGINT)").as("p_fx"))
+        .orderBy("ctx", "rk")
+    }),
+
     // Quality/length Pareto frontier (X-115): the skyline of documents
     // no other document beats on BOTH axes (fewer-or-equal tokens AND
     // higher-or-equal quality, strictly better on one) — the
@@ -1469,6 +1503,27 @@ object TextQueries extends QueryModule {
          |       CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
          |       coalesce(string_agg(CASE WHEN NOT is_stop THEN token END, ' ' ORDER BY pos), '') AS clean_text
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same pair construction via the list-slice idiom, one-window
+    // rankings at oracle scale, identical fixed-point conditionals.
+    "next_token_topk" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> struct_pack(ctx := toks[i], nxt := toks[i + 1]))) AS p
+         |       FROM t),
+         |c AS (SELECT p.ctx AS ctx, p.nxt AS nxt, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM pr GROUP BY 1, 2),
+         |u AS (SELECT ctx, count(*) AS uc
+         |      FROM (SELECT unnest(toks) AS ctx FROM t) GROUP BY 1),
+         |top AS (SELECT ctx FROM u ORDER BY uc DESC, ctx LIMIT 20),
+         |i AS (SELECT c.* FROM c JOIN top USING (ctx)),
+         |tot AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS n_ctx FROM i GROUP BY 1),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY ctx
+         |             ORDER BY cnt DESC, nxt) AS BIGINT) AS rk FROM i)
+         |SELECT ctx, rk, nxt, cnt,
+         |       CAST(CAST(cnt AS HUGEINT) * 1000000 // n_ctx AS BIGINT) AS p_fx
+         |FROM r JOIN tot USING (ctx)
+         |WHERE rk <= 3 ORDER BY ctx, rk""".stripMargin,
 
     // One-window global skyline (fine at oracle scale; the engine side
     // is the per-length aggregate + domain-bounded frontier window).

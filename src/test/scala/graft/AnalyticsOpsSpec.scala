@@ -145,6 +145,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L))
   }
 
+  test("lateness_audit matches a naive arrival-order fold and bounds separate") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case other => sys.error(s"unexpected ts: $other")
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val delay =
+          if (java.lang.Long.parseLong(md5hex(s"graft-late-arrival$id").take(4), 16) % 100 < 10)
+            (java.lang.Long.parseLong(md5hex(s"graft-delay$id").take(4), 16) % 7200) * 1000000L
+          else 0L
+        (id, micros(r.get(1)) - delay)
+      }.sortBy(_._1)
+    var pm = Long.MinValue
+    val late = ev.map { case (_, us) => pm = math.max(pm, us); pm - us }
+    val bounds = Seq(("10_minutes", 600000000L), ("1_hour", 3600000000L),
+      ("1_minute", 60000000L))
+    val expected = bounds.map { case (b, bus) =>
+      val n = late.count(_ > bus).toLong
+      (b, ev.length.toLong, n, n * 1000000L / ev.length)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("lateness_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldEqual expected
+    // tighter watermarks drop at least as much as looser ones, and the
+    // planted 10% late population is actually exercised
+    val drops = got.map(g => g._1 -> g._3).toMap
+    assert(drops("1_minute") >= drops("10_minutes"))
+    assert(drops("10_minutes") >= drops("1_hour"))
+    assert(drops("1_minute") > 0)
+  }
+
   test("copurchase_pairs matches a naive basket cross-count") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey").collect()

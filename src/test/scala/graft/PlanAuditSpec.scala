@@ -160,6 +160,8 @@ class PlanAuditSpec extends SparkSpec {
       "scan_prune_audit" -> 1,     // 4-row literal predicate frame
       "conversion_latency" -> 6,   // two two-phase Quantile selections (3 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
       "budget_allocation" -> 3,    // 1-row corpus total (embedded again in the leftover-seat frame's lineage) + the 1-row leftover-seat count (all other frames are |langs| rows)
+      "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
+      "next_token_topk" -> 2,      // 20-row context frame (k-bounded via the Rank pre-prune), its hint re-embedded through the per-context totals lineage (the totals join itself stays a shuffle join)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -190,7 +192,9 @@ class PlanAuditSpec extends SparkSpec {
       "global_ids",           // prefix-sum over the ≤ P per-partition count rows
       "pareto_docs",          // strictly-shorter running max over the per-length maxima: ≤ |distinct token-count values| rows (value-domain-bounded aggregate, not corpus-bound)
       "revenue_cusum",        // ≤ |days| rows (daily aggregate; prefix + peak windows)
-      "budget_allocation"     // remainder rank over the ≤ |langs| per-language share rows
+      "budget_allocation",    // remainder rank over the ≤ |langs| per-language share rows
+      "lateness_audit",       // exclusive prefix-max over the ≤ P per-partition maxima rows (the global_ids shape for a MAX monoid)
+      "next_token_topk"       // top-20 context ranking: same Rank pre-pruned ≤ k × partitions input as stopword_strip/rrf_fusion
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

@@ -103,6 +103,32 @@ class TrainingOpsSpec extends SparkSpec {
     // above is the invariant; sf0.01's oracle run covers the hit path)
   }
 
+  test("next_token_topk matches a naive bigram conditional table") {
+    def toks(t: String): Array[String] =
+      t.replaceAll("\\s+", " ").trim.split(" ", -1)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(r => toks(r.getString(0)).toSeq)
+    val pairs = docs.flatMap(t => t.zip(t.drop(1)))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val topCtx = uni.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val counts = pairs.filter(p => topCtx(p._1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val totals = counts.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val expected = counts.toSeq.map { case ((c, n), cnt) => (c, n, cnt) }
+      .groupBy(_._1).toSeq.flatMap { case (c, vs) =>
+        vs.sortBy(v => (-v._3, v._2)).take(3).zipWithIndex.map {
+          case ((_, n, cnt), i) =>
+            (c, i + 1L, n, cnt, cnt * 1000000L / totals(c))
+        }
+      }.sortBy(e => (e._1, e._2))
+    val got = SparkEntry.queries("next_token_topk")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldEqual expected
+    got.length shouldEqual 60 // 20 contexts × top-3
+  }
+
   test("pareto_docs matches a naive all-pairs domination scan") {
     val scored = SparkEntry.queries("text_quality")(spark, "/root/testdata/sf0.001")
       .select("doc_id", "n_tokens", "score").collect()
