@@ -442,9 +442,76 @@ object DedupQueries extends QueryModule {
         .select("d1", "d2", "mh_matches", "jac_est", "jac", "abs_err")
         .orderBy("d1", "d2")
     }),
+
+    // Dedup method-agreement matrix (X-130): the decision table "which
+    // dedup ships" — removal-set sizes (diagonal) and pairwise
+    // overlaps for three REGISTERED policies over the same corpus:
+    // exact (min-id survivor per identical text), jaccard (X-7 pairs →
+    // X-32 components, min-id survivor — literally the dedup_clusters
+    // output), and simhash (X-9 banded pairs, greedy larger-id drop).
+    // The ann_recall discipline applied to dedup: measure the methods
+    // against EACH OTHER before choosing, instead of assuming the
+    // cheaper one finds the same documents. Each removal set derives
+    // from its registered sibling (composition at the registry level,
+    // oracle spliced from the same oracle SQL); the tagged union is
+    // MATERIALIZED once so the self-join doesn't re-run three dedup
+    // pipelines per side; the 3×3 grid left-join keeps honest zeros.
+    "dedup_method_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("m0", min(col("doc_id")).over(Window.partitionBy("h")))
+        .filter(col("doc_id") =!= col("m0")).select("doc_id")
+      val jr = defs("dedup_clusters")(s, d)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val sr = defs("simhash_neardup")(s, d)
+        .select(col("d2").as("doc_id")).distinct()
+      val tagged = graft.operators.Dedup.materialize(
+        ex.withColumn("m", lit("exact"))
+          .unionByName(jr.withColumn("m", lit("jaccard")))
+          .unionByName(sr.withColumn("m", lit("simhash"))))
+      val methods = s.sql(
+        "SELECT * FROM VALUES ('exact'), ('jaccard'), ('simhash') AS t(m)")
+      val grid = methods.select(col("m").as("m1"))
+        .crossJoin(methods.select(col("m").as("m2")))
+        .filter(col("m1") <= col("m2"))
+      val ov = tagged.select(col("doc_id"), col("m").as("m1"))
+        .join(tagged.select(col("doc_id"), col("m").as("m2")), "doc_id")
+        .filter(col("m1") <= col("m2"))
+        .groupBy("m1", "m2").agg(count(lit(1)).as("n"))
+      grid.join(ov, Seq("m1", "m2"), "left")
+        .select(col("m1"), col("m2"), coalesce(col("n"), lit(0L)).as("n_common"))
+        .orderBy("m1", "m2")
+    }),
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] =
+    baseOracle + ("dedup_method_matrix" -> matrixOracle)
+
+  /** The comparator's oracle is SPLICED from its siblings' oracle SQL
+    * (full statements are legal as CTE bodies), so both engines derive
+    * every removal set from the same registered definitions. */
+  private lazy val matrixOracle =
+    s"""WITH jq AS (${baseOracle("dedup_clusters")}),
+       |sq AS (${baseOracle("simhash_neardup")}),
+       |ex AS (SELECT doc_id FROM (
+       |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m0
+       |         FROM documents) WHERE doc_id <> m0),
+       |jr AS (SELECT doc_id FROM jq WHERE doc_id <> cluster),
+       |sr AS (SELECT DISTINCT d2 AS doc_id FROM sq),
+       |tagged AS (SELECT 'exact' AS m, doc_id FROM ex
+       |           UNION ALL SELECT 'jaccard', doc_id FROM jr
+       |           UNION ALL SELECT 'simhash', doc_id FROM sr),
+       |methods AS (SELECT unnest(['exact', 'jaccard', 'simhash']) AS m),
+       |grid AS (SELECT a.m AS m1, b.m AS m2 FROM methods a, methods b WHERE a.m <= b.m),
+       |ov AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS n
+       |       FROM tagged a JOIN tagged b ON a.doc_id = b.doc_id AND a.m <= b.m
+       |       GROUP BY 1, 2)
+       |SELECT g.m1, g.m2, coalesce(ov.n, CAST(0 AS BIGINT)) AS n_common
+       |FROM grid g LEFT JOIN ov ON g.m1 = ov.m1 AND g.m2 = ov.m2
+       |ORDER BY g.m1, g.m2""".stripMargin
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc

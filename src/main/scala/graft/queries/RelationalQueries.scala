@@ -952,6 +952,37 @@ object RelationalQueries extends QueryModule {
         .orderBy("edge")
     }),
 
+    // ABC / Pareto contribution analysis (X-129): revenue share per
+    // nation in exact ppm, cumulative share in contribution order, and
+    // the A/B/C class cut at 80% / 95% — the classic "which heads
+    // carry the mass" BI screen. One star-join aggregate to the
+    // |nations|-row frame (dims broadcast), then windows over that
+    // tiny frame (allowlisted at the stratum bound). Shares and the
+    // running sum stay exact integer cents/ppm; class boundaries
+    // compare integers, so the cut is hash-stable.
+    "abc_analysis" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val byNation = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+          .as("cents"))
+      val tot = byNation.agg(sum(col("cents")).as("tt"))
+      val wOrd = Window.orderBy(col("cents").desc, col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byNation.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div tt AS BIGINT)"))
+        .withColumn("cum_cents", sum(col("cents")).over(wOrd))
+        .withColumn("cum_ppm", expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div tt AS BIGINT)"))
+        .withColumn("abc_class",
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+        .select("n_name", "cents", "share_ppm", "cum_ppm", "abc_class")
+        .orderBy(col("cents").desc, col("n_name"))
+    }),
+
     // Basket co-occurrence pairs (X-125): top co-purchased part pairs
     // by shared-order count — the candidate generator behind
     // collaborative filtering / market-basket mining. The pair
@@ -1823,6 +1854,27 @@ object RelationalQueries extends QueryModule {
         |         abs(n_l * n_r // greatest(ndv_l, ndv_r) - actual) * 1000000 // actual
         |       END AS BIGINT) AS err_ppm
         |FROM s ORDER BY edge""".stripMargin,
+
+    // Same shares, running sum, and integer class cuts.
+    "abc_analysis" ->
+      """WITH b AS (
+        |  SELECT n_name,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT CAST(sum(cents) AS HUGEINT) AS tt FROM b),
+        |r AS (SELECT n_name, cents,
+        |             CAST(CAST(cents AS HUGEINT) * 1000000 // tt AS BIGINT) AS share_ppm,
+        |             CAST(CAST(sum(cents) OVER (ORDER BY cents DESC, n_name
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |               * 1000000 // tt AS BIGINT) AS cum_ppm
+        |      FROM b, t)
+        |SELECT n_name, cents, share_ppm, cum_ppm,
+        |       CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |            WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM r ORDER BY cents DESC, n_name""".stripMargin,
 
     // Same within-basket pair generation via a keyed self-join (fine
     // at oracle scale), identical total order at the cutoff.

@@ -305,6 +305,34 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
   }
 
+  test("dedup_method_matrix matches set algebra over its siblings' outputs") {
+    // removal sets recomputed from the REGISTERED sibling queries'
+    // collected outputs (each of which has its own naive spec), so
+    // this pins the matrix assembly independent of the join plumbing
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ex = docs.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1); ids.filter(_ != ids.min)
+    }.toSet
+    val jr = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    val sr = SparkEntry.queries("simhash_neardup")(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    val sets = Map("exact" -> ex, "jaccard" -> jr, "simhash" -> sr)
+    val ms = Seq("exact", "jaccard", "simhash")
+    val expected = for (a <- ms; b <- ms if a <= b)
+      yield (a, b, (sets(a) intersect sets(b)).size.toLong)
+    val got = SparkEntry.queries("dedup_method_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldEqual expected.sortBy(e => (e._1, e._2))
+    // containment: identical-text duplicates are found by EVERY method
+    // (Jaccard 1 ≥ threshold; identical simhash → Hamming 0), so the
+    // exact set's overlaps equal its size
+    val m = got.map(g => (g._1, g._2) -> g._3).toMap
+    m(("exact", "jaccard")) shouldEqual m(("exact", "exact"))
+    m(("exact", "simhash")) shouldEqual m(("exact", "exact"))
+  }
+
   test("pit_join matches a naive per-customer version scan and self-verifies") {
     def dayOf(v: Any): java.time.LocalDate = v match {
       case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate

@@ -228,6 +228,34 @@ class MonitoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("abc_analysis matches a naive sort-and-accumulate and classes are monotone") {
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001").join(
+        Tables.customer(spark, "/root/testdata/sf0.001"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, "/root/testdata/sf0.001"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val byNation = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (n, c) => (-c, n) }
+    val tt = byNation.map(_._2).sum
+    var cum = 0L
+    val expected = byNation.map { case (n, c) =>
+      cum += c
+      val cumPpm = BigInt(cum) * 1000000 / tt
+      (n, c, (BigInt(c) * 1000000 / tt).toLong, cumPpm.toLong,
+        if (cumPpm <= 800000) "A" else if (cumPpm <= 950000) "B" else "C")
+    }
+    val got = SparkEntry.queries("abc_analysis")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    got shouldEqual expected
+    // classes appear in order and all three exist on 25 nations
+    got.map(_._5).distinct shouldEqual Seq("A", "B", "C")
+  }
+
   test("revenue_cusum matches a naive BigInt prefix fold and flags one peak day") {
     val rows = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderdate", "o_totalprice").collect()

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   // of the checkpointed RDD — auditing it would inspect nothing (and
   // execute the whole pipeline). Their join structure is audited via
   // the building block below instead.
-  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts")
+  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts", "dedup_method_matrix")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -161,6 +161,7 @@ class PlanAuditSpec extends SparkSpec {
       "conversion_latency" -> 6,   // two two-phase Quantile selections (3 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
       "budget_allocation" -> 3,    // 1-row corpus total (embedded again in the leftover-seat frame's lineage) + the 1-row leftover-seat count (all other frames are |langs| rows)
       "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
+      "abc_analysis" -> 5,         // customer + nation dims and the 1-row total (whose lineage re-embeds both dim hints)
       "next_token_topk" -> 2,      // 20-row context frame (k-bounded via the Rank pre-prune), its hint re-embedded through the per-context totals lineage (the totals join itself stays a shuffle join)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
@@ -194,7 +195,8 @@ class PlanAuditSpec extends SparkSpec {
       "revenue_cusum",        // ≤ |days| rows (daily aggregate; prefix + peak windows)
       "budget_allocation",    // remainder rank over the ≤ |langs| per-language share rows
       "lateness_audit",       // exclusive prefix-max over the ≤ P per-partition maxima rows (the global_ids shape for a MAX monoid)
-      "next_token_topk"       // top-20 context ranking: same Rank pre-pruned ≤ k × partitions input as stopword_strip/rrf_fusion
+      "next_token_topk",      // top-20 context ranking: same Rank pre-pruned ≤ k × partitions input as stopword_strip/rrf_fusion
+      "abc_analysis"          // cumulative share over the ≤ |nations| aggregate rows
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
