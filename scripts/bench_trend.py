@@ -31,15 +31,22 @@ def load(path):
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]
+    # Since r7 Bench prints TWO lines (per-query dict on the penultimate
+    # line, bounded total-only JSON last) so the driver's 2000-char tail
+    # can't lose the total; scan every '{"metric"' candidate, newest
+    # first, for one that parses AND carries the per-query map.
     tail = d.get("tail", "")
-    i = tail.rfind('{"metric"')
-    if i >= 0:
+    for i in reversed([m.start() for m in re.finditer(r'\{"metric"', tail)]):
         line = tail[i:].splitlines()[0]
-        bench = json.loads(line)
+        try:
+            bench = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # head-truncated capture of a long line
         if "queries" in bench:
             return bench
     raise SystemExit(f"no bench JSON with a 'queries' map found in {path} "
-                     "(truncated driver tail?)")
+                     "(truncated driver tail? use the committed "
+                     "BENCH_r*_builder.json for per-query data)")
 
 
 def main():

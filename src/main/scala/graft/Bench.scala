@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query at the SF dir in
-  * SPARK_GRAFT_SF_DIR and prints ONE minimal JSON line as the very LAST
-  * stdout line. All methodology commentary goes to stderr so the JSON
-  * line stays small enough for the driver's tail window (round 4's
-  * ~4 KB line with an embedded note overflowed it → "parsed": null).
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines: the full per-query dict
+  * on the penultimate stdout line, and a total-only JSON (bounded to a
+  * few hundred bytes at any suite size) as the very LAST line. All
+  * methodology commentary goes to stderr. History: round 4's ~4 KB line
+  * with an embedded note and round 6's 150-entry per-query dict each
+  * overflowed the driver's 2000-char tail capture → "parsed": null;
+  * splitting the lines makes the total un-overflowable.
   *
   * A short warmup (session init + one tiny action per input table)
   * runs before timing so the first measured query doesn't absorb JVM /
@@ -97,11 +100,19 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    // The failed list is capped at 8 names so the final line stays a few
+    // hundred bytes even in a catastrophic all-fail run; n_failed carries
+    // the true count and the per-query line has every value.
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failed = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     spark.stop()
-    // The one-line JSON MUST be the last stdout line, with nothing after it.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Two stdout lines, per the round-6 verdict: the per-query dict grew to
+    // ~3.5 KB at 150 queries and overflowed the driver's 2000-char tail
+    // capture when embedded in the final line, hiding the total. So the
+    // full per-query JSON goes on the PENULTIMATE line, and the LAST line
+    // is total-only — bounded to a few hundred bytes at any suite size.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failed,"sf":"$sfDir"}""")
   }
 }

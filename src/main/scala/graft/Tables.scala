@@ -47,6 +47,11 @@ object Tables {
     * absorbs both so a regenerated dataset can't break ts arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast in normalizeTs consults the session
+    // zone; Sessions.builder pins UTC, but an externally built session
+    // reading a MICROS-NTZ dataset would silently shift instants
+    // relative to the DuckDB oracle — re-assert alongside nanosAsLong.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeTs(table(s, d, "events"))
   }
 

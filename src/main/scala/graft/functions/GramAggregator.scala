@@ -28,6 +28,11 @@ class GramAggregator(d: Int)
 
   override def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
     val a = q.toArray
+    // Without this, a short row throws a bare AIOOBE from deep in the
+    // aggregate and a long row is silently truncated — both far from
+    // the actual cause (a row whose embedding width ≠ the declared d).
+    require(a.length == d,
+      s"GramAggregator(d=$d): input row has ${a.length} elements")
     var i = 0
     while (i < d) {
       val qi = a(i)

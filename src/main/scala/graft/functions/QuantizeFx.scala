@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * DotProductFxSpec), so the DuckDB oracles are unchanged.
   *
   * Null semantics: null input array → null (UnaryExpression default);
-  * a null ELEMENT quantizes to 0 — quantized arrays are never
-  * null-valued in this codebase (the HOF form would propagate an
-  * element null; tolerating keeps the output `containsNull = false`,
-  * which downstream native loops rely on).
+  * a null ELEMENT throws. Quantized arrays are never null-valued in
+  * this codebase, but the HOF form (and DuckDB's list_transform in
+  * every similarity oracle) would PROPAGATE an element null — silently
+  * coercing to 0 here would make Spark and the oracle diverge without
+  * an error. Failing fast keeps the output `containsNull = false` an
+  * enforced guarantee (downstream native loops rely on it) rather than
+  * an assumed one.
   */
 case class QuantizeFx(child: Expression, scale: Double)
     extends UnaryExpression {
@@ -52,10 +55,11 @@ case class QuantizeFx(child: Expression, scale: Double)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i)) {
-        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        out(i) = math.floor(v * scale).toLong
-      }
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_fx: null element at index $i (oracle list_transform would propagate NULL; refusing to coerce to 0)")
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = math.floor(v * scale).toLong
       i += 1
     }
     new GenericArrayData(out)
@@ -71,9 +75,12 @@ case class QuantizeFx(child: Expression, scale: Double)
          |int $n = $x.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i)) {
-         |    $out[$i] = (long) java.lang.Math.floor($get * $scale);
+         |  if ($x.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "quantize_fx: null element at index " + $i +
+         |      " (oracle list_transform would propagate NULL; refusing to coerce to 0)");
          |  }
+         |  $out[$i] = (long) java.lang.Math.floor($get * $scale);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -207,6 +207,9 @@ object DedupQueries extends QueryModule {
     // Pairs → clusters: connected components over the Jaccard ≥ 0.5
     // near-dup pairs; every member labeled with its component's minimum
     // doc_id (the canonical survivor a dedup pass would keep).
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "dedup_clusters" -> ((s, d) => {
       val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
         .select("d1", "d2")
@@ -313,6 +316,9 @@ object DedupQueries extends QueryModule {
     // corpus-sized work is the left join back, keyed on doc_id.
     // Weight is exact fixed-point ⌊10⁶/size⌋: cross-engine identical,
     // no IEEE division in the compared columns.
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "dedup_weight" -> ((s, d) => {
       val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
         .select("d1", "d2")
@@ -336,6 +342,9 @@ object DedupQueries extends QueryModule {
     // Reuses X-7 pairs + X-32 components; the split draw is the same
     // md5 bucket as stratified_sample, on the cluster key. Singleton
     // docs are their own cluster. 90/10 by bucket < 90.
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "leakage_split" -> ((s, d) => {
       val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
         .select("d1", "d2")
@@ -369,6 +378,9 @@ object DedupQueries extends QueryModule {
     // cluster) base is materialized: it feeds three frames (stats,
     // keep, final join) and re-tokenizing + re-scoring the corpus per
     // use would triple the scan-side cost.
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "dedup_artifacts" -> ((s, d) => {
       import TextAnalysis.{norm, tokens, occurrences, qualityScore, LangProfiles, sampleBucket}
       val pairs = jaccardPairs(Tables.documents(s, d), t = 0.5)
@@ -456,6 +468,9 @@ object DedupQueries extends QueryModule {
     // oracle spliced from the same oracle SQL); the tagged union is
     // MATERIALIZED once so the self-join doesn't re-run three dedup
     // pipelines per side; the 3×3 grid left-join keeps honest zeros.
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "dedup_method_matrix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ex = Tables.documents(s, d)

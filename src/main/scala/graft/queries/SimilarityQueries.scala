@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -21,6 +21,21 @@ object SimilarityQueries extends QueryModule {
   private val LshBits = 6
   private val LshK = 3
 
+  /** Multi-probe dial (X-10 recall fix): each query probes its own
+    * sign bucket PLUS the buckets reached by flipping each of its
+    * `LshProbes` lowest-margin bits — for axis-aligned hyperplanes the
+    * margin of bit i is just |embedding[i]|, so the least-confident
+    * signs (the ones a true neighbor most likely disagrees on) are
+    * probed first. This is standard multi-probe LSH: single-bucket
+    * probing measured recall ≈ 0.03 on this near-orthogonal corpus
+    * (the 2^6 scan reduction bought almost total recall loss);
+    * probing 1+LshProbes of the 64 buckets, margin-ordered, recovers
+    * most 1-bit-off neighbors. The scan-shape contract is unchanged —
+    * candidates still equi-join on the bucket key; only the broadcast
+    * query side fans out ×(1+LshProbes). ann_recall reports the
+    * before ("lsh") and after ("lsh_mp") against the same truth. */
+  private val LshProbes = 3
+
   /** Near-dup banding: 4 bands x 16 sign bits. 16-bit keys give 65536
     * values per band, so chance collisions are ~n²/2^16 per band — the
     * same bounded-join guarantee simhash_neardup's 15-bit bands rely
@@ -39,6 +54,10 @@ object SimilarityQueries extends QueryModule {
     * (Fuzzy.MaxDomainKey pattern), and the cosine cutoff sits just
     * under this corpus's background max so the report is non-empty. */
   val SemDedupMaxKey = "spark.graft.semdedup.maxCluster"
+  /** Whether the max-cluster fail-fast aggregate runs inside the query
+    * (default true). Deployments that gate at index-build time set
+    * this false on the serve path — see the comment at the use site. */
+  val SemDedupGateKey = "spark.graft.semdedup.gate"
   val SemDedupDefaultMax = 10000L
   private val SemThreshold = 0.45
 
@@ -125,6 +144,23 @@ object SimilarityQueries extends QueryModule {
   private def dotSql2(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
 
+  /** SQL mirror of [[probeBuckets]] + the query-side explode: probe
+    * rows (vec_id, bucket, qe, nq) for query vectors — own bucket plus
+    * the `p` lowest-margin single-bit flips, margins ranked by the
+    * identical (abs(coordinate), bit-index) order. Expects a `bk` CTE
+    * carrying (vec_id, embedding, qe, nq, bucket). */
+  private def probeSql(p: Int): String =
+    s"""qm AS (SELECT vec_id, i,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY abs(embedding[i + 1]), i) AS mrk
+       |      FROM bk, range(0, $LshBits) r(i) WHERE vec_id < 10),
+       |qprobe AS (
+       |  SELECT vec_id, bucket, qe, nq FROM bk WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, CAST(1 << m.i AS BIGINT)) AS bucket,
+       |         b.qe, b.nq
+       |  FROM qm m JOIN bk b ON m.vec_id = b.vec_id WHERE m.mrk <= $p)""".stripMargin
+
   /** SQL mirror of [[nearestClusters]]: top-`krk` clusters per vector. */
   private def nearestSql(cents: String, where: String, krk: Int) =
     s"""(SELECT vec_id, qe, nq, cluster FROM (
@@ -164,15 +200,40 @@ object SimilarityQueries extends QueryModule {
         col("rk"), col("dot_fx"), col("cos"))
   }
 
-  /** LSH path: candidates only from the query's sign-bit bucket
-    * (equi-join on the bucket key instead of a cross product). Some
-    * queries may legitimately find < k neighbors — that's the recall
-    * trade-off bucketing buys scale with (ann_recall measures it). */
-  private def lshTopK(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** The query's probe-bucket list: its own sign bucket first, then
+    * the buckets with each of the `nProbes` lowest-margin bits flipped
+    * (ties on the float margin break to the lower bit index — the
+    * identical (margin, i) order the oracle's window ranks by). All
+    * entries are distinct by construction (distinct single-bit flips),
+    * so a candidate can match a query through at most one probe. */
+  private def probeBuckets(emb: Column, bits: Int, nProbes: Int): Column = {
+    val pow = typedLit((0 until bits).map(j => 1L << j))
+    val bkt = signBucket(emb, bits)
+    val margins = array_sort(transform(sequence(lit(0), lit(bits - 1)),
+      i => struct(abs(get(emb, i)).as("m"), i.as("i"))))
+    concat(array(bkt),
+      transform(slice(margins, 1, nProbes),
+        f => bkt.bitwiseXOR(get(pow, f("i")))))
+  }
+
+  /** LSH path: candidates only from the query's probe buckets
+    * (equi-join on the bucket key instead of a cross product).
+    * `nProbes` = 0 is the single-bucket baseline kept for ann_recall's
+    * before/after; the registered query runs `LshProbes`. Some queries
+    * may legitimately find < k neighbors — that's the recall trade-off
+    * bucketing buys scale with (ann_recall measures it). */
+  private def lshTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nProbes: Int): DataFrame = {
     val b = base(s, d).withColumn("bucket", signBucket(col("embedding"), LshBits))
-    val qs = broadcast(b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("bucket"),
-        col("qe").as("q_qe"), col("nq").as("q_nq")))
+    val q0 = b.filter(col("vec_id") < 10)
+    val qs = broadcast(
+      if (nProbes == 0)
+        q0.select(col("vec_id").as("q_id"), col("bucket"),
+          col("qe").as("q_qe"), col("nq").as("q_nq"))
+      else
+        q0.select(col("vec_id").as("q_id"),
+          explode(probeBuckets(col("embedding"), LshBits, nProbes)).as("bucket"),
+          col("qe").as("q_qe"), col("nq").as("q_nq")))
     graft.operators.Rank.topKPerGroup(
         scored(b.filter(col("vec_id") >= 10).join(qs, "bucket")),
         LshK, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
@@ -226,7 +287,7 @@ object SimilarityQueries extends QueryModule {
   def defs: Map[String, Q] = Map(
     "knn_cosine" -> ((s, d) => knnTopK(s, d, K).orderBy("q_id", "rk")),
 
-    "ann_lsh_bucket" -> ((s, d) => lshTopK(s, d).orderBy("q_id", "rk")),
+    "ann_lsh_bucket" -> ((s, d) => lshTopK(s, d, LshProbes).orderBy("q_id", "rk")),
 
     "ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("q_id", "rk")),
 
@@ -239,18 +300,22 @@ object SimilarityQueries extends QueryModule {
     // underlying scans is broadcast-scale; the expensive inputs are
     // the same audited pipelines the individual queries run.
     //
-    // Measured at sf0.01: IVF(2-probe) ≈ 0.90 mean recall, LSH
-    // sign-bucket ≈ 0.03. Both numbers are the honest story for THIS
-    // corpus: background pair cosine ≈ 0.6 (no true near-dup
-    // structure), so 64-dim near-orthogonal vectors land in sign
-    // buckets nearly independently of their top-3 — single-bucket
-    // probing buys its 2^6 scan reduction with almost total recall
-    // loss, while IVF's trained partition + 2-of-8 probing keeps 90%.
-    // Exactly the trade this query exists to surface before anyone
-    // ships the cheaper index.
+    // Three methods against the same truth: IVF(2-probe) ≈ 0.90 mean
+    // recall, single-bucket sign-LSH ≈ 0.03, margin-ordered multi-probe
+    // LSH (1 + LshProbes buckets) materially above it — the before
+    // ("lsh") rides along precisely to show what the multi-probe dial
+    // buys. The honest story for THIS corpus: background pair cosine
+    // ≈ 0.6 (no true near-dup structure), so 64-dim near-orthogonal
+    // vectors land in sign buckets nearly independently of their
+    // top-3 — single-bucket probing buys its 2^6 scan reduction with
+    // almost total recall loss; probing the low-margin neighbors claws
+    // back the 1-bit-off mass at 4/64 of the scan, while IVF's trained
+    // partition + 2-of-8 probing keeps 90%. Exactly the trade this
+    // query exists to surface before anyone ships the cheaper index.
     "ann_recall" -> ((s, d) => {
       val truth = knnTopK(s, d, LshK)
-      recallOf(truth, lshTopK(s, d), "lsh")
+      recallOf(truth, lshTopK(s, d, 0), "lsh")
+        .unionByName(recallOf(truth, lshTopK(s, d, LshProbes), "lsh_mp"))
         .unionByName(recallOf(truth, ivfTopK(s, d), "ivf"))
         .orderBy("method", "q_id")
     }),
@@ -427,15 +492,29 @@ object SimilarityQueries extends QueryModule {
         centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
       val assigned = graft.operators.Dedup.materialize(
         nearestClusters(b, c2, 1).select("vec_id", "cluster", "qe", "nq"))
-      val maxCluster = s.conf.getOption(SemDedupMaxKey)
-        .map(_.toLong).getOrElse(SemDedupDefaultMax)
-      val biggest = assigned.groupBy("cluster").count()
-        .agg(max(col("count"))).first().getLong(0)
-      require(biggest <= maxCluster,
-        s"semantic dedup is quadratic within a cluster: largest cluster " +
-          s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster; " +
-          "train more clusters (k scales with n) or use the banded " +
-          "embedding_neardup path")
+      // The max-cluster gate is a driver-side `.first()` over a 1-row
+      // aggregate of the ALREADY-materialized assignment — i.e. it
+      // belongs to the index BUILD (train-once/serve-many), where the
+      // assignment frame is produced, not to the per-query serve path.
+      // The registered query IS build+serve in one (registry entries
+      // are standalone), so the gate defaults ON here; a deployment
+      // that materializes the assignment once and serves many queries
+      // runs the gate once at build time and disables it per-query via
+      // spark.graft.semdedup.gate=false. Correct either way — the gate
+      // only decides WHEN the quadratic bound is checked, never
+      // whether the pair join is cluster-bounded.
+      val gateOn = s.conf.getOption(SemDedupGateKey).forall(_.toBoolean)
+      if (gateOn) {
+        val maxCluster = s.conf.getOption(SemDedupMaxKey)
+          .map(_.toLong).getOrElse(SemDedupDefaultMax)
+        val biggest = assigned.groupBy("cluster").count()
+          .agg(max(col("count"))).first().getLong(0)
+        require(biggest <= maxCluster,
+          s"semantic dedup is quadratic within a cluster: largest cluster " +
+            s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster; " +
+            "train more clusters (k scales with n) or use the banded " +
+            "embedding_neardup path")
+      }
       val l = assigned.select(col("cluster"), col("vec_id").as("near_id"),
         col("qe").as("l_qe"), col("nq").as("l_nq"))
       val r = assigned.select(col("cluster"), col("vec_id"),
@@ -572,10 +651,11 @@ object SimilarityQueries extends QueryModule {
         .mkString(" + ")
       s"""WITH $baseSql,
          |bk AS (SELECT *, CAST($bucketSql AS BIGINT) AS bucket FROM n),
+         |${probeSql(LshProbes)},
          |sc AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id, c.bucket,
          |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
-         |       FROM bk c JOIN bk qq ON c.bucket = qq.bucket
-         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |       FROM bk c JOIN qprobe qq ON c.bucket = qq.bucket
+         |       WHERE c.vec_id >= 10),
          |sc2 AS (SELECT q_id, neighbor_id, bucket,
          |               CAST(dot_fx AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE)) AS cos
          |        FROM sc),
@@ -650,6 +730,16 @@ object SimilarityQueries extends QueryModule {
          |              neighbor_id) AS rk
          |      FROM sc_l),
          |lsh AS (SELECT q_id, neighbor_id FROM r_l WHERE rk <= $LshK),
+         |${probeSql(LshProbes)},
+         |sc_m AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
+         |       FROM bk c JOIN qprobe qq ON c.bucket = qq.bucket
+         |       WHERE c.vec_id >= 10),
+         |r_m AS (SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |              ORDER BY CAST(dot_fx AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE)) DESC,
+         |              neighbor_id) AS rk
+         |      FROM sc_m),
+         |lsh_mp AS (SELECT q_id, neighbor_id FROM r_m WHERE rk <= $LshK),
          |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
          |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
          |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
@@ -672,6 +762,12 @@ object SimilarityQueries extends QueryModule {
          |         CAST(count(l.neighbor_id) AS BIGINT) AS n_hit
          |  FROM truth t LEFT JOIN lsh l
          |    ON t.q_id = l.q_id AND t.neighbor_id = l.neighbor_id
+         |  GROUP BY t.q_id
+         |  UNION ALL
+         |  SELECT 'lsh_mp' AS method, t.q_id, CAST(count(*) AS BIGINT) AS n_true,
+         |         CAST(count(m.neighbor_id) AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN lsh_mp m
+         |    ON t.q_id = m.q_id AND t.neighbor_id = m.neighbor_id
          |  GROUP BY t.q_id
          |  UNION ALL
          |  SELECT 'ivf' AS method, t.q_id, CAST(count(*) AS BIGINT) AS n_true,

@@ -444,6 +444,9 @@ object TextQueries extends QueryModule {
     // "training-ready subset" selection a pretraining corpus runs —
     // keep docs that score above 'poor', guess as English, are the
     // canonical member of their dedup cluster, and fall in the sample.
+    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
+    // corpus because registry entries are standalone; production composes
+    // from ONE materialized frame — OPERATIONS.md "dedup family".]
     "training_subset" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = Tables.documents(s, d)

@@ -119,20 +119,21 @@ class PlanAuditSpec extends SparkSpec {
       "revenue_by_nation" -> 3,    // customer + nation + region dims
       "rollup_region_nation" -> 3, // customer + nation + region dims
       "brand_revenue" -> 2,        // part + supplier dims
-      // two-phase Quantile: per-group stats (|groups| rows, hinted in
-      // both the histogram and selection passes — the target frame's
-      // lineage re-embeds the histogram's hint) + target buckets
-      // (≤ |groups|·|ranks| rows)
-      "median_order_value" -> 3,
-      "order_value_p90" -> 3,
-      // second-phase Quantile over deviations: its own 3 selectRanks
+      // two-phase Quantile: per-group stats (|groups| rows) hinted in
+      // the selection pass + the MATERIALIZED ≤ |groups|·|ranks|
+      // target-bucket frame (materialization cut the histogram pass's
+      // stats hint out of the downstream lineage — r7's adaptive
+      // second-level gate)
+      "median_order_value" -> 2,
+      "order_value_p90" -> 2,
+      // second-phase Quantile over deviations: its own 2 selectRanks
       // hints + the |groups|-row materialized median frame hinted in
-      // the deviation input, which the selection re-embeds 4× (two
-      // bucketed scans, histogram, target join) — all ≤ |groups| rows
-      "order_value_mad" -> 7,
-      "order_value_p90_sketch" -> 3, // exact arm of the sketch comparison = same Quantile shape
-      "customer_quartiles" -> 4,   // the above + |groups| cutoff-row sets
-      "price_outliers_iqr" -> 4,   // the above + |groups| fence-bounds rows joined back over the fact table
+      // the deviation input, re-embedded through the selection's
+      // bucketed scan and stats lineage — all ≤ |groups| rows
+      "order_value_mad" -> 4,
+      "order_value_p90_sketch" -> 2, // exact arm of the sketch comparison = same Quantile shape
+      "customer_quartiles" -> 3,   // the above + |groups| cutoff-row sets
+      "price_outliers_iqr" -> 3,   // the above + |groups| fence-bounds rows joined back over the fact table
       "corpus_drift_l1" -> 2,      // per-source token totals (|sources| rows) + 1-row grand total (the per-token totals are NOT hinted)
       "chi2_tokens" -> 2,          // |langs|-row margin frame + 1-row total (the vocabulary-sized frames are shuffle-joined, not hinted)
       "sq8_error" -> 1,            // 64-row per-dimension bounds frame (the trained SQ codebook)
@@ -141,10 +142,10 @@ class PlanAuditSpec extends SparkSpec {
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
-      "ann_recall" -> 6,           // 10-query frames: truth's hint ×2 (its lineage is embedded in both union branches) + lsh's 1 + ivf's 3 (materialized centroids on assign/probe + probes)
+      "ann_recall" -> 8,           // 10-query frames: truth's hint ×3 (its lineage is embedded in all three union branches) + lsh's 1 + lsh_mp's 1 (multi-probe query fan-out) + ivf's 3 (materialized centroids on assign/probe + probes)
       "events_hourly_filled" -> 1, // |types| distinct frame crossed with the generated hour axis
       "hourly_anomalies" -> 1,     // same |types| distinct frame (the X-76 grid is its input)
-      "equidepth_hist" -> 3,       // two-phase Quantile shape: per-group stats hinted in both bucketed passes + the ≤ |bins| target-bucket frame
+      "equidepth_hist" -> 2,       // two-phase Quantile shape: per-group stats hinted in the selection pass + the materialized ≤ |bins| target-bucket frame
       "fk_orphans" -> 2,           // the 25-row nation dim, hinted on its two FK edges (growing parents are shuffle-joined)
       "domain_select" -> 1,        // 1-row domain-totals frame (the distinctive vocabulary is shuffle-joined, per doc_lm_score's rule)
       "stopword_strip" -> 1,       // top-3 stopword frame: k-bounded by construction (the vocabulary-sized df aggregate is NOT hinted)
@@ -154,11 +155,11 @@ class PlanAuditSpec extends SparkSpec {
       "pmi_collocations" -> 2,     // 1-row token-total and 1-row bigram-total frames (the vocabulary-sized unigram frame is shuffle-joined, never hinted)
       "embedding_gram_pca" -> 14,  // 64-row eigenvector and 1-row L∞-max frames through 2 power rounds — every reference past the MATERIALIZED 4096-row Gram frame re-embeds the earlier rounds' hints (the kmeans/bpe_merges lineage effect); nothing corpus-sized is hinted
       "pareto_docs" -> 1,          // frontier frame: ≤ |distinct token-count values| rows (value-domain-bounded, further thinned to the strictly-improving lengths)
-      "winsorized_mean" -> 4,      // two-phase Quantile shape (3 hints, as median_order_value) + the |groups|-row clip-bounds frame joined back
+      "winsorized_mean" -> 3,      // two-phase Quantile shape (2 hints, as median_order_value) + the |groups|-row clip-bounds frame joined back
       "decayed_engagement" -> 1,   // 1-row reference-date frame
       "revenue_cusum" -> 1,        // 1-row (N, S) totals frame
       "scan_prune_audit" -> 1,     // 4-row literal predicate frame
-      "conversion_latency" -> 6,   // two two-phase Quantile selections (3 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
+      "conversion_latency" -> 4,   // two two-phase Quantile selections (2 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
       "budget_allocation" -> 3,    // 1-row corpus total (embedded again in the leftover-seat frame's lineage) + the 1-row leftover-seat count (all other frames are |langs| rows)
       "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
       "abc_analysis" -> 5,         // customer + nation dims and the 1-row total (whose lineage re-embeds both dim hints)

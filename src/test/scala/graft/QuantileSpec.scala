@@ -81,6 +81,40 @@ class QuantileSpec extends SparkSpec {
     emulated shouldEqual real
   }
 
+  test("second histogram level: pathological single-bucket mass stays exact") {
+    // Three group shapes that force the Level2Threshold split to take
+    // BOTH branches in one plan:
+    //  - "path": 5000 dense values in [0, ~7) plus one outlier at 1e9.
+    //    Level-1 bucket width ≈ 1e6, so all dense mass collapses into
+    //    bucket 0 (5000 > Level2Threshold = 4096) → second level must
+    //    re-spread over the actual [0,7) range and stay exact.
+    //  - "ties": 5000 copies of ONE value — the oversized bucket cannot
+    //    be value-separated at any level; the tiebreak-ordered floor
+    //    must still pick the exact rows.
+    //  - "norm": a well-shaped group that takes the direct branch, so
+    //    the union of both branches is what's checked.
+    val rows =
+      (1 to 5000).map(i => ("path", mix(i) / 205.0, i.toLong)) ++
+      Seq(("path", 1e9, 90001L)) ++
+      (1 to 5000).map(i => ("ties", 5.0, 20000L + i)) ++
+      (1 to 500).map(i => ("norm", mix(i), 40000L + i))
+    val patho = rows.toDF("g", "v", "k").repartition(8)
+
+    val byG = Window.partitionBy("g")
+    val w = byG.orderBy(col("v"), col("k"))
+    def naive(ranks: Long => Seq[Long]): Set[(String, Long)] =
+      patho.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byG))
+        .collect()
+        .filter(r => ranks(r.getAs[Long]("n")).contains(r.getAs[Long]("rn")))
+        .map(r => (r.getString(0), r.getAs[Long]("k"))).toSet
+
+    val got = Quantile.selectRanks(patho, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n * lit(9L) + lit(9L), 10), n))
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldEqual naive(n => Seq((n + 1) / 2, (9 * n + 9) / 10, n).distinct)
+  }
+
   test("winsorized_mean matches a naive sort-and-clip reference") {
     val rows = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
