@@ -254,18 +254,34 @@ class MixWeightSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1)))
         .filter(truth)
         .groupBy(_._1).view.mapValues(_.length).toMap
-    val lshHits = hits("ann_lsh_bucket")
+    // The registered ann_lsh_bucket runs multi-probe (LshProbes), so its
+    // hits correspond to ann_recall's "lsh_mp" arm; "lsh" is the
+    // single-bucket baseline that only ann_recall materializes.
+    val lshMpHits = hits("ann_lsh_bucket")
     val ivfHits = hits("ivf_topk")
     val got = q("ann_recall").collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
-    got.size shouldEqual 20 // 2 methods x 10 query vectors
+    got.size shouldEqual 30 // 3 methods x 10 query vectors
     got.foreach { case ((method, qid), (nTrue, nHit, recall)) =>
       nTrue shouldEqual 3L
-      val expected = (if (method == "lsh") lshHits else ivfHits).getOrElse(qid, 0).toLong
-      (method, qid, nHit) shouldEqual ((method, qid, expected))
       recall shouldEqual nHit / 3.0
+      method match {
+        case "lsh_mp" => nHit shouldEqual lshMpHits.getOrElse(qid, 0).toLong
+        case "ivf"    => nHit shouldEqual ivfHits.getOrElse(qid, 0).toLong
+        case "lsh"    => // baseline arm: dominated-by-lsh_mp checked below
+        case other    => fail(s"unexpected method $other")
+      }
     }
+    // Multi-probe must dominate the single-bucket baseline per query
+    // (probing a superset of buckets can only add true neighbors) and
+    // lift mean recall materially (the r6 verdict's done-criterion).
+    val mean = got.toSeq.groupBy(_._1._1).view
+      .mapValues(rs => rs.map(_._2._3).sum / rs.size).toMap
+    (0L until 10L).foreach { qid =>
+      got(("lsh_mp", qid))._2 should be >= got(("lsh", qid))._2
+    }
+    mean("lsh_mp") should be > mean("lsh") * 2
   }
 
   test("order_value_mad matches a naive sorted median/MAD computation") {
