@@ -329,4 +329,61 @@ object Dedup {
       .filter(col("jac") >= t)
       .select("d1", "d2", "n1", "n2", "common", "jac")
   }
+
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
+    *
+    * Containment is the subset-duplicate detector Jaccard structurally
+    * misses: a document embedded verbatim inside a 10× larger one has
+    * C = 1.0 but J ≤ 0.1 — below any usable Jaccard threshold. Corpus
+    * pipelines run it NEXT TO Jaccard dedup (quote inclusion, page-in-
+    * digest, chunk-of-concatenation), so it belongs in the family.
+    *
+    * Candidate generation is the ASYMMETRIC variant of AllPairs prefix
+    * filtering: C ≥ t needs overlap ≥ ⌈t·n_small⌉, so the SMALLER side's
+    * rarest-first prefix (length n − ⌈t·n⌉ + 1) must contain a shared
+    * shingle — but the larger side gives no such bound (its required
+    * overlap fraction can be arbitrarily small), so it must be probed
+    * through a FULL inverted index. Hence: prefix occurrences equi-join
+    * full occurrences on the shingle. Shuffle volume is
+    * Σ_s prefix_df(s)·full_df(s) — and because prefixes are
+    * rarest-FIRST, a hot boilerplate shingle (huge full_df) has a
+    * near-zero prefix_df, which is what keeps the product bounded where
+    * a full×full join (Σ df²) dies. Plain row-level equi-join, no
+    * collected posting arrays: nothing concentrates a hot shingle in
+    * one task, and AQE splits a skewed shingle key like any other
+    * shuffle skew. Exact verification on the materialized shingle sets
+    * exactly as [[jaccardPairsSized]].
+    *
+    * Orientation: the prefix side is constrained to the ≤-size side
+    * (ties broken by doc_id), which both halves the candidate volume
+    * and is lossless — for equal sizes either side's prefix must hit
+    * the overlap, so probing from the smaller-id one suffices. */
+  def containmentPairs(docs: DataFrame, t: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = materialize(shingled(docs)
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
+    val e = sized.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
+    val dfreq = e.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = e.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
+      .select(col("doc_id").as("pd"), col("n").as("pn"), col("s"))
+    val full = e.select(col("doc_id").as("fd"), col("n").as("fn"), col("s"))
+    val cand = prefix.join(full, "s")
+      .filter(col("pn") < col("fn") ||
+        (col("pn") === col("fn") && col("pd") < col("fd")))
+      .select(
+        when(col("pd") < col("fd"), col("pd")).otherwise(col("fd")).as("d1"),
+        when(col("pd") < col("fd"), col("fd")).otherwise(col("pd")).as("d2"))
+      .distinct()
+    cand
+      .join(sized.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
+      .join(sized.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
+      .withColumn("common", size(array_intersect(col("ss1"), col("ss2"))))
+      .withColumn("cont", col("common").cast("double") /
+        least(col("n1"), col("n2")).cast("double"))
+      .filter(col("cont") >= t)
+      .select("d1", "d2", "n1", "n2", "common", "cont")
+  }
 }

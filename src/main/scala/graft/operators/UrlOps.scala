@@ -37,4 +37,48 @@ object UrlOps {
     * a plain column either way, and the result is a pure function of
     * the row, so query results are unchanged. */
   val resolveUrl = udf(resolve).asNondeterministic()
+
+  /** X-132: canonical URL form for crawl-frontier / document dedup —
+    * the normalization every web-scale pipeline applies before "have we
+    * fetched this page already": without it, case-variant hosts,
+    * default ports, tracking parameters, fragments, and trailing-slash
+    * variants fan one page out into dozens of "distinct" URLs.
+    *
+    * Steps (order matters):
+    *  1. drop the fragment (`#...` — client-side only, never reaches
+    *     the server);
+    *  2. strip tracking parameters (`utm_*`, `fbclid`, `gclid` — they
+    *     address a campaign, not a resource);
+    *  3. lowercase the authority (host names are case-insensitive,
+    *     RFC 3986 §6.2.2.1) and drop an explicit https default port
+    *     (`:443`, §6.2.3) — the PATH is left untouched: it is
+    *     case-SENSITIVE per the RFC;
+    *  4. collapse a trailing slash (`/p1/` ≡ `/p1`, the usual
+    *     server-side alias) including before a query string.
+    *
+    * Pure column expressions — codegen'd, no UDF. Every regex is
+    * anchored-or-character-class only (no backreferences, no
+    * lookaround) so the identical pattern runs on Java regex here and
+    * RE2 in the DuckDB oracle with the same semantics. Scale: a
+    * per-row projection chain, embarrassingly parallel. */
+  def canonicalize(url: Column): Column = {
+    val tracker = "(utm_[a-z_]+|fbclid|gclid)=[^&#]*"
+    val noFrag  = regexp_replace(url, "#.*", "")
+    // Tracking-param removal in three backreference-free global passes
+    // covering every position: (a) '&'-led occurrences (never the first
+    // param); (b) a '?'-led occurrence followed by a kept param — the
+    // separator promotes to '?'; (c) a '?'-led occurrence at the end.
+    // '?utm_a=1&utm_b=2&page=3' → (a) '?utm_a=1&page=3' → (b) '?page=3'.
+    val noTrack = regexp_replace(regexp_replace(regexp_replace(noFrag,
+      s"&$tracker", ""), s"\\?$tracker&", "?"), s"\\?$tracker$$", "")
+    // (?i): the scheme is case-insensitive too (HTTPS://… is valid);
+    // inline-flag syntax is shared by Java regex and RE2.
+    val auth    = regexp_replace(
+      lower(regexp_extract(noTrack, "(?i)^https?://([^/?#]+)", 1)), ":443$", "")
+    val scheme  = lower(regexp_extract(noTrack, "(?i)^(https?)://", 1))
+    val rest    = regexp_replace(noTrack, "(?i)^https?://[^/?#]+", "")
+    val rest2   = regexp_replace(regexp_replace(regexp_replace(
+      rest, "/\\?", "?"), "/$", ""), "\\?$", "")
+    concat(scheme, lit("://"), auth, rest2)
+  }
 }

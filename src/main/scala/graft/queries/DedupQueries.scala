@@ -82,6 +82,22 @@ object DedupQueries extends QueryModule {
         .select("d1", "d2", "n1", "n2", "common", "jac")
         .orderBy("d1", "d2")),
 
+    // X-131: containment near-dup pairs, C = |A∩B|/min(|A|,|B|) ≥ 0.8 —
+    // the subset-duplicate detector (doc embedded in a 10× larger one
+    // has C = 1.0 but J ≤ 0.1, invisible to every Jaccard threshold
+    // above). Candidates via ASYMMETRIC prefix filtering: the smaller
+    // side's rarest-first prefix probes a full inverted index; shuffle
+    // is Σ prefix_df·full_df, and rarest-first prefixes keep prefix_df
+    // ~0 exactly where full_df is hot (Dedup.containmentPairs scaladoc).
+    // The oracle is the frequency-unbounded direct join (it need not
+    // scale) with the containment filter — pinning that the pruned
+    // candidate generation is exact.
+    "containment_dup" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), t = 0.8)
+        .withColumn("common", col("common").cast("long"))
+        .select("d1", "d2", "n1", "n2", "common", "cont")
+        .orderBy("d1", "d2")),
+
     // MinHash(16) + LSH (4 bands × 4 rows) candidates, then exact-
     // Jaccard verification at ≥ 0.8. Only band-colliding pairs are ever
     // compared — the 100 TB-safe shape (candidates ≪ n²).
@@ -545,6 +561,22 @@ object DedupQueries extends QueryModule {
          |       CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jac
          |FROM p
          |WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    // X-131: same direct-join shape WITHOUT the size band (containment
+    // exists precisely for size-mismatched pairs), containment filter.
+    "containment_dup" ->
+      s"""WITH $shSql,
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, n1, n2, common,
+         |       CAST(common AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) AS cont
+         |FROM p
+         |WHERE CAST(common AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
 
     // Same two blocking keys, window w = 3; ranks as plain row_number

@@ -285,9 +285,85 @@ object LinkQueries extends QueryModule {
           coalesce(expr("s div indeg"), col("h1")).as("h2"))
         .orderBy("doc_id")
     }),
+
+    // X-132: canonical-URL dedup — the crawl-frontier "seen this page?"
+    // operator. The testdata has no URLs, so variants are synthesized
+    // deterministically from documents (case-shifted host, :443, a
+    // trailing slash, a KEPT ?page= param, a stripped utm_source, a
+    // fragment — every axis UrlOps.canonicalize normalizes, plus the
+    // doc_id%5 path key that makes distinct docs genuinely collide).
+    // Plan: per-row projection chain + one hash aggregate — no join, no
+    // window; at 100 TB this is a single map+combine pass.
+    "url_canonical_dedup" -> ((s, d) => {
+      val did = col("doc_id")
+      val u = Tables.documents(s, d).select(did,
+        concat(
+          lit("https://"),
+          when(did % 5 === 0,
+            concat(lit("WWW."), upper(col("source")), lit(".Example.com")))
+            .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+          when(did % 7 === 0, lit(":443")).otherwise(lit("")),
+          lit("/"), col("lang"), lit("/p"), (did % 5).cast("string"),
+          when(did % 3 === 0, lit("/")).otherwise(lit("")),
+          when(did % 4 === 0, concat(lit("?page="), (did % 2).cast("string")))
+            .otherwise(lit("")),
+          when(did % 2 === 0,
+            concat(when(did % 4 === 0, lit("&")).otherwise(lit("?")),
+              lit("utm_source=s"), (did % 3).cast("string")))
+            .otherwise(lit("")),
+          when(did % 6 === 0, concat(lit("#sec"), (did % 4).cast("string")))
+            .otherwise(lit(""))).as("url"))
+      u.withColumn("canon", UrlOps.canonicalize(col("url")))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy("canon")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    // Mirrors UrlOps.canonicalize step-by-step; DuckDB regexp_replace
+    // needs the explicit 'g' flag where Spark's is always-global, and
+    // every pattern is backreference-free so Java regex and RE2 agree.
+    "url_canonical_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN 'WWW.' || upper(source) || '.Example.com'
+        |              ELSE 'www.' || source || '.example.com' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |         '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN (CASE WHEN doc_id % 4 = 0 THEN '&' ELSE '?' END)
+        |                   || 'utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(regexp_replace(nf,
+        |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |           '\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |           '\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$', '', 'g') AS nt
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, url,
+        |         lower(regexp_extract(nt, '(?i)^(https?)://', 1)) || '://' ||
+        |         regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
+        |           ':443$', '', 'g') ||
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(nt, '(?i)^https?://[^/?#]+', '', 'g'),
+        |           '/\?', '?', 'g'), '/$', '', 'g'), '\?$', '', 'g') AS canon
+        |       FROM s2)
+        |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
+        |       min(doc_id) AS keep_doc
+        |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+
     "link_pagerank" -> {
       def iterSql(prev: String, cn: String, dn: String, rn: String) =
         s"""$cn AS (SELECT e.dst, CAST(sum(r.r // 3) AS BIGINT) AS dsum

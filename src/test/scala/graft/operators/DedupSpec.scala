@@ -55,6 +55,33 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldEqual 1.0
   }
 
+  test("containmentPairs finds the embedded-subset pair Jaccard structurally misses") {
+    // doc 1 (12 tokens → 10 shingles) appears verbatim at the head of
+    // doc 2 (53 tokens → 51 shingles): containment = 10/10 = 1.0, but
+    // Jaccard = 10/51 ≈ 0.20 — invisible at any usable J threshold.
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big   = ((1 to 12).map(i => s"w$i") ++ (100 to 140).map(i => s"z$i")).mkString(" ")
+    val far   = (200 to 230).map(i => s"q$i").mkString(" ")
+    val docs  = df(1 -> small, 2 -> big, 3 -> far)
+    val cont = containmentPairs(docs, t = 0.8).collect()
+      .map(r => (r.getAs[Number]("d1").longValue, r.getAs[Number]("d2").longValue,
+        r.getAs[Number]("common").longValue, r.getAs[Double]("cont")))
+    cont.toSeq shouldEqual Seq((1L, 2L, 10L, 1.0))
+    jaccardPairs(docs, t = 0.5).count() shouldEqual 0L
+  }
+
+  test("containmentPairs: equal-size pairs survive the smaller-side-probe orientation") {
+    // Equal sizes mean EITHER side could be "the smaller"; generation
+    // probes only from the lower doc_id and must still find the pair.
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 18).map(i => s"w$i") ++ Seq("y1", "y2")).mkString(" ")
+    val pairs = containmentPairs(df(1 -> a, 2 -> b), t = 0.8).collect()
+      .map(r => (r.getAs[Number]("d1").longValue, r.getAs[Number]("d2").longValue,
+        r.getAs[Double]("cont")))
+    // common shingles: w1..w16 runs → 16 of 18; cont = 16/18 ≈ 0.889
+    pairs.toSeq shouldEqual Seq((1L, 2L, 16.0 / 18.0))
+  }
+
   test("jaccardPairs: materialized and declarative forms agree row-for-row") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")

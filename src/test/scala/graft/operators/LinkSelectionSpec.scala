@@ -59,4 +59,31 @@ class LinkSelectionSpec extends SparkSpec {
     spark.sql("SELECT dot_fx(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .collect().head.getLong(0) shouldEqual 32L
   }
+
+  test("X-132 canonicalize: each normalization axis, and their composition") {
+    import spark.implicits._
+    val cases = Seq(
+      // host case + default port
+      "https://WWW.Acme.Example.COM:443/About" -> "https://www.acme.example.com/About",
+      // path case is PRESERVED (RFC 3986: case-sensitive)
+      "https://a.com/CaseSensitive" -> "https://a.com/CaseSensitive",
+      // fragment stripped
+      "https://a.com/p#section-2" -> "https://a.com/p",
+      // tracking params: sole / leading-with-kept-tail / trailing
+      "https://a.com/p?utm_source=x" -> "https://a.com/p",
+      "https://a.com/p?utm_source=x&page=2" -> "https://a.com/p?page=2",
+      "https://a.com/p?page=2&utm_campaign=y&gclid=z" -> "https://a.com/p?page=2",
+      // trailing slash, incl. before a query string
+      "https://a.com/p/" -> "https://a.com/p",
+      "https://a.com/p/?page=2" -> "https://a.com/p?page=2",
+      // everything at once
+      "HTTPS://B.com:443/Q/?utm_medium=m&page=1&fbclid=f#top"
+        -> "https://b.com/Q?page=1",
+      // already-canonical input is a fixpoint
+      "https://b.com/q?page=1" -> "https://b.com/q?page=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    got shouldEqual cases.map(_._2)
+  }
 }
