@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The S-3 DataSourceV2 exercised END-TO-END over a real socket: a JDK
+  * loopback HttpServer serves HTML and the full
+  * `spark.read.format("graft-web")` path — TableProvider resolution via
+  * META-INF/services, partition planning, the executor-side fetch, the
+  * inner-text and anchor extraction — runs with zero egress (the
+  * LiveHttpEnricherSpec discipline applied to the source). */
+class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+
+  private val page =
+    """<html><head><title>T</title>
+      |<style>body { color: red; }</style>
+      |<script>var hidden = "should not appear";</script>
+      |</head><body>
+      |<h1>Acme &amp; Sons</h1>
+      |<p>We make   widgets.</p>
+      |<div>Since 1999</div>
+      |<!-- a comment -->
+      |<a href="/about">About &quot;us&quot;</a>
+      |<a class="x" href="https://other.example/team">Our <b>team</b></a>
+      |</body></html>""".stripMargin
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", (ex: HttpExchange) => respond(ex, 200, page))
+    server.createContext("/gone", (ex: HttpExchange) => respond(ex, 404, "nope"))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  test("innerText: script/style/comments dropped, blocks break lines, entities decoded") {
+    val t = WebTextSource.innerText(page)
+    t should include("Acme & Sons")
+    t should include("We make widgets.")   // whitespace collapsed
+    t should include("Since 1999")
+    t should not include "hidden"
+    t should not include "color: red"
+    t should not include "a comment"
+    t.linesIterator.toSeq.head shouldEqual "T"
+  }
+
+  test("extractLinks: href + cleaned anchor text per <a>") {
+    WebTextSource.extractLinks(page) shouldEqual Seq(
+      "/about" -> "About \"us\"",
+      "https://other.example/team" -> "Our team")
+  }
+
+  test("end-to-end read over a real socket: ok page, http error, dead host") {
+    // a port with no listener → connect refused → transport-error row
+    val dead = "http://127.0.0.1:1/x"
+    val rows = spark.read.format("graft-web")
+      .option("urls", s"$base/page,$base/gone,$dead")
+      .option("timeoutMs", "5000")
+      .load()
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val ok = rows(s"$base/page")
+    ok.getInt(1) shouldEqual 200
+    ok.getString(2) should include("Acme & Sons")
+    ok.getSeq[Row](3).map(r => (r.getString(0), r.getString(1))) shouldEqual
+      Seq(("/about", "About \"us\""), ("https://other.example/team", "Our team"))
+
+    val gone = rows(s"$base/gone")
+    gone.getInt(1) shouldEqual 404
+    assert(gone.isNullAt(2) && gone.isNullAt(3))
+
+    val err = rows(dead)
+    assert(err.isNullAt(1) && err.isNullAt(2) && err.isNullAt(3))
+  }
+
+  test("partition planning: numPartitions honored, round-robin URL spread") {
+    val urls = (1 to 6).map(i => s"$base/page?i=$i").mkString(",")
+    val df = spark.read.format("graft-web")
+      .option("urls", urls).option("numPartitions", "3").load()
+    df.rdd.getNumPartitions shouldEqual 3
+    df.count() shouldEqual 6L
+  }
+
+  test("fetched text flows into the existing extraction pipeline") {
+    // the point of the source: its output is a documents-shaped frame
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-web")
+      .option("urls", s"$base/page").load()
+      .select(col("url"), col("text"),
+        explode(col("links")).as("link"))
+      .select(col("url"), col("link.href"), col("link.anchor"))
+    df.count() shouldEqual 2L
+  }
+}
