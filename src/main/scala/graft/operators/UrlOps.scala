@@ -50,9 +50,11 @@ object UrlOps {
     *  2. strip tracking parameters (`utm_*`, `fbclid`, `gclid` — they
     *     address a campaign, not a resource);
     *  3. lowercase the authority (host names are case-insensitive,
-    *     RFC 3986 §6.2.2.1) and drop an explicit https default port
-    *     (`:443`, §6.2.3) — the PATH is left untouched: it is
-    *     case-SENSITIVE per the RFC;
+    *     RFC 3986 §6.2.2.1) and drop an explicit default port — but
+    *     only the SCHEME'S OWN default (`https://h:443`, `http://h:80`,
+    *     §6.2.3; `:443` on http addresses a different server and is
+    *     kept) — the PATH is left untouched: it is case-SENSITIVE per
+    *     the RFC;
     *  4. collapse a trailing slash (`/p1/` ≡ `/p1`, the usual
     *     server-side alias) including before a query string.
     *
@@ -73,9 +75,12 @@ object UrlOps {
       s"&$tracker", ""), s"\\?$tracker&", "?"), s"\\?$tracker$$", "")
     // (?i): the scheme is case-insensitive too (HTTPS://… is valid);
     // inline-flag syntax is shared by Java regex and RE2.
-    val auth    = regexp_replace(
-      lower(regexp_extract(noTrack, "(?i)^https?://([^/?#]+)", 1)), ":443$", "")
     val scheme  = lower(regexp_extract(noTrack, "(?i)^(https?)://", 1))
+    val rawAuth = lower(regexp_extract(noTrack, "(?i)^https?://([^/?#]+)", 1))
+    // a port is dropped only when it is the SCHEME'S default — :443 on
+    // http (or :80 on https) addresses a different server and must stay
+    val auth    = when(scheme === "https", regexp_replace(rawAuth, ":443$", ""))
+      .otherwise(regexp_replace(rawAuth, ":80$", ""))
     val rest    = regexp_replace(noTrack, "(?i)^https?://[^/?#]+", "")
     val rest2   = regexp_replace(regexp_replace(regexp_replace(
       rest, "/\\?", "?"), "/$", ""), "\\?$", "")

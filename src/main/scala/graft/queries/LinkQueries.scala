@@ -354,8 +354,11 @@ object LinkQueries extends QueryModule {
         |       FROM s1),
         |s3 AS (SELECT doc_id, url,
         |         lower(regexp_extract(nt, '(?i)^(https?)://', 1)) || '://' ||
-        |         regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
-        |           ':443$', '', 'g') ||
+        |         (CASE WHEN lower(regexp_extract(nt, '(?i)^(https?)://', 1)) = 'https'
+        |               THEN regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
+        |                 ':443$', '', 'g')
+        |               ELSE regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
+        |                 ':80$', '', 'g') END) ||
         |         regexp_replace(regexp_replace(regexp_replace(
         |           regexp_replace(nt, '(?i)^https?://[^/?#]+', '', 'g'),
         |           '/\?', '?', 'g'), '/$', '', 'g'), '\?$', '', 'g') AS canon

@@ -52,6 +52,19 @@ class PlanAuditSpec extends SparkSpec {
   // DedupSpec pins that the materialized and declarative forms agree
   // row-for-row.
 
+  test("containment candidates come from a shingle EQUI-join — prefix-bounded probe, no nested loop") {
+    val p = plan("containment_dup")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the asymmetric AllPairs signature: rarest-first rank window + the
+    // ⌈t·n⌉ prefix-length filter on the PROBE side only (the full-index
+    // side carries no CEIL — that asymmetry is the operator)
+    p should include("row_number")
+    p.toLowerCase should include("ceil")
+    // candidate join keyed on the shingle column
+    p should include("[s")
+  }
+
   test("the salted-join query joins on (key, salt) — hot keys spread over buckets") {
     plan("salted_user_value") should include("__salt")
   }

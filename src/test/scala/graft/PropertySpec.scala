@@ -151,4 +151,58 @@ class PropertySpec extends SparkSpec {
       .withColumn("err", col("x").cast("double") * 1e7 - col("q").cast("double"))
     df.filter(col("err") < 0 || col("err") >= 1).count() shouldEqual 0
   }
+
+  test("containmentPairs matches brute-force containment on random corpora") {
+    import spark.implicits._
+    // small token alphabet → dense overlap structure, so the asymmetric
+    // prefix filter's every branch (strict-subset, equal-size tie,
+    // below-threshold prune) is exercised; brute force is the oracle
+    val t = 0.6
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(3, 25)
+      toks <- Gen.listOfN(n, Gen.choose(0, 24).map(i => s"w$i"))
+    } yield toks.mkString(" ")
+    val texts = samples(docGen, 40)
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = texts.zipWithIndex.map { case (s, i) => (i + 1) -> shingleSet(s) }
+    val truth = (for {
+      (i, a) <- sets; (j, b) <- sets
+      if i < j && a.nonEmpty && b.nonEmpty
+      common = (a & b).size
+      if common.toDouble / math.min(a.size, b.size) >= t
+    } yield (i.toLong, j.toLong, common.toLong,
+      common.toDouble / math.min(a.size, b.size))).toSet
+    val got = Dedup.containmentPairs(
+      texts.zipWithIndex.map { case (s, i) => (i + 1) -> s }.toDF("doc_id", "text"),
+      t = t).collect()
+      .map(r => (r.getAs[Number]("d1").longValue, r.getAs[Number]("d2").longValue,
+        r.getAs[Number]("common").longValue, r.getAs[Double]("cont"))).toSet
+    got shouldEqual truth
+  }
+
+  test("X-132 canonicalize is idempotent over generated messy URLs") {
+    import spark.implicits._
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
+      host <- Gen.oneOf("a.com", "WWW.B.Example.COM", "x-y.z.org")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      segs <- Gen.listOfN(2, Gen.oneOf("p", "Path", "x1"))
+      slash <- Gen.oneOf("", "/")
+      params <- Gen.someOf(Seq("page=1", "utm_source=s", "q=2", "fbclid=f", "utm_campaign=c"))
+      frag <- Gen.oneOf("", "#top", "#s2")
+    } yield {
+      val q = if (params.isEmpty) "" else "?" + scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).shuffle(params.toList).mkString("&")
+      s"$scheme://$host$port/${segs.mkString("/")}$slash$q$frag"
+    }
+    val df = samples(urlGen, 300).toDF("url")
+      .select(UrlOps.canonicalize(col("url")).as("c1"))
+      .withColumn("c2", UrlOps.canonicalize(col("c1")))
+    df.filter(col("c1") =!= col("c2")).count() shouldEqual 0
+    // and no canonical form retains what canonicalization removes
+    df.filter(col("c1").contains("#") || col("c1").contains("utm_") ||
+      col("c1").contains("fbclid")).count() shouldEqual 0
+  }
 }

@@ -65,6 +65,10 @@ class LinkSelectionSpec extends SparkSpec {
     val cases = Seq(
       // host case + default port
       "https://WWW.Acme.Example.COM:443/About" -> "https://www.acme.example.com/About",
+      // only the SCHEME'S default port is dropped
+      "http://a.com:80/p" -> "http://a.com/p",
+      "http://a.com:443/p" -> "http://a.com:443/p",
+      "https://a.com:80/p" -> "https://a.com:80/p",
       // path case is PRESERVED (RFC 3986: case-sensitive)
       "https://a.com/CaseSensitive" -> "https://a.com/CaseSensitive",
       // fragment stripped
