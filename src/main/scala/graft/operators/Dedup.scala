@@ -364,26 +364,53 @@ object Dedup {
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
     val e = sized.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
     val dfreq = e.groupBy("s").agg(count(lit(1)).as("df"))
-    val prefix = e.join(dfreq, "s")
+    // every occurrence ranked rarest-first (one window; exchange reuse
+    // covers both consumers below) — the FULL side keeps its ranks too,
+    // because the positional filter needs both coordinates
+    val ranked = e.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val prefix = ranked
       .filter(col("rk") <= (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
-      .select(col("doc_id").as("pd"), col("n").as("pn"), col("s"))
-    val full = e.select(col("doc_id").as("fd"), col("n").as("fn"), col("s"))
-    val cand = prefix.join(full, "s")
+      .select(col("doc_id").as("pd"), col("n").as("pn"),
+        col("s"), col("rk").as("pi"))
+    val full = ranked.select(col("doc_id").as("fd"), col("n").as("fn"),
+      col("s"), col("rk").as("fj"))
+    // probe × full-index equi-join; dedup + the PPJoin positional filter
+    // share ONE aggregation (the jaccardPairsSized shape): both posting
+    // orders follow the same global (df, s) order, so min(struct(pi, fj))
+    // IS the componentwise min at the first shared shingle, and
+    // overlap ≤ 1 + min(pn − i, fn − j) there — pairs whose bound cannot
+    // reach ⌈t·pn⌉ are pruned BEFORE the verify join hauls their full
+    // shingle arrays (on a hot-shingle corpus this is most of them:
+    // measured 6.1 s → the distinct-only form's verify join dominated).
+    // The min is taken over PREFIX-side matches only, but that loses
+    // nothing: the globally-first shared shingle has the minimal probe
+    // rank of all shared shingles, so whenever ANY shared shingle sits
+    // in the prefix (i.e. the pair is generated at all), the first one
+    // does too — the lex-min row is always the true (i0, j0).
+    val gen = prefix.join(full, "s")
       .filter(col("pn") < col("fn") ||
         (col("pn") === col("fn") && col("pd") < col("fd")))
+      .groupBy("pd", "fd")
+      .agg(first(col("pn")).as("pn"), first(col("fn")).as("fn"),
+        min(struct(col("pi").as("i"), col("fj").as("j"))).as("fm"))
+      .filter(lit(1) + least(col("pn") - col("fm.i"), col("fn") - col("fm.j")) >=
+        ceil(col("pn") * lit(t)))
+      .select(col("pd"), col("fd"))
+    gen
+      .join(sized.select(col("doc_id").as("pd"), col("ss").as("ssp"), col("n").as("np")), "pd")
+      .join(sized.select(col("doc_id").as("fd"), col("ss").as("ssf"), col("n").as("nf")), "fd")
+      .withColumn("common", size(array_intersect(col("ssp"), col("ssf"))))
+      .withColumn("cont", col("common").cast("double") /
+        least(col("np"), col("nf")).cast("double"))
+      .filter(col("cont") >= t)
+      // (pd, fd) orients probe-first; the OUTPUT contract is id-ordered
       .select(
         when(col("pd") < col("fd"), col("pd")).otherwise(col("fd")).as("d1"),
-        when(col("pd") < col("fd"), col("fd")).otherwise(col("pd")).as("d2"))
-      .distinct()
-    cand
-      .join(sized.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
-      .join(sized.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
-      .withColumn("common", size(array_intersect(col("ss1"), col("ss2"))))
-      .withColumn("cont", col("common").cast("double") /
-        least(col("n1"), col("n2")).cast("double"))
-      .filter(col("cont") >= t)
-      .select("d1", "d2", "n1", "n2", "common", "cont")
+        when(col("pd") < col("fd"), col("fd")).otherwise(col("pd")).as("d2"),
+        when(col("pd") < col("fd"), col("np")).otherwise(col("nf")).as("n1"),
+        when(col("pd") < col("fd"), col("nf")).otherwise(col("np")).as("n2"),
+        col("common"), col("cont"))
   }
 }
