@@ -320,7 +320,100 @@ object LinkQueries extends QueryModule {
           min(col("doc_id")).as("keep_doc"))
         .orderBy("canon")
     }),
+
+    // X-133: robots.txt rule filtering — the crawl-governance gate
+    // every fetch pipeline runs BEFORE WebFetch/graft-web touches a
+    // URL. Disallow-prefix semantics with LONGEST-match reporting (the
+    // REP convention when rules overlap); allow-by-default. Rules and
+    // frontier are both synthesized deterministically (no robots.txt
+    // corpus in the testdata): every host disallows /private/, hosts
+    // with srcN%3∈{0,1} additionally disallow one language subtree.
+    // Scale shape: the rules frame is |hosts|·|rules| — web-scale that
+    // is millions of rows, NOT broadcastable, so the match is a plain
+    // host equi-join (hash shuffle, AQE-skew-safe) + per-URL max
+    // aggregation; prefix match via length-bounded substring equality
+    // (portable to DuckDB, no LIKE-escape hazards).
+    "robots_filter" -> ((s, d) => {
+      val fr = frontier(s, d)
+      val rules = robotsRules(s, d)
+      val matched = fr.join(rules, Seq("host"), "left_outer")
+        .withColumn("hit",
+          substring(col("path"), lit(1), length(col("rule"))) === col("rule"))
+      matched.groupBy("doc_id", "host", "path")
+        .agg(max(when(col("hit"),
+          struct(length(col("rule")).as("l"), col("rule").as("r")))).as("m"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("m").isNotNull.as("blocked"), col("m.r").as("rule"))
+        .orderBy("doc_id")
+    }),
+
+    // X-134: per-host politeness scheduling — the other crawl-side
+    // primitive: a frontier fetched at full parallelism ACROSS hosts
+    // but serially WITHIN a host (one request per host per wave, the
+    // crawl-delay discipline). wave = row_number per host (stable
+    // doc_id order); eta_s = (wave−1)·crawl_delay. Composes on X-133:
+    // blocked URLs never enter the schedule. One hash-partitioned
+    // window keyed on host — thousands of URLs per host at most, no
+    // global sort, no unbounded partition.
+    "crawl_schedule" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fr = frontier(s, d)
+      val rules = robotsRules(s, d)
+      val blocked = fr.join(rules, Seq("host"), "left_outer")
+        .withColumn("hit",
+          substring(col("path"), lit(1), length(col("rule"))) === col("rule"))
+        .groupBy("doc_id", "host", "path")
+        .agg(max(col("hit")).as("blocked"))
+        .filter(!coalesce(col("blocked"), lit(false)))
+      blocked
+        .withColumn("wave", row_number().over(
+          Window.partitionBy("host").orderBy("doc_id")))
+        .withColumn("eta_s", (col("wave") - 1) * lit(10L))
+        .select("doc_id", "host", "path", "wave", "eta_s")
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Shared crawl-frontier synthesis for X-133/X-134: one URL per doc
+    * (host from source, path from lang; every 11th doc targets a
+    * /private/ path so the robots gate has real work). */
+  private def frontier(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("www."), col("source"), lit(".example.com")).as("host"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("/private/x"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/"), col("lang"), lit("/p"),
+          (col("doc_id") % 5).cast("string"))).as("path"))
+
+  /** Per-host disallow rules: /private/ everywhere; srcN%3=0 hosts
+    * also fence /zh/, srcN%3=1 hosts /es/. */
+  private def robotsRules(s: SparkSession, d: String): DataFrame = {
+    val srcN = substring(col("source"), 4, 10).cast("int")
+    Tables.documents(s, d).select(col("source")).distinct()
+      .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
+        explode(array(lit("/private/"),
+          when(srcN % 3 === 0, lit("/zh/"))
+            .when(srcN % 3 === 1, lit("/es/")))).as("rule"))
+      .filter(col("rule").isNotNull)
+  }
+
+  /** SQL mirror of [[frontier]] + [[robotsRules]] (X-133/X-134 CTEs). */
+  private val crawlSql =
+    """fr AS (SELECT doc_id,
+      |         'www.' || source || '.example.com' AS host,
+      |         CASE WHEN doc_id % 11 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      |              ELSE '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) END AS path
+      |       FROM documents),
+      |hosts AS (SELECT DISTINCT source FROM documents),
+      |rules AS (
+      |  SELECT 'www.' || source || '.example.com' AS host, '/private/' AS rule FROM hosts
+      |  UNION ALL
+      |  SELECT 'www.' || source || '.example.com',
+      |         CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN '/zh/'
+      |              ELSE '/es/' END
+      |  FROM hosts
+      |  WHERE CAST(substr(source, 4) AS INT) % 3 IN (0, 1))""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // Mirrors UrlOps.canonicalize step-by-step; DuckDB regexp_replace
@@ -366,6 +459,32 @@ object LinkQueries extends QueryModule {
         |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
         |       min(doc_id) AS keep_doc
         |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+
+    // X-133: same frontier/rules synthesis; longest-match via a struct
+    // max (lexicographic on (length, rule) — identical ordering in both
+    // engines), prefix match via length-bounded substring equality.
+    "robots_filter" ->
+      s"""WITH $crawlSql
+         |SELECT f.doc_id, f.host, f.path,
+         |       max(CASE WHEN substr(f.path, 1, length(r.rule)) = r.rule
+         |                THEN {'l': length(r.rule), 'r': r.rule} END) IS NOT NULL AS blocked,
+         |       (max(CASE WHEN substr(f.path, 1, length(r.rule)) = r.rule
+         |                 THEN {'l': length(r.rule), 'r': r.rule} END)).r AS rule
+         |FROM fr f LEFT JOIN rules r ON f.host = r.host
+         |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // X-134: robots-allowed frontier scheduled into per-host waves.
+    "crawl_schedule" ->
+      s"""WITH $crawlSql,
+         |b AS (SELECT f.doc_id, f.host, f.path,
+         |             max(substr(f.path, 1, length(r.rule)) = r.rule) AS blocked
+         |      FROM fr f LEFT JOIN rules r ON f.host = r.host
+         |      GROUP BY 1, 2, 3)
+         |SELECT doc_id, host, path,
+         |       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS INT) AS wave,
+         |       CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) * 10
+         |            AS BIGINT) AS eta_s
+         |FROM b WHERE NOT coalesce(blocked, false) ORDER BY doc_id""".stripMargin,
 
     "link_pagerank" -> {
       def iterSql(prev: String, cn: String, dn: String, rn: String) =
