@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing as pure column expressions — the text-side half
+  * of X-133 (the `robots_filter` query consumes a (host, rule) frame;
+  * this produces one from fetched `/robots.txt` bodies, so the crawl
+  * pipeline is: WebFetch robots.txt → [[disallowRules]] → explode →
+  * the X-133 gate).
+  *
+  * Implements the Robots Exclusion Protocol's group model (RFC 9309
+  * §2.1) for the `*` agent: consecutive `User-agent:` lines form ONE
+  * group header, and a group's rules apply to `*` if ANY header line
+  * names it. That needs a stateful scan, done here as a single
+  * `aggregate` fold over the line array with a
+  * (in_header_run, star_active, rules) accumulator — codegen'd, no
+  * UDF. Directive names are case-insensitive, values trimmed; empty
+  * `Disallow:` (allow-all) and comment/blank lines contribute nothing.
+  * Out of scope, documented: Allow-precedence (RFC 9309 §2.2.2 — the
+  * engine's gate is disallow-only like the X-133 query), wildcards in
+  * rule paths, and non-`*` agent selection. */
+object RobotsTxt {
+
+  /** Array of disallow path-prefixes in effect for `User-agent: *`. */
+  def disallowRules(robotsTxt: Column): Column = {
+    val lines = split(robotsTxt, "\n")
+    val init = struct(
+      lit(false).as("run"),        // inside a consecutive User-agent header run
+      lit(false).as("star"),       // current group applies to *
+      array().cast("array<string>").as("rules"))
+    val folded = aggregate(lines, init, (acc, raw) => {
+      val line = trim(raw)
+      val low = lower(line)
+      val value = trim(regexp_replace(line, "^[^:]*:", ""))
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      // comments and blank lines are ignored entirely (RFC 9309 §2.2) —
+      // in particular they do NOT break a User-agent header run
+      val isNoise = line === "" || low.startsWith("#")
+      // a User-agent line either extends the current header run (group
+      // applies to * if ANY of its headers is *) or starts a new group
+      val star = when(isUa && acc.getField("run"),
+          acc.getField("star") || (value === "*"))
+        .when(isUa, value === "*")
+        .otherwise(acc.getField("star"))
+      val rules = when(isDis && acc.getField("star") && value =!= "",
+          array_append(acc.getField("rules"), value))
+        .otherwise(acc.getField("rules"))
+      struct(
+        when(isNoise, acc.getField("run")).otherwise(isUa).as("run"),
+        star.as("star"), rules.as("rules"))
+    })
+    folded.getField("rules")
+  }
+}

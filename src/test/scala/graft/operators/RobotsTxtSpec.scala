@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the RFC 9309 group semantics of the pure-column robots.txt
+  * parser (the text-side half of X-133). */
+class RobotsTxtSpec extends SparkSpec {
+
+  private def parse(txt: String): Seq[String] = {
+    import spark.implicits._
+    Seq(txt).toDF("t")
+      .select(RobotsTxt.disallowRules(col("t")).as("r"))
+      .collect().head.getSeq[String](0).toSeq
+  }
+
+  test("collects every Disallow of the * group") {
+    parse("User-agent: *\nDisallow: /private/\nDisallow: /tmp/") shouldEqual
+      Seq("/private/", "/tmp/")
+  }
+
+  test("non-star groups are ignored; later * group still collected") {
+    parse("User-agent: googlebot\nDisallow: /g/\n\nUser-agent: *\nDisallow: /a/") shouldEqual
+      Seq("/a/")
+  }
+
+  test("consecutive User-agent header run applies to * wherever * appears in it") {
+    parse("User-agent: a\nUser-agent: *\nDisallow: /x/") shouldEqual Seq("/x/")
+    parse("User-agent: *\nUser-agent: b\nDisallow: /y/") shouldEqual Seq("/y/")
+  }
+
+  test("a new group header ends the * group — later rules don't leak in") {
+    parse("User-agent: *\nDisallow: /x/\nUser-agent: b\nDisallow: /z/") shouldEqual
+      Seq("/x/")
+  }
+
+  test("directives are case-insensitive; comments, blanks, empty Disallow ignored") {
+    parse("# policy\nUSER-AGENT: *\n\nDISALLOW: /p/\nDisallow:\n# end") shouldEqual
+      Seq("/p/")
+  }
+
+  test("comments and blank lines do not break a header run") {
+    parse("User-agent: a\n# note\nUser-agent: *\nDisallow: /q/") shouldEqual Seq("/q/")
+  }
+
+  test("no * group → no rules") {
+    parse("User-agent: googlebot\nDisallow: /g/") shouldEqual Seq.empty
+  }
+}

@@ -50,12 +50,21 @@ class WebCrawlPipelineSpec extends SparkSpec with org.scalatest.BeforeAndAfterAl
     """<html><body><p>Our leadership team has decades of experience.</p>
       |</body></html>""".stripMargin
 
+  private val robotsTxt =
+    """# crawl policy
+      |User-agent: archiver
+      |Disallow: /
+      |
+      |User-agent: *
+      |Disallow: /company/""".stripMargin
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) =>
       ex.getRequestURI.getPath match {
         case "/"                   => respond(ex, 200, home)
+        case "/robots.txt"         => respond(ex, 200, robotsTxt)
         case "/about-us"           => respond(ex, 200, aboutPage)
         case "/company/leadership" => respond(ex, 200, leadershipPage)
         case _                     => respond(ex, 404, "nope")
@@ -119,6 +128,32 @@ class WebCrawlPipelineSpec extends SparkSpec with org.scalatest.BeforeAndAfterAl
     lead.getAs[String]("email") shouldEqual "info@acme-widgets.example"
     lead.getAs[String]("about").toLowerCase should include("about us")
     lead.getAs[String]("status") shouldEqual "Full"
+  }
+
+  test("robots.txt gates the fetch: live fetch → parse → prefix filter") {
+    import spark.implicits._
+    import WebFetch._
+    // 1. fetch the policy like any other page, parse it with the
+    // pure-column RFC 9309 fold (the non-* archiver group must not leak)
+    val rules = fetchMap(Seq(FetchIn(0L, s"$base/robots.txt")).toDS()).toDF()
+      // robots.txt is text/plain: parse the BODY, which innerText
+      // preserves line-per-line for tag-free input
+      .select(RobotsTxt.disallowRules(col("text")).as("rules"))
+    rules.collect().head.getSeq[String](0) shouldEqual Seq("/company/")
+
+    // 2. apply the X-133 prefix gate to the frontier of selected links
+    val frontier = Seq(
+      (1L, "/about-us"), (2L, "/company/leadership"), (3L, "/products")
+    ).toDF("id", "path")
+    val gated = frontier.crossJoin(rules.select(explode(col("rules")).as("rule")))
+      .withColumn("hit",
+        substring(col("path"), lit(1),
+          org.apache.spark.sql.functions.length(col("rule"))) === col("rule"))
+      .groupBy("id", "path").agg(max(col("hit")).as("blocked"))
+    gated.filter(!col("blocked")).select("path").as[String].collect().sorted shouldEqual
+      Array("/about-us", "/products")
+    gated.filter(col("blocked")).select("path").as[String].collect() shouldEqual
+      Array("/company/leadership")
   }
 
   test("a dead subpage degrades the lead, never the job (swallow-and-skip)") {
