@@ -33,20 +33,17 @@ object HttpEnricher {
         timeoutMs: Long): (Int, String)
   }
 
-  /** JDK built-in client (java.net.http, no extra dependency). One
-    * instance per executor JVM via `@transient lazy`. */
+  /** JDK built-in client (java.net.http, no extra dependency), via the
+    * engine-wide [[graft.Net]] seam (one non-redirecting API instance
+    * per executor JVM). */
   object JdkTransport extends Transport {
-    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(10))
-      .build()
-
     def post(url: String, headers: Map[String, String], body: String,
         timeoutMs: Long): (Int, String) = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/json")
       headers.foreach { case (k, v) => b.header(k, v) }
-      val resp = client.send(
+      val resp = graft.Net.api.send(
         b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())

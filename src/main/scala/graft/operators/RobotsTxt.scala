@@ -24,7 +24,9 @@ object RobotsTxt {
 
   /** Array of disallow path-prefixes in effect for `User-agent: *`. */
   def disallowRules(robotsTxt: Column): Column = {
-    val lines = split(robotsTxt, "\n")
+    // real servers serve CRLF; split on either ending, and fold tabs
+    // into spaces so the space-only trim() below strips them too
+    val lines = split(regexp_replace(robotsTxt, "\t", " "), "\r?\n")
     val init = struct(
       lit(false).as("run"),        // inside a consecutive User-agent header run
       lit(false).as("star"),       // current group applies to *

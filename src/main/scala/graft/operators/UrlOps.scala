@@ -62,28 +62,42 @@ object UrlOps {
     * anchored-or-character-class only (no backreferences, no
     * lookaround) so the identical pattern runs on Java regex here and
     * RE2 in the DuckDB oracle with the same semantics. Scale: a
-    * per-row projection chain, embarrassingly parallel. */
+    * per-row projection chain, embarrassingly parallel.
+    *
+    * Each rewrite is scoped to the COMPONENT it belongs to — '&' and
+    * '=' are legal path characters and '?' is legal inside a query
+    * value (RFC 3986 pchar/query), so tracker stripping must see only
+    * the query string and slash collapsing only the path, or a path
+    * like `/a&gclid=x/b` (or a `?next=/dash/?tab=1` value) would be
+    * silently mutated and distinct pages merged. */
   def canonicalize(url: Column): Column = {
     val tracker = "(utm_[a-z_]+|fbclid|gclid)=[^&#]*"
     val noFrag  = regexp_replace(url, "#.*", "")
-    // Tracking-param removal in three backreference-free global passes
-    // covering every position: (a) '&'-led occurrences (never the first
-    // param); (b) a '?'-led occurrence followed by a kept param — the
-    // separator promotes to '?'; (c) a '?'-led occurrence at the end.
-    // '?utm_a=1&utm_b=2&page=3' → (a) '?utm_a=1&page=3' → (b) '?page=3'.
-    val noTrack = regexp_replace(regexp_replace(regexp_replace(noFrag,
-      s"&$tracker", ""), s"\\?$tracker&", "?"), s"\\?$tracker$$", "")
     // (?i): the scheme is case-insensitive too (HTTPS://… is valid);
     // inline-flag syntax is shared by Java regex and RE2.
-    val scheme  = lower(regexp_extract(noTrack, "(?i)^(https?)://", 1))
-    val rawAuth = lower(regexp_extract(noTrack, "(?i)^https?://([^/?#]+)", 1))
+    val scheme  = lower(regexp_extract(noFrag, "(?i)^(https?)://", 1))
+    val rawAuth = lower(regexp_extract(noFrag, "(?i)^https?://([^/?#]+)", 1))
     // a port is dropped only when it is the SCHEME'S default — :443 on
     // http (or :80 on https) addresses a different server and must stay
     val auth    = when(scheme === "https", regexp_replace(rawAuth, ":443$", ""))
       .otherwise(regexp_replace(rawAuth, ":80$", ""))
-    val rest    = regexp_replace(noTrack, "(?i)^https?://[^/?#]+", "")
-    val rest2   = regexp_replace(regexp_replace(regexp_replace(
-      rest, "/\\?", "?"), "/$", ""), "\\?$", "")
-    concat(scheme, lit("://"), auth, rest2)
+    val rest    = regexp_replace(noFrag, "(?i)^https?://[^/?#]+", "")
+    // component split: path = up to the first '?', query = the rest
+    // (leading '?' included); each normalized in isolation
+    val path    = regexp_extract(rest, "^([^?]*)", 1)
+    val query   = regexp_replace(rest, "^[^?]*", "")
+    // trailing-slash collapse on the PATH only
+    val path2   = regexp_replace(path, "/$", "")
+    // Tracking-param removal in three backreference-free global passes
+    // over the QUERY only, covering every position: (a) '&'-led
+    // occurrences (never the first param); (b) the '?'-led occurrence
+    // followed by a kept param — the separator promotes to '?'; (c) a
+    // '?'-led occurrence at the end. Then a fully-consumed query's
+    // lone '?' drops.
+    // '?utm_a=1&utm_b=2&page=3' → (a) '?utm_a=1&page=3' → (b) '?page=3'.
+    val query2  = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      query, s"&$tracker", ""), s"^\\?$tracker&", "?"), s"^\\?$tracker$$", ""),
+      "^\\?$", "")
+    concat(scheme, lit("://"), auth, path2, query2)
   }
 }

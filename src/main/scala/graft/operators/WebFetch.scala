@@ -43,6 +43,10 @@ object WebFetch {
                 .map { case (h, a) => WebLink(h, a) }))
           else FetchOut(r.id, r.url, Some(code), None, None)
         } catch {
+          // task kill arrives as Thread.interrupt() → InterruptedException
+          // from HttpClient.send; it must propagate or a cancelled task
+          // keeps fetching its partition's remaining URLs
+          case ie: InterruptedException => throw ie
           case _: Exception => FetchOut(r.id, r.url, None, None, None)
         }
       }

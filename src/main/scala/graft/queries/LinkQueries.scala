@@ -439,22 +439,23 @@ object LinkQueries extends QueryModule {
         |              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
         |  FROM documents),
         |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
-        |s2 AS (SELECT doc_id, url,
-        |         regexp_replace(regexp_replace(regexp_replace(nf,
-        |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        |           '\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
-        |           '\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$', '', 'g') AS nt
+        |s2 AS (SELECT doc_id, url, nf,
+        |         regexp_replace(nf, '(?i)^https?://[^/?#]+', '', 'g') AS rest
         |       FROM s1),
         |s3 AS (SELECT doc_id, url,
-        |         lower(regexp_extract(nt, '(?i)^(https?)://', 1)) || '://' ||
-        |         (CASE WHEN lower(regexp_extract(nt, '(?i)^(https?)://', 1)) = 'https'
-        |               THEN regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
+        |         lower(regexp_extract(nf, '(?i)^(https?)://', 1)) || '://' ||
+        |         (CASE WHEN lower(regexp_extract(nf, '(?i)^(https?)://', 1)) = 'https'
+        |               THEN regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
         |                 ':443$', '', 'g')
-        |               ELSE regexp_replace(lower(regexp_extract(nt, '(?i)^https?://([^/?#]+)', 1)),
+        |               ELSE regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
         |                 ':80$', '', 'g') END) ||
-        |         regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(nt, '(?i)^https?://[^/?#]+', '', 'g'),
-        |           '/\?', '?', 'g'), '/$', '', 'g'), '\?$', '', 'g') AS canon
+        |         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '', 'g') ||
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(rest, '^[^?]*', '', 'g'),
+        |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |           '^\?$', '', 'g') AS canon
         |       FROM s2)
         |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
         |       min(doc_id) AS keep_doc

@@ -68,20 +68,14 @@ object WebTextSource {
     def get(url: String, timeoutMs: Long): (Int, String)
   }
 
-  /** JDK built-in client; one instance per executor JVM. Follows
-    * redirects like a browser navigation would (NORMAL policy: https
-    * downgrade excluded). */
+  /** JDK built-in client via the engine-wide [[graft.Net]] seam (one
+    * browser-like redirect-following instance per executor JVM). */
   object JdkFetcher extends Fetcher {
-    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(10))
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-      .build()
-
     def get(url: String, timeoutMs: Long): (Int, String) = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .GET().build()
-      val resp = client.send(req,
+      val resp = graft.Net.fetching.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())
     }
@@ -112,15 +106,25 @@ object WebTextSource {
       .mkString("\n")
   }
 
+  // href value: double-quoted (may contain '), single-quoted (may
+  // contain "), or unquoted (valid HTML — runs to whitespace/'>');
+  // driver-side Java regex only, so the quote alternation needs no
+  // RE2-compat restrictions
   private val AnchorRe =
-    "(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a\\s*>".r
+    ("(?is)<a\\b[^>]*?href\\s*=\\s*" +
+      "(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))" +
+      "[^>]*>(.*?)</a\\s*>").r
 
   /** Anchor extraction (app.py:146-152: locator("a") → href +
     * inner_text): (href, anchor-text) per `<a>`, anchors cleaned
     * through the same inner-text pass. */
   def extractLinks(html: String): Seq[(String, String)] =
     AnchorRe.findAllMatchIn(html)
-      .map(m => (m.group(1), innerText(m.group(2))))
+      .map { m =>
+        val href = Seq(m.group(1), m.group(2), m.group(3))
+          .find(_ != null).getOrElse("")
+        (href, innerText(m.group(4)))
+      }
       .toSeq
 }
 
@@ -140,13 +144,21 @@ class WebTextTable extends Table with SupportsRead {
   override def schema(): StructType = WebTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // ',' is a legal URL character (coordinates, list params) — the
+    // 'delimiter' option lets callers pick a byte that cannot occur in
+    // their list (e.g. "\n") instead of mangling such URLs
+    val delim = Option(options.get("delimiter")).getOrElse(",")
     new WebTextScan(
-      Option(options.get("urls")).map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      Option(options.get("urls"))
+        .map(_.split(java.util.regex.Pattern.quote(delim))
+          .map(_.trim).filter(_.nonEmpty))
         .getOrElse(throw new IllegalArgumentException(
-          "graft-web requires option 'urls' (comma-separated URL list)")),
+          "graft-web requires option 'urls' (delimiter-separated URL list; " +
+            "option 'delimiter' defaults to ',')")),
       Option(options.get("numPartitions")).map(_.toInt).getOrElse(0),
       Option(options.get("timeoutMs")).map(_.toLong).getOrElse(30000L))
+  }
 }
 
 class WebTextScan(urls: Array[String], numPartitions: Int, timeoutMs: Long)
@@ -182,10 +194,15 @@ class WebTextReaderFactory(timeoutMs: Long) extends PartitionReaderFactory {
 class WebTextReader(urls: Array[String], timeoutMs: Long)
     extends PartitionReader[InternalRow] {
   private var i = -1
+  private var row: InternalRow = _
 
-  override def next(): Boolean = { i += 1; i < urls.length }
-
-  override def get(): InternalRow = {
+  // the fetch happens in next(), not get(): the PartitionReader
+  // contract allows get() to be called repeatedly per advance and
+  // requires it to return the same row — a fetch in get() would re-hit
+  // the network and could return a DIFFERENT row the second time
+  override def next(): Boolean = {
+    i += 1
+    if (i >= urls.length) return false
     val url = urls(i)
     // plain Tuple3[Any, ...] access, NOT a destructuring val: a typed
     // pattern (`val (s: Any, …) = t`) is a runtime type TEST, and null
@@ -202,12 +219,20 @@ class WebTextReader(urls: Array[String], timeoutMs: Long)
             }.toArray[Any]))
         else (code, null, null)
       } catch {
+        // task cancellation arrives as Thread.interrupt() →
+        // InterruptedException out of HttpClient.send; swallowing it
+        // would keep a KILLED task fetching its remaining URLs
+        case ie: InterruptedException => throw ie
         // transport failure (connect refused, timeout, bad host):
         // null status/text — the row survives, the task never fails
         case _: Exception => (null, null, null)
       }
-    InternalRow(UTF8String.fromString(url), fetched._1, fetched._2, fetched._3)
+    row = InternalRow(UTF8String.fromString(url),
+      fetched._1, fetched._2, fetched._3)
+    true
   }
+
+  override def get(): InternalRow = row
 
   override def close(): Unit = ()
 }

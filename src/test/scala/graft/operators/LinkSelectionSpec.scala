@@ -80,6 +80,12 @@ class LinkSelectionSpec extends SparkSpec {
       // trailing slash, incl. before a query string
       "https://a.com/p/" -> "https://a.com/p",
       "https://a.com/p/?page=2" -> "https://a.com/p?page=2",
+      // component scoping: '&'/'=' are legal PATH characters — tracker
+      // stripping must not touch them outside the query string
+      "https://a.com/a&gclid=x/b" -> "https://a.com/a&gclid=x/b",
+      // '?' is legal inside a query VALUE — the path-end slash collapse
+      // must not rewrite '/?' sequences there
+      "https://a.com/p?next=/dash/?tab=1" -> "https://a.com/p?next=/dash/?tab=1",
       // everything at once
       "HTTPS://B.com:443/Q/?utm_medium=m&page=1&fbclid=f#top"
         -> "https://b.com/Q?page=1",

@@ -46,4 +46,10 @@ class RobotsTxtSpec extends SparkSpec {
   test("no * group → no rules") {
     parse("User-agent: googlebot\nDisallow: /g/") shouldEqual Seq.empty
   }
+
+  test("CRLF line endings (the common server framing) parse identically to LF") {
+    parse("User-agent: *\r\nDisallow: /private/\r\n\r\nDisallow: /tmp/\r\n") shouldEqual
+      Seq("/private/", "/tmp/")
+    parse("User-agent:\t*\r\nDisallow:\t/p/") shouldEqual Seq("/p/") // tabs around values
+  }
 }

@@ -68,6 +68,15 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "https://other.example/team" -> "Our team")
   }
 
+  test("extractLinks: single-quoted, unquoted, and quote-containing hrefs") {
+    val html =
+      """<a href='/sq'>single</a>
+        |<a href=/unquoted>bare</a>
+        |<a href="/it's">apostrophe inside double quotes</a>""".stripMargin
+    WebTextSource.extractLinks(html).map(_._1) shouldEqual
+      Seq("/sq", "/unquoted", "/it's")
+  }
+
   test("end-to-end read over a real socket: ok page, http error, dead host") {
     // a port with no listener → connect refused → transport-error row
     val dead = "http://127.0.0.1:1/x"
