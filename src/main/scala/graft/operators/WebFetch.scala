@@ -28,15 +28,22 @@ object WebFetch {
   case class FetchOut(id: Long, url: String, status: Option[Int],
       text: Option[String], links: Option[Seq[WebLink]])
 
+  /** @param rawText false (default): HTML posture — text is the
+    *   structural inner-text, links extracted. true: the body is NOT a
+    *   page (robots.txt, sitemap.xml, an API payload) — text is the
+    *   verbatim body (tag stripping would destroy XML), links None. */
   def fetchMap(in: Dataset[FetchIn],
       fetcher: WebTextSource.Fetcher = WebTextSource.JdkFetcher,
-      timeoutMs: Long = 30000L): Dataset[FetchOut] = {
+      timeoutMs: Long = 30000L,
+      rawText: Boolean = false): Dataset[FetchOut] = {
     import in.sparkSession.implicits._
     in.mapPartitions { rows =>
       rows.map { r =>
         try {
           val (code, body) = fetcher.get(r.url, timeoutMs)
-          if (code == 200)
+          if (code == 200 && rawText)
+            FetchOut(r.id, r.url, Some(code), Some(body), None)
+          else if (code == 200)
             FetchOut(r.id, r.url, Some(code),
               Some(WebTextSource.innerText(body)),
               Some(WebTextSource.extractLinks(body)

@@ -65,6 +65,12 @@ class WebCrawlPipelineSpec extends SparkSpec with org.scalatest.BeforeAndAfterAl
       ex.getRequestURI.getPath match {
         case "/"                   => respond(ex, 200, home)
         case "/robots.txt"         => respond(ex, 200, robotsTxt)
+        case "/sitemap.xml"        => respond(ex, 200,
+          s"""<?xml version="1.0"?><urlset>
+             |<url><loc>$base/about-us</loc></url>
+             |<url><loc>$base/company/leadership</loc></url>
+             |<url><loc>$base/search?q=a&amp;page=2</loc></url>
+             |</urlset>""".stripMargin)
         case "/about-us"           => respond(ex, 200, aboutPage)
         case "/company/leadership" => respond(ex, 200, leadershipPage)
         case _                     => respond(ex, 404, "nope")
@@ -133,11 +139,11 @@ class WebCrawlPipelineSpec extends SparkSpec with org.scalatest.BeforeAndAfterAl
   test("robots.txt gates the fetch: live fetch → parse → prefix filter") {
     import spark.implicits._
     import WebFetch._
-    // 1. fetch the policy like any other page, parse it with the
-    // pure-column RFC 9309 fold (the non-* archiver group must not leak)
-    val rules = fetchMap(Seq(FetchIn(0L, s"$base/robots.txt")).toDS()).toDF()
-      // robots.txt is text/plain: parse the BODY, which innerText
-      // preserves line-per-line for tag-free input
+    // 1. fetch the policy in RAW mode (robots.txt is not a page — no
+    // tag stripping), parse it with the pure-column RFC 9309 fold (the
+    // non-* archiver group must not leak)
+    val rules = fetchMap(Seq(FetchIn(0L, s"$base/robots.txt")).toDS(),
+        rawText = true).toDF()
       .select(RobotsTxt.disallowRules(col("text")).as("rules"))
     rules.collect().head.getSeq[String](0) shouldEqual Seq("/company/")
 
@@ -154,6 +160,26 @@ class WebCrawlPipelineSpec extends SparkSpec with org.scalatest.BeforeAndAfterAl
       Array("/about-us", "/products")
     gated.filter(col("blocked")).select("path").as[String].collect() shouldEqual
       Array("/company/leadership")
+  }
+
+  test("sitemap.xml is the other frontier source: raw fetch → locUrls → robots gate") {
+    import spark.implicits._
+    import WebFetch._
+    // raw mode: innerText would strip the <loc> tags a sitemap is made of
+    val urls = fetchMap(Seq(FetchIn(0L, s"$base/sitemap.xml")).toDS(),
+        rawText = true).toDF()
+      .select(explode(Sitemaps.locUrls(col("text"))).as("url"))
+      .as[String].collect().toSeq
+    urls shouldEqual Seq(s"$base/about-us", s"$base/company/leadership",
+      s"$base/search?q=a&page=2")
+    // robots gate over the sitemap frontier: /company/ is disallowed
+    val gated = urls.toDF("url")
+      .crossJoin(Seq("/company/").toDF("rule"))
+      .withColumn("path", regexp_replace(col("url"), "^https?://[^/]+", ""))
+      .withColumn("hit", substring(col("path"), lit(1),
+        org.apache.spark.sql.functions.length(col("rule"))) === col("rule"))
+      .groupBy("url").agg(max(col("hit")).as("blocked"))
+    gated.filter(!col("blocked")).count() shouldEqual 2L
   }
 
   test("a dead subpage degrades the lead, never the job (swallow-and-skip)") {
