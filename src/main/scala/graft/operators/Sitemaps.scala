@@ -31,10 +31,15 @@ object Sitemaps {
   /** Array of URLs from a sitemap (or sitemap-index) body: every
     * `<loc>…</loc>` text, whitespace-trimmed, XML entities decoded.
     * Null/empty/non-sitemap input → empty array, never null — safe to
-    * explode directly after a swallow-and-skip fetch. */
+    * explode directly after a swallow-and-skip fetch.
+    *
+    * The trim is regex `\s` (NOT Spark's space-only `trim()`): the
+    * `(?s)` flag exists precisely because pretty-printed sitemaps put
+    * the URL on its own indented line inside `<loc>`, so the padding
+    * to strip is newlines and tabs, which `trim()` leaves intact. */
   def locUrls(xml: Column): Column =
     transform(
       coalesce(regexp_extract_all(xml, lit("(?s)<loc>([^<]*)</loc>"), lit(1)),
         array().cast("array<string>")),
-      l => decodeXmlEntities(trim(l)))
+      l => decodeXmlEntities(regexp_replace(l, "^\\s+|\\s+$", "")))
 }

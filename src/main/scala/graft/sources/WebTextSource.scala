@@ -149,6 +149,9 @@ class WebTextTable extends Table with SupportsRead {
     // 'delimiter' option lets callers pick a byte that cannot occur in
     // their list (e.g. "\n") instead of mangling such URLs
     val delim = Option(options.get("delimiter")).getOrElse(",")
+    // fail fast: Pattern.quote("") is a zero-width match that would
+    // shred the urls value into single characters
+    require(delim.nonEmpty, "graft-web option 'delimiter' must be non-empty")
     new WebTextScan(
       Option(options.get("urls"))
         .map(_.split(java.util.regex.Pattern.quote(delim))

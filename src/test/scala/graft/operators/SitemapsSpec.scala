@@ -29,6 +29,11 @@ class SitemapsSpec extends SparkSpec {
       Seq("https://a.com/p?q=x&lt;y")
   }
 
+  test("pretty-printed locs (URL on its own indented line) trim clean") {
+    locs("<url><loc>\n\t https://a.com/p1\n</loc></url>") shouldEqual
+      Seq("https://a.com/p1")
+  }
+
   test("non-sitemap, empty, and null input → empty array (explode-safe)") {
     locs("<html>not a sitemap</html>") shouldEqual Seq.empty
     locs("") shouldEqual Seq.empty
