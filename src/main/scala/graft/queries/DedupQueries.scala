@@ -473,17 +473,19 @@ object DedupQueries extends QueryModule {
 
     // Dedup method-agreement matrix (X-130): the decision table "which
     // dedup ships" — removal-set sizes (diagonal) and pairwise
-    // overlaps for three REGISTERED policies over the same corpus:
+    // overlaps for four REGISTERED policies over the same corpus:
     // exact (min-id survivor per identical text), jaccard (X-7 pairs →
     // X-32 components, min-id survivor — literally the dedup_clusters
-    // output), and simhash (X-9 banded pairs, greedy larger-id drop).
+    // output), simhash (X-9 banded pairs, greedy larger-id drop), and
+    // containment (X-131 subset-duplicate pairs, larger-id drop — the
+    // arm that catches what every Jaccard threshold structurally can't).
     // The ann_recall discipline applied to dedup: measure the methods
     // against EACH OTHER before choosing, instead of assuming the
     // cheaper one finds the same documents. Each removal set derives
     // from its registered sibling (composition at the registry level,
     // oracle spliced from the same oracle SQL); the tagged union is
-    // MATERIALIZED once so the self-join doesn't re-run three dedup
-    // pipelines per side; the 3×3 grid left-join keeps honest zeros.
+    // MATERIALIZED once so the self-join doesn't re-run four dedup
+    // pipelines per side; the 4×4 grid left-join keeps honest zeros.
     // [Bench-accounting: re-derives the shared pairs+CC lineage from the
     // corpus because registry entries are standalone; production composes
     // from ONE materialized frame — OPERATIONS.md "dedup family".]
@@ -497,12 +499,17 @@ object DedupQueries extends QueryModule {
         .filter(col("doc_id") =!= col("cluster")).select("doc_id")
       val sr = defs("simhash_neardup")(s, d)
         .select(col("d2").as("doc_id")).distinct()
+      // X-131's policy arm: remove the larger-id member of each
+      // containment pair (the same convention as the simhash arm)
+      val cr = defs("containment_dup")(s, d)
+        .select(col("d2").as("doc_id")).distinct()
       val tagged = graft.operators.Dedup.materialize(
         ex.withColumn("m", lit("exact"))
           .unionByName(jr.withColumn("m", lit("jaccard")))
-          .unionByName(sr.withColumn("m", lit("simhash"))))
+          .unionByName(sr.withColumn("m", lit("simhash")))
+          .unionByName(cr.withColumn("m", lit("containment"))))
       val methods = s.sql(
-        "SELECT * FROM VALUES ('exact'), ('jaccard'), ('simhash') AS t(m)")
+        "SELECT * FROM VALUES ('containment'), ('exact'), ('jaccard'), ('simhash') AS t(m)")
       val grid = methods.select(col("m").as("m1"))
         .crossJoin(methods.select(col("m").as("m2")))
         .filter(col("m1") <= col("m2"))
@@ -525,15 +532,18 @@ object DedupQueries extends QueryModule {
   private lazy val matrixOracle =
     s"""WITH jq AS (${baseOracle("dedup_clusters")}),
        |sq AS (${baseOracle("simhash_neardup")}),
+       |cq AS (${baseOracle("containment_dup")}),
        |ex AS (SELECT doc_id FROM (
        |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m0
        |         FROM documents) WHERE doc_id <> m0),
        |jr AS (SELECT doc_id FROM jq WHERE doc_id <> cluster),
        |sr AS (SELECT DISTINCT d2 AS doc_id FROM sq),
+       |cr AS (SELECT DISTINCT d2 AS doc_id FROM cq),
        |tagged AS (SELECT 'exact' AS m, doc_id FROM ex
        |           UNION ALL SELECT 'jaccard', doc_id FROM jr
-       |           UNION ALL SELECT 'simhash', doc_id FROM sr),
-       |methods AS (SELECT unnest(['exact', 'jaccard', 'simhash']) AS m),
+       |           UNION ALL SELECT 'simhash', doc_id FROM sr
+       |           UNION ALL SELECT 'containment', doc_id FROM cr),
+       |methods AS (SELECT unnest(['containment', 'exact', 'jaccard', 'simhash']) AS m),
        |grid AS (SELECT a.m AS m1, b.m AS m2 FROM methods a, methods b WHERE a.m <= b.m),
        |ov AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS n
        |       FROM tagged a JOIN tagged b ON a.doc_id = b.doc_id AND a.m <= b.m

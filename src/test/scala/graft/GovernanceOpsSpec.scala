@@ -318,8 +318,11 @@ class GovernanceOpsSpec extends SparkSpec {
       .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
     val sr = SparkEntry.queries("simhash_neardup")(spark, sf).collect()
       .map(_.getLong(1)).toSet
-    val sets = Map("exact" -> ex, "jaccard" -> jr, "simhash" -> sr)
-    val ms = Seq("exact", "jaccard", "simhash")
+    val cr = SparkEntry.queries("containment_dup")(spark, sf).collect()
+      .map(r => r.getAs[Number]("d2").longValue).toSet
+    val sets = Map("exact" -> ex, "jaccard" -> jr, "simhash" -> sr,
+      "containment" -> cr)
+    val ms = Seq("containment", "exact", "jaccard", "simhash")
     val expected = for (a <- ms; b <- ms if a <= b)
       yield (a, b, (sets(a) intersect sets(b)).size.toLong)
     val got = SparkEntry.queries("dedup_method_matrix")(spark, sf).collect()
