@@ -21,29 +21,68 @@ THRESH = 1.5
 ABS_FLOOR = 0.1  # seconds
 
 
+def _merge(lines):
+    """Fold parseable bench-JSON lines into one record: the per-query
+    map from the per_query line, total/counters from the total line
+    (since r7 Bench prints them on TWO stdout lines so the driver's
+    2000-char tail capture can't lose the total)."""
+    per_query, total = None, None
+    for line in lines:
+        try:
+            j = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # head-truncated capture of a long line
+        if not isinstance(j, dict):
+            continue
+        if "queries" in j:
+            per_query = j
+        elif j.get("metric") == "total":
+            total = j
+    if per_query is None and total is None:
+        return None
+    if per_query is None:
+        # 2000-char driver tail cut the per-query line's head: the
+        # per-query data is gone, but the bounded total line survived —
+        # keep the round-over-round total comparison alive
+        print("note: per-query line truncated in capture; totals only",
+              file=sys.stderr)
+        merged = dict(total)
+        merged["queries"] = {}
+        return merged
+    if total is not None:
+        merged = dict(total)
+        merged["queries"] = per_query["queries"]
+        return merged
+    return per_query
+
+
 def load(path):
-    """Accept either Bench's raw one-line JSON or a driver-side artifact
-    (whose 'parsed' field — or failing that its 'tail' stdout capture —
-    carries the bench line)."""
+    """Accept Bench's raw stdout capture (one line pre-r7, two lines
+    since), a bare bench JSON object, or a driver-side artifact (whose
+    'parsed' field — or failing that its 'tail' capture — carries the
+    bench lines)."""
     with open(path) as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # raw multi-line capture: fold the bench lines directly
+        d = _merge(text.splitlines())
+        if d is None:
+            raise SystemExit(f"{path} is neither JSON nor a raw Bench capture")
+        return d
     if "queries" in d:
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]
-    # Since r7 Bench prints TWO lines (per-query dict on the penultimate
-    # line, bounded total-only JSON last) so the driver's 2000-char tail
-    # can't lose the total; scan every '{"metric"' candidate, newest
-    # first, for one that parses AND carries the per-query map.
+    # driver artifact: scan the tail for every '{"metric"' candidate and
+    # fold per-query + total exactly like a raw capture
     tail = d.get("tail", "")
-    for i in reversed([m.start() for m in re.finditer(r'\{"metric"', tail)]):
-        line = tail[i:].splitlines()[0]
-        try:
-            bench = json.loads(line)
-        except json.JSONDecodeError:
-            continue  # head-truncated capture of a long line
-        if "queries" in bench:
-            return bench
+    lines = [tail[i:].splitlines()[0]
+             for i in [m.start() for m in re.finditer(r'\{"metric"', tail)]]
+    merged = _merge(lines)
+    if merged is not None:
+        return merged
     raise SystemExit(f"no bench JSON with a 'queries' map found in {path} "
                      "(truncated driver tail? use the committed "
                      "BENCH_r*_builder.json for per-query data)")

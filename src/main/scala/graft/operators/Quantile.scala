@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * the target sub-bucket, bounding partitions at ~n/B². The gate reads
   * max bucket count off the MATERIALIZED ≤ |groups|·|ranks|-row
   * targets frame (adaptive plan choice, the AQE idea in miniature) —
-  * well-shaped data never pays the extra passes or plan nodes. Equal VALUES are the irreducible floor: a bucket
+  * well-shaped data never pays the extra passes or plan nodes.
+  * Equal VALUES are the irreducible floor: a bucket
   * whose rows are all one value cannot be histogram-separated on the
   * value, and falls back to the tiebreak-ordered rank over that bucket
   * (selection then only resolves WHICH tied row carries the rank — the
@@ -70,7 +71,16 @@ object Quantile {
     * total order (`valueCol`, then unique `tiebreakCol`) — equals any
     * of `ranks(n)`, where n is the group's row count. Output keeps all
     * input columns plus `__n` (the group count) and `__grank` (the
-    * rank the row was selected at). */
+    * rank the row was selected at).
+    *
+    * CONSTRUCTION IS EAGER: the adaptive level gate needs the max
+    * target-bucket count, which only exists after the stats/histogram
+    * aggregates run — so building the returned DataFrame executes
+    * those scans and materializes the steering frame up front (the
+    * runtime-statistics trade AQE makes, surfaced at build time).
+    * Callers that only want the PLAN (explain sweeps, plan audits)
+    * pay those input scans; there is no lazy variant because the plan
+    * SHAPE itself depends on the data. */
   def selectRanks(df: DataFrame, group: String, valueCol: String,
       tiebreakCol: String, ranks: Column => Seq[Column]): DataFrame = {
     val v = col(valueCol)
@@ -140,57 +150,104 @@ object Quantile {
 
     if (maxBc <= Level2Threshold) rankIn(bucketed(df), targets)
     else {
-      // Second histogram level: an oversized target bucket — the
+      // Deeper histogram levels: an oversized target bucket — the
       // pathological case where an outlier stretched the group range
-      // and nearly all mass collapsed into one level-1 bucket —
-      // repeats the histogram INSIDE the bucket, over the bucket's
-      // ACTUAL value range (min/max of its rows, so a narrow-but-dense
-      // bucket spreads across all B sub-buckets). Final partitions
-      // bound at ~n/B²; the local target rank is the global rank minus
-      // rows before the bucket (__cb), and the global rank reassembles
-      // as __cb + sub-buckets-before + rank-within-sub-bucket. The
-      // oversized-bucket rows are materialized once (three consumers
-      // below would otherwise each re-scan the corpus; on a cluster
-      // with a checkpoint dir this is a durable cut, the
-      // Dedup.materialize contract). All steering frames stay
-      // ≤ |groups|·|ranks|·B rows — broadcast by construction. A
-      // bucket whose rows are all ONE value degenerates to sub-bucket
-      // 0 and falls back to the tiebreak-ordered rank — the
-      // irreducible tie floor (the selected value is already exact;
-      // only WHICH tied row carries the rank remains to resolve).
-      val direct = rankIn(bucketed(df), targets.filter(col("__bc") <= Level2Threshold))
-      val bigT = targets.filter(col("__bc") > Level2Threshold)
-      val inBig = Dedup.materialize(
-        bucketed(df).join(broadcast(bigT), Seq(group, "__b")))
-      val stats2 = inBig.groupBy(col(group), col("__b"))
-        .agg(min(v).as("__lo2"), max(v).as("__hi2"))
-      val b2 = inBig.join(broadcast(stats2), Seq(group, "__b"))
-        .withColumn("__b2",
-          when(col("__hi2") === col("__lo2"), lit(0L))
-            .otherwise(least(
-              floor((v - col("__lo2")) * lit(Buckets.toDouble) / (col("__hi2") - col("__lo2"))),
-              lit(Buckets - 1L)).cast("long")))
-      val hist2 = b2.groupBy(col(group), col("__b"), col("__b2"))
-        .agg(count(lit(1)).as("__c2"), first(col("__cb")).as("__cb1"),
-          first(col("__targets")).as("__ts"))
-      val wc2 = Window.partitionBy(col(group), col("__b")).orderBy("__b2")
-      val located2 = hist2
-        .withColumn("__cum2", sum(col("__c2")).over(wc2))
-        .withColumn("__cb2", col("__cum2") - col("__c2"))
-        .select(col(group), col("__b"), col("__b2"), col("__cb1"), col("__cb2"),
-          col("__cum2"), explode(col("__ts")).as("__t"))
-        .filter(col("__cb2") < col("__t") - col("__cb1") &&
-          col("__t") - col("__cb1") <= col("__cum2"))
-      val targets2 = located2
-        .groupBy(col(group), col("__b"), col("__b2"), col("__cb1"), col("__cb2"))
-        .agg(collect_set(col("__t")).as("__t2"))
-      val wf2 = Window.partitionBy(col(group), col("__b"), col("__b2"))
+      // and nearly all mass collapsed into one level-1 bucket — repeats
+      // the histogram INSIDE the bucket, over the bucket's ACTUAL value
+      // range (min/max of its rows, so a narrow-but-dense bucket
+      // spreads across all B sub-buckets), RECURSIVELY: each level
+      // re-reads its own max-sub-bucket count off a materialized
+      // steering frame and only descends where mass is still
+      // concentrated (a doubly-pathological cascade — dense mass plus
+      // edge points at every level — would otherwise re-create the
+      // single-task sort one level down; the level-2-and-stop shape had
+      // exactly that hole). The recursion terminates: a level either
+      // splits its bucket's value range or the bucket is all ONE value
+      // — the irreducible tie floor, ranked by tiebreak immediately
+      // (the selected VALUE is already exact; only which tied row
+      // carries the rank remains). MaxLevels caps adversarial geometric
+      // cascades; at the cap the residue is ranked as-is. The corpus is
+      // scanned ONCE here (target-bucket rows materialized in a single
+      // join against ALL targets — the direct branch and the recursion
+      // both read that cut); per level, aggregates run only over the
+      // surviving oversized-bucket rows, and every steering frame stays
+      // ≤ |paths|·B rows — broadcast by construction.
+      val outCols = df.columns.map(col) :+ col("__n") :+ col("__grank")
+      val joined = Dedup.materialize(
+        bucketed(df).join(broadcast(targets), Seq(group, "__b")))
+      val wf1 = Window.partitionBy(col(group), col("__b"))
         .orderBy(v, col(tiebreakCol))
-      val refined = b2.join(broadcast(targets2), Seq(group, "__b", "__b2"))
-        .withColumn("__grank", col("__cb1") + col("__cb2") + row_number().over(wf2))
-        .filter(array_contains(col("__t2"), col("__grank")))
-        .select(direct.columns.map(col): _*)
-      direct.unionByName(refined)
+      val direct = joined.filter(col("__bc") <= Level2Threshold)
+        .withColumn("__grank", col("__cb") + row_number().over(wf1))
+        .filter(array_contains(col("__targets"), col("__grank")))
+        .select(outCols: _*)
+      // Loop state: rows of still-oversized buckets, keyed by the
+      // bucket PATH (__gk — group + bucket ids joined so far), with
+      // __base = global rows before this bucket and __ts = the target
+      // ranks that fall inside it.
+      var cur = joined.filter(col("__bc") > Level2Threshold)
+        .select((df.columns.map(col) :+ col("__n") :+
+          concat_ws("\u0001", col(group), col("__b")).as("__gk") :+
+          col("__cb").as("__base") :+ col("__targets").as("__ts")): _*)
+      var done = Seq(direct)
+      var level = 0
+      val MaxLevels = 6
+      while (cur != null && level < MaxLevels) {
+        level += 1
+        val st = cur.groupBy("__gk").agg(min(v).as("__lo2"), max(v).as("__hi2"))
+        val sub = cur.join(broadcast(st), "__gk")
+        // tie floor: a one-value bucket cannot be histogram-split;
+        // rank it by tiebreak now (value at the rank already exact)
+        val wfg = Window.partitionBy("__gk").orderBy(v, col(tiebreakCol))
+        done :+= sub.filter(col("__hi2") === col("__lo2"))
+          .withColumn("__grank", col("__base") + row_number().over(wfg))
+          .filter(array_contains(col("__ts"), col("__grank")))
+          .select(outCols: _*)
+        val live = sub.filter(col("__hi2") =!= col("__lo2"))
+          .withColumn("__sb", least(
+            floor((v - col("__lo2")) * lit(Buckets.toDouble) / (col("__hi2") - col("__lo2"))),
+            lit(Buckets - 1L)).cast("long"))
+        val hist2 = live.groupBy(col("__gk"), col("__sb"))
+          .agg(count(lit(1)).as("__c2"),
+            first(col("__base")).as("__b0"), first(col("__ts")).as("__ts0"))
+        val wc2 = Window.partitionBy("__gk").orderBy("__sb")
+        val t2 = Dedup.materialize(hist2
+          .withColumn("__cum2", sum(col("__c2")).over(wc2))
+          .withColumn("__cb2", col("__cum2") - col("__c2"))
+          .select(col("__gk"), col("__sb"), col("__b0"), col("__cb2"),
+            col("__cum2"), explode(col("__ts0")).as("__t"))
+          .filter(col("__cb2") < col("__t") - col("__b0") &&
+            col("__t") - col("__b0") <= col("__cum2"))
+          .groupBy(col("__gk"), col("__sb"), col("__b0"), col("__cb2"), col("__cum2"))
+          .agg(collect_set(col("__t")).as("__t2"))
+          .withColumn("__bc2", col("__cum2") - col("__cb2")))
+        // re-gate THIS level off its own materialized steering frame --
+        // the invariant the level-2-and-stop shape lacked
+        val maxBc2 = Option(t2.agg(max(col("__bc2"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val wf2 = Window.partitionBy(col("__gk"), col("__sb"))
+          .orderBy(v, col(tiebreakCol))
+        def rankAll(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = rows
+          .withColumn("__grank", col("__b0") + col("__cb2") + row_number().over(wf2))
+          .filter(array_contains(col("__t2"), col("__grank")))
+          .select(outCols: _*)
+        if (maxBc2 <= Level2Threshold || level == MaxLevels) {
+          // every sub-bucket small enough (or the adversarial-cascade
+          // cap reached: rank the residue as-is, documented above)
+          done :+= rankAll(live.join(broadcast(t2), Seq("__gk", "__sb")))
+          cur = null
+        } else {
+          val joined2 = Dedup.materialize(
+            live.join(broadcast(t2), Seq("__gk", "__sb")))
+          done :+= rankAll(joined2.filter(col("__bc2") <= Level2Threshold))
+          cur = joined2.filter(col("__bc2") > Level2Threshold)
+            .select((df.columns.map(col) :+ col("__n") :+
+              concat_ws("\u0001", col("__gk"), col("__sb")).as("__gk") :+
+              (col("__b0") + col("__cb2")).as("__base") :+
+              col("__t2").as("__ts")): _*)
+        }
+      }
+      done.reduce(_ unionByName _)
     }
   }
 

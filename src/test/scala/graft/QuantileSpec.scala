@@ -115,6 +115,38 @@ class QuantileSpec extends SparkSpec {
     got shouldEqual naive(n => Seq((n + 1) / 2, (9 * n + 9) / 10, n).distinct)
   }
 
+  test("cascaded concentration descends a further histogram level and stays exact") {
+    // Doubly-pathological shape: dense mass PLUS an edge point at TWO
+    // scales, so the first refinement level re-collapses — 4900 values
+    // in [0, 1e-9) and 100 in [1e-4, 1e-3) under a 1e9 outlier.
+    // Level 1: everything below the outlier lands in bucket 0
+    // (5000 > 4096). Level 2 over [0, ~1e-3): sub-bucket width ≈ 1e-6,
+    // the 4900 tiny values re-collapse into sub-bucket 0 (4900 > 4096)
+    // — the level-2-and-stop shape would rank that near-group-size
+    // partition in one task; the re-gated loop must descend once more
+    // and still select the exact rows (median rank 2501 sits inside
+    // the re-collapsed mass by construction).
+    val rows =
+      (0 until 4900).map(i => ("g", i * 2e-13, i.toLong)) ++
+      (0 until 100).map(i => ("g", 1e-4 + i * 9e-6, 10000L + i)) ++
+      Seq(("g", 1e9, 90001L))
+    val casc = rows.toDF("g", "v", "k").repartition(8)
+    val byG = Window.partitionBy("g")
+    val w = byG.orderBy(col("v"), col("k"))
+    val naive = casc.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      .collect()
+      .filter { r =>
+        val n = r.getAs[Long]("n")
+        Seq((n + 1) / 2, (9 * n + 9) / 10, n).contains(r.getAs[Long]("rn"))
+      }
+      .map(r => (r.getString(0), r.getAs[Long]("k"))).toSet
+    val got = Quantile.selectRanks(casc, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n * lit(9L) + lit(9L), 10), n))
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldEqual naive
+  }
+
   test("winsorized_mean matches a naive sort-and-clip reference") {
     val rows = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
