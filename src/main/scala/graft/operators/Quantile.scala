@@ -181,24 +181,32 @@ object Quantile {
         .withColumn("__grank", col("__cb") + row_number().over(wf1))
         .filter(array_contains(col("__targets"), col("__grank")))
         .select(outCols: _*)
-      // Loop state: rows of still-oversized buckets, keyed by the
-      // bucket PATH (__gk — group + bucket ids joined so far), with
-      // __base = global rows before this bucket and __ts = the target
-      // ranks that fall inside it.
+      // Loop state: rows of still-oversized buckets, keyed by the PAIR
+      // (raw group column, __gk) where __gk is the bucket-id PATH so
+      // far — digit runs joined by '/'. The group value rides as its
+      // own key column (it is already in df.columns) rather than being
+      // folded into the path string: a delimiter-concat over raw group
+      // values collides when a group value itself contains the
+      // delimiter followed by digits, silently merging two distinct
+      // bucket paths and mis-ranking both groups. Digits + '/' alone
+      // cannot collide. __base = global rows before this bucket;
+      // __ts = the target ranks that fall inside it.
+      val gkeys = Seq(group, "__gk")
+      val gcols = Seq(col(group), col("__gk"))
       var cur = joined.filter(col("__bc") > Level2Threshold)
         .select((df.columns.map(col) :+ col("__n") :+
-          concat_ws("\u0001", col(group), col("__b")).as("__gk") :+
+          col("__b").cast("string").as("__gk") :+
           col("__cb").as("__base") :+ col("__targets").as("__ts")): _*)
       var done = Seq(direct)
       var level = 0
       val MaxLevels = 6
       while (cur != null && level < MaxLevels) {
         level += 1
-        val st = cur.groupBy("__gk").agg(min(v).as("__lo2"), max(v).as("__hi2"))
-        val sub = cur.join(broadcast(st), "__gk")
+        val st = cur.groupBy(gcols: _*).agg(min(v).as("__lo2"), max(v).as("__hi2"))
+        val sub = cur.join(broadcast(st), gkeys)
         // tie floor: a one-value bucket cannot be histogram-split;
         // rank it by tiebreak now (value at the rank already exact)
-        val wfg = Window.partitionBy("__gk").orderBy(v, col(tiebreakCol))
+        val wfg = Window.partitionBy(gcols: _*).orderBy(v, col(tiebreakCol))
         done :+= sub.filter(col("__hi2") === col("__lo2"))
           .withColumn("__grank", col("__base") + row_number().over(wfg))
           .filter(array_contains(col("__ts"), col("__grank")))
@@ -207,25 +215,25 @@ object Quantile {
           .withColumn("__sb", least(
             floor((v - col("__lo2")) * lit(Buckets.toDouble) / (col("__hi2") - col("__lo2"))),
             lit(Buckets - 1L)).cast("long"))
-        val hist2 = live.groupBy(col("__gk"), col("__sb"))
+        val hist2 = live.groupBy(gcols :+ col("__sb"): _*)
           .agg(count(lit(1)).as("__c2"),
             first(col("__base")).as("__b0"), first(col("__ts")).as("__ts0"))
-        val wc2 = Window.partitionBy("__gk").orderBy("__sb")
+        val wc2 = Window.partitionBy(gcols: _*).orderBy("__sb")
         val t2 = Dedup.materialize(hist2
           .withColumn("__cum2", sum(col("__c2")).over(wc2))
           .withColumn("__cb2", col("__cum2") - col("__c2"))
-          .select(col("__gk"), col("__sb"), col("__b0"), col("__cb2"),
-            col("__cum2"), explode(col("__ts0")).as("__t"))
+          .select(gcols ++ Seq(col("__sb"), col("__b0"), col("__cb2"),
+            col("__cum2"), explode(col("__ts0")).as("__t")): _*)
           .filter(col("__cb2") < col("__t") - col("__b0") &&
             col("__t") - col("__b0") <= col("__cum2"))
-          .groupBy(col("__gk"), col("__sb"), col("__b0"), col("__cb2"), col("__cum2"))
+          .groupBy(gcols ++ Seq(col("__sb"), col("__b0"), col("__cb2"), col("__cum2")): _*)
           .agg(collect_set(col("__t")).as("__t2"))
           .withColumn("__bc2", col("__cum2") - col("__cb2")))
         // re-gate THIS level off its own materialized steering frame --
         // the invariant the level-2-and-stop shape lacked
         val maxBc2 = Option(t2.agg(max(col("__bc2"))).first().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val wf2 = Window.partitionBy(col("__gk"), col("__sb"))
+        val wf2 = Window.partitionBy(gcols :+ col("__sb"): _*)
           .orderBy(v, col(tiebreakCol))
         def rankAll(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = rows
           .withColumn("__grank", col("__b0") + col("__cb2") + row_number().over(wf2))
@@ -234,15 +242,15 @@ object Quantile {
         if (maxBc2 <= Level2Threshold || level == MaxLevels) {
           // every sub-bucket small enough (or the adversarial-cascade
           // cap reached: rank the residue as-is, documented above)
-          done :+= rankAll(live.join(broadcast(t2), Seq("__gk", "__sb")))
+          done :+= rankAll(live.join(broadcast(t2), gkeys :+ "__sb"))
           cur = null
         } else {
           val joined2 = Dedup.materialize(
-            live.join(broadcast(t2), Seq("__gk", "__sb")))
+            live.join(broadcast(t2), gkeys :+ "__sb"))
           done :+= rankAll(joined2.filter(col("__bc2") <= Level2Threshold))
           cur = joined2.filter(col("__bc2") > Level2Threshold)
             .select((df.columns.map(col) :+ col("__n") :+
-              concat_ws("\u0001", col("__gk"), col("__sb")).as("__gk") :+
+              concat_ws("/", col("__gk"), col("__sb")).as("__gk") :+
               (col("__b0") + col("__cb2")).as("__base") :+
               col("__t2").as("__ts")): _*)
         }

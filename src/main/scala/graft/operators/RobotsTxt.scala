@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * `aggregate` fold over the line array with a
   * (in_header_run, star_active, rules) accumulator — codegen'd, no
   * UDF. Directive names are case-insensitive, values trimmed; empty
-  * `Disallow:` (allow-all) and comment/blank lines contribute nothing.
+  * `Disallow:` (allow-all) and comment/blank lines contribute
+  * nothing, and end-of-line `#` comments are stripped before value
+  * extraction (RFC 9309 §2.2.4).
   * Out of scope, documented: Allow-precedence (RFC 9309 §2.2.2 — the
   * engine's gate is disallow-only like the X-133 query), wildcards in
   * rule paths, and non-`*` agent selection. */
@@ -32,14 +34,20 @@ object RobotsTxt {
       lit(false).as("star"),       // current group applies to *
       array().cast("array<string>").as("rules"))
     val folded = aggregate(lines, init, (acc, raw) => {
-      val line = trim(raw)
+      // RFC 9309 §2.2.4: '#' starts an end-of-line comment — strip it
+      // BEFORE directive/value extraction, or 'Disallow: /private/ #
+      // staff only' yields a rule that never prefix-matches and the
+      // gate silently fails OPEN. A full-comment line becomes blank
+      // here and falls into isNoise below, preserving header runs.
+      val line = trim(regexp_replace(raw, "#.*", ""))
       val low = lower(line)
       val value = trim(regexp_replace(line, "^[^:]*:", ""))
       val isUa = low.startsWith("user-agent:")
       val isDis = low.startsWith("disallow:")
       // comments and blank lines are ignored entirely (RFC 9309 §2.2) —
       // in particular they do NOT break a User-agent header run
-      val isNoise = line === "" || low.startsWith("#")
+      // (comment-only lines are already blank after the strip above)
+      val isNoise = line === ""
       // a User-agent line either extends the current header run (group
       // applies to * if ANY of its headers is *) or starts a new group
       val star = when(isUa && acc.getField("run"),

@@ -98,6 +98,13 @@ object UrlOps {
     val query2  = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       query, s"&$tracker", ""), s"^\\?$tracker&", "?"), s"^\\?$tracker$$", ""),
       "^\\?$", "")
-    concat(scheme, lit("://"), auth, path2, query2)
+    // The rewrite only makes sense for web URLs: a scheme-less value, a
+    // relative href, or another scheme (mailto:, ftp://) has empty
+    // scheme/authority extracts and would come out as a mangled
+    // '://'-prefixed string — a garbage frontier key that merges
+    // unrelated non-web rows. Gate on the matched scheme and pass
+    // everything else through unchanged (null stays null via concat).
+    when(scheme =!= "", concat(scheme, lit("://"), auth, path2, query2))
+      .otherwise(url)
   }
 }

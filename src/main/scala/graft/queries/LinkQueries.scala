@@ -443,6 +443,10 @@ object LinkQueries extends QueryModule {
         |         regexp_replace(nf, '(?i)^https?://[^/?#]+', '', 'g') AS rest
         |       FROM s1),
         |s3 AS (SELECT doc_id, url,
+        |         -- non-web URLs pass through unchanged (scheme gate,
+        |         -- mirrors UrlOps.canonicalize; vacuous on this all-https
+        |         -- synthesis but kept so the mirror can't drift)
+        |         CASE WHEN regexp_extract(nf, '(?i)^(https?)://', 1) = '' THEN url ELSE
         |         lower(regexp_extract(nf, '(?i)^(https?)://', 1)) || '://' ||
         |         (CASE WHEN lower(regexp_extract(nf, '(?i)^(https?)://', 1)) = 'https'
         |               THEN regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
@@ -455,7 +459,7 @@ object LinkQueries extends QueryModule {
         |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
         |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
         |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
-        |           '^\?$', '', 'g') AS canon
+        |           '^\?$', '', 'g') END AS canon
         |       FROM s2)
         |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
         |       min(doc_id) AS keep_doc

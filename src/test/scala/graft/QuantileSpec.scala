@@ -147,6 +147,38 @@ class QuantileSpec extends SparkSpec {
     got shouldEqual naive
   }
 
+  test("refinement keys survive group values containing the old delimiter") {
+    // The loop used to key refinement state on concat_ws(U+0001,
+    // group, bucketIds...) — a group value containing U+0001 followed
+    // by digits could in principle align with another group's path.
+    // State is now keyed on the PAIR (raw group column, digit-path),
+    // which cannot collide; this pins exactness for hostile group
+    // names driven through MULTIPLE refinement levels (the cascaded
+    // fixture shape, duplicated across three adversarially-named
+    // groups incl. a prefix pair "q" / "q<SEP>1")..
+    def block(g: String, base: Long) =
+      (0 until 4900).map(i => (g, i * 2e-13, base + i)) ++
+      (0 until 100).map(i => (g, 1e-4 + i * 9e-6, base + 10000L + i)) ++
+      Seq((g, 1e9, base + 90001L))
+    val rows = block("q", 0L) ++ block("q\u00011", 100000L) ++
+      block("q\u00011\u00012", 200000L)
+    val hostile = rows.toDF("g", "v", "k").repartition(8)
+    val byG = Window.partitionBy("g")
+    val w = byG.orderBy(col("v"), col("k"))
+    val naive = hostile.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      .collect()
+      .filter { r =>
+        val n = r.getAs[Long]("n")
+        Seq((n + 1) / 2, (9 * n + 9) / 10, n).contains(r.getAs[Long]("rn"))
+      }
+      .map(r => (r.getString(0), r.getAs[Long]("k"))).toSet
+    val got = Quantile.selectRanks(hostile, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n * lit(9L) + lit(9L), 10), n))
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldEqual naive
+  }
+
   test("winsorized_mean matches a naive sort-and-clip reference") {
     val rows = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()

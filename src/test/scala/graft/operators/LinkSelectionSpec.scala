@@ -90,7 +90,14 @@ class LinkSelectionSpec extends SparkSpec {
       "HTTPS://B.com:443/Q/?utm_medium=m&page=1&fbclid=f#top"
         -> "https://b.com/Q?page=1",
       // already-canonical input is a fixpoint
-      "https://b.com/q?page=1" -> "https://b.com/q?page=1")
+      "https://b.com/q?page=1" -> "https://b.com/q?page=1",
+      // non-web inputs pass through UNCHANGED (scheme gate): without
+      // it these would come out as mangled '://'-prefixed garbage
+      // frontier keys that merge unrelated rows
+      "mailto:sales@acme.example" -> "mailto:sales@acme.example",
+      "ftp://files.acme.example/pub/x" -> "ftp://files.acme.example/pub/x",
+      "/relative/path?utm_source=x" -> "/relative/path?utm_source=x",
+      "www.acme.example.com/no-scheme" -> "www.acme.example.com/no-scheme")
     val got = cases.map(_._1).toDF("url")
       .select(UrlOps.canonicalize(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq

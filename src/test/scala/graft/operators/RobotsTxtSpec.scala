@@ -47,6 +47,16 @@ class RobotsTxtSpec extends SparkSpec {
     parse("User-agent: googlebot\nDisallow: /g/") shouldEqual Seq.empty
   }
 
+  test("end-of-line comments are stripped before value extraction (RFC 9309 §2.2.4)") {
+    // without the strip, the rule would be '/private/ # staff only' —
+    // a prefix that matches nothing, silently failing the gate OPEN
+    parse("User-agent: * # everyone\nDisallow: /private/ # staff only") shouldEqual
+      Seq("/private/")
+    // a Disallow whose VALUE is entirely a comment is an empty
+    // (allow-all) directive, not a rule
+    parse("User-agent: *\nDisallow: # nothing blocked") shouldEqual Seq.empty
+  }
+
   test("CRLF line endings (the common server framing) parse identically to LF") {
     parse("User-agent: *\r\nDisallow: /private/\r\n\r\nDisallow: /tmp/\r\n") shouldEqual
       Seq("/private/", "/tmp/")
