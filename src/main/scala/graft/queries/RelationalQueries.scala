@@ -16,6 +16,12 @@ import graft.operators.{Bloom, Exact, Quantile, Relational}
   */
 object RelationalQueries extends QueryModule {
 
+  /** Bottom-k sample size for order_value_p90_sketch: ≈1.9% rank
+    * std err, well under the per-priority group sizes from sf0.01 up
+    * (≈3k at sf0.01) so the estimator genuinely runs; shared with the
+    * oracle SQL so the two draws can't drift. */
+  private val P90SampleK = 256
+
   def defs: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan-filter-aggregate with partial+final agg; the
     // shipdate filter must reach the parquet scan (PushedFilters).
@@ -302,17 +308,27 @@ object RelationalQueries extends QueryModule {
         .orderBy("col_name")),
 
     // Quantile SKETCH beside the exact rank selection (the X-55
-    // side-by-side pattern, completing the sketch family: HLL for
-    // cardinality, CMS for frequency, this for quantiles):
-    // percentile_approx keeps a fixed-size mergeable summary per
-    // partition — ONE pass, no histogram phase, no target-bucket
-    // re-scan — in exchange for a bounded rank error (accuracy 1000 →
-    // ±0.1% of n). At 100 TB the sketch is what a monitoring pipeline
-    // runs hourly; the exact path is what a billing report runs
-    // nightly. The realized error column keeps the trade-off honest.
-    // Spark's summary state isn't reproducible in DuckDB, so like
-    // approx_distinct_tokens this query is rows-only by design.
+    // side-by-side pattern, completing the sketch family: KMV for
+    // cardinality, CMS for frequency, this for quantiles): a
+    // deterministic bottom-k-by-md5-priority uniform sample
+    // (graft.functions.BottomKSampleAggregator, k = P90SampleK) — ONE
+    // hash aggregate whose partial phase collapses every task to ≤k
+    // rows, no histogram phase, no target-bucket re-scan — in
+    // exchange for a bounded rank error (sample-p90 std err ≈
+    // √(0.9·0.1/k) ≈ 1.9% of n at k=256). At 100 TB the sketch is
+    // what a monitoring pipeline runs hourly; the exact path is what
+    // a billing report runs nightly. The realized error column keeps
+    // the trade-off honest. Unlike percentile_approx (opaque summary
+    // state, no DuckDB mirror — the shape this query replaced), the
+    // sample is fully transparent: DuckDB draws the identical k rows
+    // with one window over the same md5 priority, so the sketch IS
+    // oracle-checked. The p90-of-sample is read off the ≤k-element
+    // array with array_sort — value at rank ⌈0.9·m⌉ is tie-order
+    // independent, so sorting values alone suffices.
     "order_value_p90_sketch" -> ((s, d) => {
+      import graft.operators.TextAnalysis.tokenHash
+      val samp = udaf(new graft.functions.BottomKSampleAggregator(P90SampleK),
+        org.apache.spark.sql.Encoders.product[graft.functions.PriRow])
       val exact = Quantile.selectRanks(
           Tables.orders(s, d)
             .select("o_orderpriority", "o_totalprice", "o_orderkey"),
@@ -321,9 +337,16 @@ object RelationalQueries extends QueryModule {
         .select(col("o_orderpriority"), col("__n").as("n_orders"),
           col("o_totalprice").as("exact_p90"))
       val approx = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          tokenHash(concat(lit("graft-p90"), col("o_orderkey").cast("string")))
+            .as("pri"),
+          col("o_orderkey"), col("o_totalprice"))
         .groupBy("o_orderpriority")
-        .agg(percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
-          .as("approx_p90"))
+        .agg(samp(col("pri"), col("o_orderkey"), col("o_totalprice")).as("__s"))
+        .withColumn("__m", size(col("__s")).cast("long"))
+        .withColumn("approx_p90", element_at(
+          array_sort(transform(col("__s"), x => x.getField("v"))),
+          Quantile.idiv(col("__m") * 9 + lit(9L), 10).cast("int")))
       exact.join(approx, "o_orderpriority")
         .withColumn("rel_err",
           abs(col("approx_p90") - col("exact_p90")) / col("exact_p90"))
@@ -1466,6 +1489,45 @@ object RelationalQueries extends QueryModule {
         |SELECT o_orderpriority, n AS n_orders, o_totalprice AS p90_price
         |FROM r WHERE rn = (9 * n + 9) // 10
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Bottom-k sample mirror: the identical k rows drawn by one window
+    // over the same md5 priority; p90-of-sample by (value, key) rank —
+    // the VALUE at the rank is tie-order independent, matching the
+    // Spark side's value-only array_sort.
+    "order_value_p90_sketch" ->
+      s"""WITH pri AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |         CAST('0x' || substr(md5('graft-p90' || CAST(o_orderkey AS VARCHAR)), 1, 14)
+         |           AS BIGINT) % 1000000007 AS pri
+         |  FROM orders),
+         |samp AS (
+         |  SELECT * FROM (
+         |    SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |           row_number() OVER (PARTITION BY o_orderpriority
+         |             ORDER BY pri, o_orderkey) AS rn
+         |    FROM pri)
+         |  WHERE rn <= $P90SampleK),
+         |ap AS (
+         |  SELECT o_orderpriority, o_totalprice AS approx_p90 FROM (
+         |    SELECT o_orderpriority, o_totalprice,
+         |           row_number() OVER (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice, o_orderkey) AS vr,
+         |           count(*) OVER (PARTITION BY o_orderpriority) AS m
+         |    FROM samp)
+         |  WHERE vr = (9 * m + 9) // 10),
+         |ex AS (
+         |  SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+         |         o_totalprice AS exact_p90 FROM (
+         |    SELECT o_orderpriority, o_totalprice,
+         |           row_number() OVER (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice, o_orderkey) AS rn,
+         |           count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |    FROM orders)
+         |  WHERE rn = (9 * n + 9) // 10)
+         |SELECT ex.o_orderpriority, n_orders, exact_p90, approx_p90,
+         |       abs(approx_p90 - exact_p90) / exact_p90 AS rel_err
+         |FROM ex JOIN ap USING (o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "rolling_revenue_7d" ->
       """WITH daily AS (

@@ -31,6 +31,13 @@ object TextQueries extends QueryModule {
     * would be a vacuous all-zeros demo. */
   private val CmsD = 4
   private val CmsW = 256L
+
+  /** KMV sketch size for approx_distinct_tokens: well under the
+    * ~900-bigram per-lang domain (so the estimator genuinely runs)
+    * with ≈1/√(k−2) ≈ 9% standard error — the realized rel_err
+    * column keeps it honest (measured ≈6% mean at sf0.01). Shared
+    * with the oracle SQL below. */
+  private val KmvK = 128
   private val CmsA: Seq[Long] = (0 until CmsD).map(i => (2L * i + 1) * 15485863L % HashMod)
   private val CmsB: Seq[Long] = (0 until CmsD).map(i => (i + 1) * 32452843L % HashMod)
 
@@ -277,7 +284,8 @@ object TextQueries extends QueryModule {
     // tokens, a domain every sketch trivially counts exactly. All
     // hashing is the md5-derived tokenHash plus universal-hash
     // constants embedded in the oracle SQL, so DuckDB reproduces every
-    // cell exactly — unlike the HLL query this one IS oracle-checked.
+    // cell exactly — the same transparency discipline the KMV
+    // cardinality sketch (approx_distinct_tokens) follows.
     "cms_bigram_counts" -> ((s, d) => {
       val items = Tables.documents(s, d)
         .select(explode(ngrams(tokens(norm(col("text"))), 2)).as("bigram"))
@@ -301,25 +309,50 @@ object TextQueries extends QueryModule {
         .orderBy(col("exact_cnt").desc, col("bigram"))
     }),
 
-    // HLL cardinality sketch vs exact distinct (X-55): at 100 TB,
-    // countDistinct shuffles every distinct value to its group;
-    // approx_count_distinct (HyperLogLog++) keeps a fixed-size
-    // mergeable sketch per partition — the only shape that survives a
-    // billion-token vocabulary. Both are computed side-by-side with
-    // the realized relative error, on per-language token streams.
-    // Spark's HLL++ is deterministic for given data but not
-    // reproducible in DuckDB, so this query has NO oracle entry — the
-    // driver records its documented rows-only check instead.
-    "approx_distinct_tokens" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("lang"), explode(tokens(norm(col("text")))).as("token"))
-        .groupBy("lang")
-        .agg(countDistinct(col("token")).as("exact_distinct"),
-          approx_count_distinct(col("token"), 0.02).as("approx_distinct"))
+    // Cardinality sketch vs exact distinct (X-55): at 100 TB,
+    // countDistinct shuffles every distinct value to its group; a
+    // fixed-size mergeable sketch is the only shape that survives a
+    // billion-token vocabulary. The sketch here is a K-MINIMUM-VALUES
+    // bottom-k (graft.functions.KmvAggregator, k=KmvK) over the
+    // md5-derived tokenHash: one hash aggregate whose partial phase
+    // collapses every task to ≤k longs, estimator (k−1)·M ÷ h_k —
+    // same guarantees class as HLL++ (std err ≈ 1/√(k−2) ≈ 9% at
+    // k=128) but with TRANSPARENT state: the k smallest hashes are a
+    // plain sorted array DuckDB reproduces bit-exactly with one
+    // window over the same hash column, so unlike Spark's opaque
+    // HLL++ registers this sketch IS oracle-checked (the X-56
+    // count-min discipline applied to cardinality). The domain is
+    // token BIGRAMS per language (~900 distinct per lang — the
+    // unigram lexicon is 31 tokens, which any sketch counts exactly;
+    // a vacuous demo, same reasoning as the CMS width choice). The
+    // exact arm is the comparison baseline a production run would
+    // drop; computed as its own frame and joined on the 5-row lang
+    // key so the sketch arm's plan stays a pure partial-collapse
+    // aggregate, unpolluted by the distinct's Expand.
+    "approx_distinct_tokens" -> ((s, d) => {
+      val kmv = udaf(new graft.functions.KmvAggregator(KmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val bg = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(ngrams(tokens(norm(col("text"))), 2)).as("bigram"))
+      val sk = bg.select(col("lang"), tokenHash(col("bigram")).as("h"))
+        .groupBy("lang").agg(kmv(col("h")).as("__ks"))
+        .withColumn("__nk", size(col("__ks")).cast("long"))
+        .withColumn("__hk", element_at(col("__ks"), col("__nk").cast("int")))
+        // exact integer division both sides — a double divide could
+        // truncate differently at exact multiples
+        .withColumn("approx_distinct",
+          when(col("__nk") < lit(KmvK.toLong), col("__nk"))
+            .otherwise(expr(s"CAST(${(KmvK - 1).toLong * HashMod} div __hk AS BIGINT)")))
+      val ex = bg.groupBy("lang")
+        .agg(countDistinct(col("bigram")).as("exact_distinct"))
+      ex.join(sk, "lang")
         .withColumn("rel_err",
           abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
             col("exact_distinct").cast("double"))
-        .orderBy("lang")),
+        .select("lang", "exact_distinct", "approx_distinct", "rel_err")
+        .orderBy("lang")
+    }),
 
     // Corpus-statistics LM scoring (the "filter by language-model
     // likelihood" pretraining op): per-doc mean unigram probability.
@@ -1213,6 +1246,33 @@ object TextQueries extends QueryModule {
          |       CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount,
          |       CAST(cms_cnt - exact_cnt AS DOUBLE) / exact_cnt AS err_frac
          |FROM j ORDER BY exact_cnt DESC, bigram""".stripMargin
+    },
+
+    // KMV bottom-k mirror: the k smallest distinct md5-hashes per lang
+    // via one window over the identical hash expression; estimator and
+    // <k fallback spliced with the same integer arithmetic ('//' here,
+    // 'div' Spark-side — both exact integer division).
+    "approx_distinct_tokens" -> {
+      val num = (KmvK - 1).toLong * 1000000007L
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |bg AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |       FROM t),
+         |ex AS (SELECT lang, CAST(count(DISTINCT bigram) AS BIGINT) AS exact_distinct
+         |       FROM bg GROUP BY lang),
+         |dh AS (SELECT DISTINCT lang,
+         |         CAST('0x' || substr(md5(bigram), 1, 14) AS BIGINT) % 1000000007 AS h
+         |       FROM bg),
+         |r AS (SELECT lang, h,
+         |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS nd
+         |      FROM dh),
+         |est AS (SELECT lang,
+         |          CAST(CASE WHEN nd < $KmvK THEN nd ELSE $num // h END AS BIGINT) AS approx_distinct
+         |        FROM r WHERE rn = CASE WHEN nd < $KmvK THEN nd ELSE $KmvK END)
+         |SELECT ex.lang, exact_distinct, approx_distinct,
+         |       CAST(abs(approx_distinct - exact_distinct) AS DOUBLE) / exact_distinct AS rel_err
+         |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
     },
 
     "bm25_score" ->
