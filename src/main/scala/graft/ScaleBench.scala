@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Empirical scaling evidence for the dedup/ANN family (round-8
+  * item #2): the 100 TB claims about bounded candidate generation
+  * (AllPairs prefix filter, asymmetric containment probe, LSH banding,
+  * once-shuffled CC edges) have so far been arguments from plan shape;
+  * this main MEASURES them. It synthesizes corpora at several multiples
+  * of sf0.1 `documents` by deterministic replication with planted
+  * duplicates, times the four headline dedup queries at each scale, and
+  * records total shuffle read/write bytes per query from a task-metrics
+  * listener — the quantity whose growth exponent separates "bounded
+  * candidates" (≈ linear) from a hidden df² blow-up (≈ quadratic).
+  *
+  * Replication scheme (all pure deterministic columns — no RNG):
+  * replica i of R gets doc_id shifted by i·stride, and per-doc class
+  * (doc_id + i) mod 20 selects the mutation:
+  *   - class 0: EXACT copy of the base text. For a fixed doc the class
+  *     hits 0 for at most one replica i in 1..19, so planted exact-dup
+  *     groups have size 2 regardless of R — dup COUNT grows linearly
+  *     with scale while group size (and thus true-pair output per
+  *     group) stays constant. A scheme that copied every replica would
+  *     grow output pairs quadratically and contaminate the engine's
+  *     exponent with output volume.
+  *   - class 1: near-dup — base text plus one appended token (Jaccard
+  *     ≈ s/(s+2) against the base for s shingles, well above both
+  *     thresholds). Same at-most-once-per-doc structure.
+  *   - otherwise: a per-replica Caesar rotation of the whole text —
+  *     every shingle distinct from the base and from every other
+  *     replica, so the bulk of the corpus is genuinely new content and
+  *     shingle document frequencies grow ~linearly, as they would in a
+  *     real crawl (each replica's rotation is unique because the shift
+  *     is i itself).
+  *
+  * Output: one JSON line per (scale, query) with wall seconds and
+  * shuffle MB, plus a fitted log-log exponent line per query across
+  * the scale ladder. Timing follows Bench methodology: noop-format
+  * write (full materialization), per-query warmup at the smallest
+  * scale, min of two passes.
+  */
+object ScaleBench {
+
+  /** Dedup family (documents-backed) + ANN family (embeddings-backed).
+    * The ANN queries keep their fixed 10-vector query set at every
+    * scale (replicas shift vec_ids above the query range), so their
+    * cost model is index+scan over a growing corpus for a constant
+    * query load — the serve-side shape whose scaling matters. */
+  private val Queries = Seq(
+    "ngram_jaccard", "containment_dup", "dedup_clusters", "minhash_lsh",
+    "knn_cosine", "ann_lsh_bucket", "ivf_topk")
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+  private def rotated(i: Int): String = {
+    val s = i % 25 + 1 // never the identity rotation
+    Alphabet.drop(s) + Alphabet.take(s)
+  }
+
+  /** Replica i of the embeddings table: ids shifted past the fixed
+    * query range, vectors CIRCULARLY SHIFTED by i positions — norm
+    * preserved (quantization/cosine arithmetic unchanged), direction
+    * genuinely new per replica (a scalar perturbation would keep every
+    * replica an exact cosine-duplicate of its base and make the
+    * corpus degenerate). Pure deterministic columns. */
+  private def embReplica(base: DataFrame, i: Int, stride: Long): DataFrame =
+    if (i == 0) base
+    else
+      base.select(
+        (col("vec_id") + lit(i * stride)).as("vec_id"),
+        concat(slice(col("embedding"), i + 1, 64 - i),
+          slice(col("embedding"), 1, i)).as("embedding"),
+        col("label"))
+
+  /** Replica i of the base corpus (i = 0 is the base itself). */
+  private def replica(base: DataFrame, i: Int, stride: Long): DataFrame =
+    if (i == 0) base
+    else {
+      val cls = (col("doc_id") + lit(i)) % 20
+      base.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        when(cls === 0, col("text"))
+          .when(cls === 1, concat(col("text"), lit(s" nd$i")))
+          .otherwise(translate(col("text"), Alphabet, rotated(i)))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/tmp/graft-scale")
+    require(scales.nonEmpty && scales.max <= 20,
+      "scales must be 1..20 (embedding rotation shift < dim, dup classes mod 20)")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Shuffle-byte accounting: task metrics summed across the job(s) a
+    // query runs. Listener events are posted asynchronously; the short
+    // settle sleep after each action bounds the undercount to the last
+    // in-flight postings (negligible against MB-scale totals).
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    val base = Tables.table(spark, baseDir, "documents")
+    val stride = 1000000L
+
+    // Materialize each scaled corpus once as parquet so every query at
+    // a given scale reads the identical on-disk layout (and the
+    // replication cost is off the clock).
+    val embBase = Tables.table(spark, baseDir, "embeddings")
+    val dirs = scales.map { r =>
+      val dir = s"$outBase/x$r"
+      val scaledDocs = (0 until r).map(replica(base, _, stride))
+        .reduce(_ unionByName _)
+      scaledDocs.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val scaledEmb = (0 until r).map(embReplica(embBase, _, stride))
+        .reduce(_ unionByName _)
+      scaledEmb.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      System.err.println(s"[scale] built x$r: $n docs, $ne embeddings at $dir")
+      r -> (dir, n)
+    }.toMap
+
+    // Warmup at the smallest scale: JIT/codegen for all four plans.
+    val smallest = dirs(scales.min)._1
+    Queries.foreach { q =>
+      SparkEntry.queries(q)(spark, smallest)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    def settle(): Unit = Thread.sleep(1000)
+
+    case class Obs(scale: Int, nDocs: Long, query: String, sec: Double,
+      readMb: Double, writeMb: Double)
+    val obs = scala.collection.mutable.ArrayBuffer[Obs]()
+
+    for (r <- scales.sorted; q <- Queries) {
+      val (dir, n) = dirs(r)
+      def once(): (Double, Double, Double) = {
+        settle()
+        val r0 = shufRead.get; val w0 = shufWrite.get
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        settle()
+        (sec, (shufRead.get - r0) / 1e6, (shufWrite.get - w0) / 1e6)
+      }
+      val (s1, r1, w1) = once()
+      val (s2, r2, w2) = once()
+      // min time (contention hardening); shuffle bytes from the faster
+      // pass (they are deterministic per pass up to AQE decisions)
+      val (sec, rd, wr) = if (s1 <= s2) (s1, r1, w1) else (s2, r2, w2)
+      obs += Obs(r, n, q, sec, rd, wr)
+      println(f"""{"scale":$r,"n_docs":$n,"query":"$q","sec":$sec%.2f,"shuffle_read_mb":$rd%.1f,"shuffle_write_mb":$wr%.1f}""")
+    }
+
+    // Fitted log-log exponent per query over the scale ladder (least
+    // squares of ln(y) on ln(scale)); 1.0 = linear, 2.0 = quadratic.
+    def slope(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val lx = xs.map(math.log); val ly = ys.map(math.log)
+      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
+      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
+        lx.map(a => (a - mx) * (a - mx)).sum
+    }
+    for (q <- Queries) {
+      val o = obs.filter(_.query == q).sortBy(_.scale).toSeq
+      val xs = o.map(_.scale.toDouble)
+      val eT = slope(xs, o.map(_.sec))
+      val eW = slope(xs, o.map(x => math.max(x.writeMb, 0.1)))
+      println(f"""{"query":"$q","exponent_time":$eT%.2f,"exponent_shuffle_write":$eW%.2f}""")
+    }
+    spark.stop()
+  }
+}
