@@ -10,9 +10,10 @@ import java.util.concurrent.atomic.AtomicLong
   * (AllPairs prefix filter, asymmetric containment probe, LSH banding,
   * once-shuffled CC edges) have so far been arguments from plan shape;
   * this main MEASURES them. It synthesizes corpora at several multiples
-  * of sf0.1 `documents` by deterministic replication with planted
-  * duplicates, times the four headline dedup queries at each scale, and
-  * records total shuffle read/write bytes per query from a task-metrics
+  * of the base `documents`/`embeddings` tables by deterministic
+  * replication with planted duplicates, times the seven headline
+  * dedup/ANN queries at each scale, and records total shuffle
+  * read/write bytes per query from a task-metrics
   * listener — the quantity whose growth exponent separates "bounded
   * candidates" (≈ linear) from a hidden df² blow-up (≈ quadratic).
   *
@@ -33,8 +34,8 @@ import java.util.concurrent.atomic.AtomicLong
   *     every shingle distinct from the base and from every other
   *     replica, so the bulk of the corpus is genuinely new content and
   *     shingle document frequencies grow ~linearly, as they would in a
-  *     real crawl (each replica's rotation is unique because the shift
-  *     is i itself).
+  *     real crawl (each replica's rotation is unique for i ≤ 20 because
+  *     the shift is i mod 25 + 1).
   *
   * Output: one JSON line per (scale, query) with wall seconds and
   * shuffle MB, plus a fitted log-log exponent line per query across
@@ -65,12 +66,12 @@ object ScaleBench {
     * genuinely new per replica (a scalar perturbation would keep every
     * replica an exact cosine-duplicate of its base and make the
     * corpus degenerate). Pure deterministic columns. */
-  private def embReplica(base: DataFrame, i: Int, stride: Long): DataFrame =
+  private def embReplica(base: DataFrame, i: Int, stride: Long, dim: Int): DataFrame =
     if (i == 0) base
     else
       base.select(
         (col("vec_id") + lit(i * stride)).as("vec_id"),
-        concat(slice(col("embedding"), i + 1, 64 - i),
+        concat(slice(col("embedding"), i + 1, dim - i),
           slice(col("embedding"), 1, i)).as("embedding"),
         col("label"))
 
@@ -95,7 +96,7 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft-scale")
-    require(scales.nonEmpty && scales.max <= 20,
+    require(scales.nonEmpty && scales.min >= 1 && scales.max <= 20,
       "scales must be 1..20 (embedding rotation shift < dim, dup classes mod 20)")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,19 +118,29 @@ object ScaleBench {
     })
 
     val base = Tables.table(spark, baseDir, "documents")
-    val stride = 1000000L
+    val embBase = Tables.table(spark, baseDir, "embeddings")
+    // Replica id offset derived from the DATA, not assumed: a fixed
+    // stride under a bigger corpus would silently alias replica ids
+    // (merging planted dup groups and letting shifted rows impersonate
+    // the fixed ANN query range) and corrupt the exponents this tool
+    // exists to report. Also probe the embedding dim for the rotation.
+    val stride = {
+      val md = base.agg(max(col("doc_id"))).first().getLong(0)
+      val mv = embBase.agg(max(col("vec_id"))).first().getLong(0)
+      math.max(md, mv) + 1
+    }
+    val dim = embBase.select(size(col("embedding"))).first().getInt(0)
 
     // Materialize each scaled corpus once as parquet so every query at
     // a given scale reads the identical on-disk layout (and the
     // replication cost is off the clock).
-    val embBase = Tables.table(spark, baseDir, "embeddings")
     val dirs = scales.map { r =>
       val dir = s"$outBase/x$r"
       val scaledDocs = (0 until r).map(replica(base, _, stride))
         .reduce(_ unionByName _)
       scaledDocs.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val scaledEmb = (0 until r).map(embReplica(embBase, _, stride))
+      val scaledEmb = (0 until r).map(embReplica(embBase, _, stride, dim))
         .reduce(_ unionByName _)
       scaledEmb.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -139,7 +150,7 @@ object ScaleBench {
       r -> (dir, n)
     }.toMap
 
-    // Warmup at the smallest scale: JIT/codegen for all four plans.
+    // Warmup at the smallest scale: JIT/codegen for all seven plans.
     val smallest = dirs(scales.min)._1
     Queries.foreach { q =>
       SparkEntry.queries(q)(spark, smallest)
@@ -181,13 +192,15 @@ object ScaleBench {
       lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
         lx.map(a => (a - mx) * (a - mx)).sum
     }
-    for (q <- Queries) {
+    // A single-scale run has no ladder to fit — skip the exponent
+    // lines rather than printing NaN (not legal JSON).
+    if (scales.distinct.size >= 2) for (q <- Queries) {
       val o = obs.filter(_.query == q).sortBy(_.scale).toSeq
       val xs = o.map(_.scale.toDouble)
       val eT = slope(xs, o.map(_.sec))
       val eW = slope(xs, o.map(x => math.max(x.writeMb, 0.1)))
       println(f"""{"query":"$q","exponent_time":$eT%.2f,"exponent_shuffle_write":$eW%.2f}""")
-    }
+    } else System.err.println("[scale] single scale - no exponent fit")
     spark.stop()
   }
 }
