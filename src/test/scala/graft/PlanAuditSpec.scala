@@ -292,4 +292,20 @@ class PlanAuditSpec extends SparkSpec {
     p should include("Window")
     p should include("hashpartitioning(o_custkey")
   }
+
+  test("the transparent sketches aggregate with a PARTIAL map-side phase") {
+    // The whole point of the KMV / bottom-k sample sketches is the
+    // fixed-size mergeable state that collapses per task BEFORE the
+    // exchange. If a future edit merges the exact-distinct arm into the
+    // same aggregate (the pre-round-8 shape), the planner's Expand
+    // forces the typed aggregator out of its partial phase and the
+    // sketch silently shuffles raw rows — this gate pins the
+    // partial_<aggregator> node so that regression fails loudly.
+    withClue("approx_distinct_tokens") {
+      plan("approx_distinct_tokens") should include("partial_kmvaggregator")
+    }
+    withClue("order_value_p90_sketch") {
+      plan("order_value_p90_sketch") should include("partial_bottomksampleaggregator")
+    }
+  }
 }
