@@ -4,10 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** robots.txt parsing as pure column expressions — the text-side half
-  * of X-133 (the `robots_filter` query consumes a (host, rule) frame;
-  * this produces one from fetched `/robots.txt` bodies, so the crawl
-  * pipeline is: WebFetch robots.txt → [[disallowRules]] → explode →
-  * the X-133 gate).
+  * of X-133/X-135 (the `robots_filter` / `robots_allow_filter` queries
+  * consume (host, rule[, allow]) frames; this produces them from
+  * fetched `/robots.txt` bodies, so the crawl pipeline is: WebFetch
+  * robots.txt → [[groupRules]] → explode → the gate).
   *
   * Implements the Robots Exclusion Protocol's group model (RFC 9309
   * §2.1) for the `*` agent: consecutive `User-agent:` lines form ONE
@@ -16,23 +16,26 @@ import org.apache.spark.sql.functions._
   * `aggregate` fold over the line array with a
   * (in_header_run, star_active, rules) accumulator — codegen'd, no
   * UDF. Directive names are case-insensitive, values trimmed; empty
-  * `Disallow:` (allow-all) and comment/blank lines contribute
+  * `Disallow:`/`Allow:` (no-rule) and comment/blank lines contribute
   * nothing, and end-of-line `#` comments are stripped before value
-  * extraction (RFC 9309 §2.2.4).
-  * Out of scope, documented: Allow-precedence (RFC 9309 §2.2.2 — the
-  * engine's gate is disallow-only like the X-133 query), wildcards in
-  * rule paths, and non-`*` agent selection. */
+  * extraction (RFC 9309 §2.2.4). [[groupRules]] collects BOTH Allow
+  * and Disallow directives; precedence (longest match wins, Allow
+  * wins length ties — RFC 9309 §2.2.2) is the MATCHER's job and lives
+  * in the X-135 query's struct-max, not here.
+  * Out of scope, documented: wildcards/`$` anchors in rule paths and
+  * non-`*` agent selection. */
 object RobotsTxt {
 
-  /** Array of disallow path-prefixes in effect for `User-agent: *`. */
-  def disallowRules(robotsTxt: Column): Column = {
+  /** Array of struct(allow: boolean, path: string) — every Allow and
+    * Disallow rule in effect for `User-agent: *`, in file order. */
+  def groupRules(robotsTxt: Column): Column = {
     // real servers serve CRLF; split on either ending, and fold tabs
     // into spaces so the space-only trim() below strips them too
     val lines = split(regexp_replace(robotsTxt, "\t", " "), "\r?\n")
     val init = struct(
       lit(false).as("run"),        // inside a consecutive User-agent header run
       lit(false).as("star"),       // current group applies to *
-      array().cast("array<string>").as("rules"))
+      array().cast("array<struct<allow:boolean,path:string>>").as("rules"))
     val folded = aggregate(lines, init, (acc, raw) => {
       // RFC 9309 §2.2.4: '#' starts an end-of-line comment — strip it
       // BEFORE directive/value extraction, or 'Disallow: /private/ #
@@ -44,6 +47,7 @@ object RobotsTxt {
       val value = trim(regexp_replace(line, "^[^:]*:", ""))
       val isUa = low.startsWith("user-agent:")
       val isDis = low.startsWith("disallow:")
+      val isAllow = low.startsWith("allow:")
       // comments and blank lines are ignored entirely (RFC 9309 §2.2) —
       // in particular they do NOT break a User-agent header run
       // (comment-only lines are already blank after the strip above)
@@ -54,8 +58,9 @@ object RobotsTxt {
           acc.getField("star") || (value === "*"))
         .when(isUa, value === "*")
         .otherwise(acc.getField("star"))
-      val rules = when(isDis && acc.getField("star") && value =!= "",
-          array_append(acc.getField("rules"), value))
+      val rules = when((isDis || isAllow) && acc.getField("star") && value =!= "",
+          array_append(acc.getField("rules"),
+            struct(isAllow.as("allow"), value.as("path"))))
         .otherwise(acc.getField("rules"))
       struct(
         when(isNoise, acc.getField("run")).otherwise(isUa).as("run"),
@@ -63,4 +68,12 @@ object RobotsTxt {
     })
     folded.getField("rules")
   }
+
+  /** Array of disallow path-prefixes in effect for `User-agent: *` —
+    * the disallow-only view the X-133 gate consumes (reference-parity
+    * semantics: allow-by-default, no Allow precedence). */
+  def disallowRules(robotsTxt: Column): Column =
+    transform(
+      filter(groupRules(robotsTxt), r => !r.getField("allow")),
+      r => r.getField("path"))
 }

@@ -347,6 +347,34 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // X-135: FULL RFC 9309 precedence gate — Allow and Disallow rules,
+    // most-specific (longest) match wins, Allow wins length ties
+    // (§2.2.2); allow-by-default when nothing matches. This upgrades
+    // the X-133 disallow-only gate (reference parity) to what real
+    // crawl governance needs: carve-outs like "Disallow: /private/,
+    // Allow: /private/pub/" are the dominant real-world robots idiom.
+    // The decision is ONE struct-max per URL over (rule length,
+    // allow-bit, rule) — lexicographic max implements the precedence
+    // exactly, with the rule string as the deterministic last tiebreak.
+    // Same scale shape as X-133: host equi-join (rules frame is
+    // |hosts|·|rules| — never broadcast-hinted), per-URL max aggregate.
+    "robots_allow_filter" -> ((s, d) => {
+      val fr = frontierAllow(s, d)
+      val rules = robotsAllowRules(s, d)
+      val matched = fr.join(rules, Seq("host"), "left_outer")
+        .withColumn("hit",
+          substring(col("path"), lit(1), length(col("rule"))) === col("rule"))
+      matched.groupBy("doc_id", "host", "path")
+        .agg(max(when(col("hit"),
+          struct(length(col("rule")).as("l"),
+            col("allow").cast("int").as("a"),
+            col("rule").as("r")))).as("m"))
+        .select(col("doc_id"), col("host"), col("path"),
+          (col("m").isNull || col("m.a") === 1).as("allowed"),
+          col("m.r").as("rule"))
+        .orderBy("doc_id")
+    }),
+
     // X-134: per-host politeness scheduling — the other crawl-side
     // primitive: a frontier fetched at full parallelism ACROSS hosts
     // but serially WITHIN a host (one request per host per wave, the
@@ -385,6 +413,45 @@ object LinkQueries extends QueryModule {
         concat(lit("/private/x"), col("doc_id").cast("string")))
         .otherwise(concat(lit("/"), col("lang"), lit("/p"),
           (col("doc_id") % 5).cast("string"))).as("path"))
+
+  /** X-135 frontier: the X-133 synthesis plus the two path classes the
+    * Allow-precedence semantics needs — a /private/pub/ carve-out
+    * (longer Allow overrides shorter Disallow) and a /tie/ class whose
+    * Allow and Disallow rules have EQUAL length (the §2.2.2 tie the
+    * allow-bit must break). Chained `when` = first match wins, and the
+    * oracle mirrors the same CASE chain. */
+  private def frontierAllow(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("www."), col("source"), lit(".example.com")).as("host"),
+      when(col("doc_id") % 22 === 0,
+        concat(lit("/private/pub/x"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 11 === 0,
+          concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 13 === 0,
+          concat(lit("/tie/t"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/"), col("lang"), lit("/p"),
+          (col("doc_id") % 5).cast("string"))).as("path"))
+
+  /** X-135 per-host rules with allow bits: every host disallows
+    * /private/ but allows the /private/pub/ carve-out, and carries the
+    * equal-length /tie/ allow+disallow pair; srcN%3=0 hosts also fence
+    * /zh/ (so plain-language paths exercise the gate too). */
+  private def robotsAllowRules(s: SparkSession, d: String): DataFrame = {
+    val srcN = substring(col("source"), 4, 10).cast("int")
+    Tables.documents(s, d).select(col("source")).distinct()
+      .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
+        explode(array(
+          struct(lit("/private/").as("rule"), lit(false).as("allow")),
+          struct(lit("/private/pub/").as("rule"), lit(true).as("allow")),
+          struct(lit("/tie/").as("rule"), lit(false).as("allow")),
+          struct(lit("/tie/").as("rule"), lit(true).as("allow")),
+          when(srcN % 3 === 0,
+            struct(lit("/zh/").as("rule"), lit(false).as("allow")))
+        )).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("host"), col("e.rule").as("rule"), col("e.allow").as("allow"))
+  }
 
   /** Per-host disallow rules: /private/ everywhere; srcN%3=0 hosts
     * also fence /zh/, srcN%3=1 hosts /es/. */
@@ -477,6 +544,41 @@ object LinkQueries extends QueryModule {
          |                 THEN {'l': length(r.rule), 'r': r.rule} END)).r AS rule
          |FROM fr f LEFT JOIN rules r ON f.host = r.host
          |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // X-135: same frontier/rule synthesis with allow bits; precedence
+    // via lexicographic struct max on (length, allow, rule) — identical
+    // ordering in both engines; allowed = no match OR winner is Allow.
+    "robots_allow_filter" ->
+      """WITH fra AS (SELECT doc_id,
+        |         'www.' || source || '.example.com' AS host,
+        |         CASE WHEN doc_id % 22 = 0 THEN '/private/pub/x' || CAST(doc_id AS VARCHAR)
+        |              WHEN doc_id % 11 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |              WHEN doc_id % 13 = 0 THEN '/tie/t' || CAST(doc_id AS VARCHAR)
+        |              ELSE '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) END AS path
+        |       FROM documents),
+        |hostsa AS (SELECT DISTINCT source FROM documents),
+        |rulesa AS (
+        |  SELECT 'www.' || source || '.example.com' AS host, '/private/' AS rule, false AS allow FROM hostsa
+        |  UNION ALL
+        |  SELECT 'www.' || source || '.example.com', '/private/pub/', true FROM hostsa
+        |  UNION ALL
+        |  SELECT 'www.' || source || '.example.com', '/tie/', false FROM hostsa
+        |  UNION ALL
+        |  SELECT 'www.' || source || '.example.com', '/tie/', true FROM hostsa
+        |  UNION ALL
+        |  SELECT 'www.' || source || '.example.com', '/zh/', false FROM hostsa
+        |  WHERE CAST(substr(source, 4) AS INT) % 3 = 0),
+        |m AS (SELECT f.doc_id, f.host, f.path,
+        |             max(CASE WHEN substr(f.path, 1, length(r.rule)) = r.rule
+        |                      THEN {'l': length(r.rule),
+        |                            'a': CASE WHEN r.allow THEN 1 ELSE 0 END,
+        |                            'r': r.rule} END) AS w
+        |      FROM fra f LEFT JOIN rulesa r ON f.host = r.host
+        |      GROUP BY 1, 2, 3)
+        |SELECT doc_id, host, path,
+        |       (w IS NULL OR (w).a = 1) AS allowed,
+        |       (w).r AS rule
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // X-134: robots-allowed frontier scheduled into per-host waves.
     "crawl_schedule" ->

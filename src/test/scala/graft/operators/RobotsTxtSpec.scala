@@ -47,6 +47,31 @@ class RobotsTxtSpec extends SparkSpec {
     parse("User-agent: googlebot\nDisallow: /g/") shouldEqual Seq.empty
   }
 
+  private def parseGroup(txt: String): Seq[(Boolean, String)] = {
+    import spark.implicits._
+    Seq(txt).toDF("t")
+      .select(RobotsTxt.groupRules(col("t")).as("r"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getBoolean(0), r.getString(1))).toSeq
+  }
+
+  test("groupRules collects Allow AND Disallow of the * group, in file order") {
+    parseGroup(
+      "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nallow: /open/") shouldEqual
+      Seq((false, "/private/"), (true, "/private/pub/"), (true, "/open/"))
+    // empty Allow is a no-rule exactly like empty Disallow
+    parseGroup("User-agent: *\nAllow:\nDisallow: /p/") shouldEqual
+      Seq((false, "/p/"))
+    // Allow lines of a non-star group never leak in
+    parseGroup("User-agent: g\nAllow: /g/\n\nUser-agent: *\nAllow: /a/") shouldEqual
+      Seq((true, "/a/"))
+  }
+
+  test("disallowRules is exactly the disallow projection of groupRules") {
+    val txt = "User-agent: *\nDisallow: /a/\nAllow: /a/pub/\nDisallow: /b/"
+    parse(txt) shouldEqual Seq("/a/", "/b/")
+  }
+
   test("end-of-line comments are stripped before value extraction (RFC 9309 §2.2.4)") {
     // without the strip, the rule would be '/private/ # staff only' —
     // a prefix that matches nothing, silently failing the gate OPEN
