@@ -182,6 +182,58 @@ class PropertySpec extends SparkSpec {
     got shouldEqual truth
   }
 
+  test("X-133/135 robots parser matches an in-memory reference on generated files") {
+    import spark.implicits._
+    // Reference implementation of the DOCUMENTED semantics (RFC 9309
+    // group model for *, comment stripping, header runs, empty values
+    // are no-rules) in plain Scala — an independent second derivation
+    // the column fold must agree with on arbitrary inputs.
+    def ref(txt: String): Seq[(Boolean, String)] = {
+      var run = false; var star = false
+      val out = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+      for (raw <- txt.replace("\t", " ").split("\r?\n", -1)) {
+        val line = raw.replaceAll("#.*", "").trim
+        val low = line.toLowerCase
+        val value = line.replaceAll("^[^:]*:", "").trim
+        val isUa = low.startsWith("user-agent:")
+        val isDis = low.startsWith("disallow:")
+        val isAllow = low.startsWith("allow:")
+        val isNoise = line.isEmpty
+        star = if (isUa && run) star || value == "*"
+               else if (isUa) value == "*" else star
+        if ((isDis || isAllow) && star && value.nonEmpty) out += ((isAllow, value))
+        run = if (isNoise) run else isUa
+      }
+      out.toSeq
+    }
+    val lineGen: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf("User-agent: *", "User-Agent: googlebot",
+        "user-agent:\t*", "USER-AGENT: bot # header comment", "User-agent:*"),
+      4 -> (for {
+        d <- Gen.oneOf("Disallow", "disallow", "DISALLOW", "Allow", "allow", "ALLOW")
+        v <- Gen.oneOf("", "/", "/a/", "/private/", "/private/pub/", "/p q/", "/tie/")
+        c <- Gen.oneOf("", " # staff only", "# tight comment")
+      } yield s"$d: $v$c"),
+      2 -> Gen.oneOf("", "   ", "# full comment line", "stray garbage",
+        "Crawl-delay: 10", "Sitemap: https://x/s.xml"))
+    val fileGen: Gen[String] = for {
+      n <- Gen.choose(0, 18)
+      ls <- Gen.listOfN(n, lineGen)
+      sep <- Gen.oneOf("\n", "\r\n")
+    } yield ls.mkString(sep)
+    val files = samples(fileGen, 250)
+    val got = files.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), RobotsTxt.groupRules(col("t")).as("r"))
+      .collect().map { row =>
+        row.getInt(0) -> row.getSeq[org.apache.spark.sql.Row](1)
+          .map(r => (r.getBoolean(0), r.getString(1))).toSeq
+      }.toMap
+    files.zipWithIndex.foreach { case (t, i) =>
+      withClue(s"file #$i:\n$t\n") { got(i) shouldEqual ref(t) }
+    }
+  }
+
   test("X-132 canonicalize is idempotent over generated messy URLs") {
     import spark.implicits._
     val urlGen: Gen[String] = for {
