@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,12 +20,19 @@ object EventQueries extends QueryModule {
 
   def defs: Map[String, Q] = Map(
     // F-9/F-10: schema'd parse + flatten + compact re-serialization.
+    // TOTAL on degenerate props: a NULL or malformed props row parses
+    // to a null struct (PERMISSIVE), and the coalesce normalizes that
+    // to '{}' exactly like a present-but-k-less object — otherwise a
+    // regenerated dataset with one bad row would flip props_norm to
+    // NULL here while the oracle emits '{}' (latent hash divergence;
+    // the oracle guards its extraction with json_valid for the same
+    // reason).
     "json_flatten" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("parsed", from_json(col("props"), propsSchema))
         .select(col("event_id"), col("event_type"),
           col("parsed.k").as("k"),
-          to_json(col("parsed")).as("props_norm"))
+          coalesce(to_json(col("parsed")), lit("{}")).as("props_norm"))
         .orderBy("event_id")),
 
     // JSON field aggregation by event type (exact int arithmetic).
@@ -66,21 +74,8 @@ object EventQueries extends QueryModule {
     // (both broadcast-bounded strata), then ONE left join against the
     // hourly aggregate. Cost is the aggregate plus |hours|·|types|
     // generated rows, independent of event volume.
-    "events_hourly_filled" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      val counts = ev.groupBy("hour", "event_type")
-        .agg(count(lit(1)).as("n_events"))
-      val axis = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-      val types = ev.select("event_type").distinct()
-      axis.crossJoin(broadcast(types))
-        .join(counts, Seq("hour", "event_type"), "left")
-        .select(col("hour"), col("event_type"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"))
-        .orderBy("hour", "event_type")
-    }),
+    "events_hourly_filled" -> ((s, d) =>
+      hourlyGrid(s, d).orderBy("hour", "event_type")),
 
     // Bucketized interval join (X-90): events within 30 minutes BEFORE
     // each purchase by the same user — the activity-burst feature a
@@ -135,18 +130,7 @@ object EventQueries extends QueryModule {
     // real alerts too but a different rule (often a missing-feed
     // check), kept out so the flag semantics stay crisp.
     "hourly_anomalies" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      val counts = ev.groupBy("hour", "event_type")
-        .agg(count(lit(1)).as("n_events"))
-      val axis = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-      val types = ev.select("event_type").distinct()
-      val grid = axis.crossJoin(broadcast(types))
-        .join(counts, Seq("hour", "event_type"), "left")
-        .select(col("hour"), col("event_type"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val grid = hourlyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-24, -1)
       grid
@@ -236,20 +220,10 @@ object EventQueries extends QueryModule {
     // (≥ 15 purchases) EXCEPT / INTERSECT error-prone users (≥ 15
     // errors). Distinct-set semantics, each planning as one aggregated
     // join shuffled on user_id.
-    "buyers_not_errorprone" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def cohort(t: String) = ev.filter(col("event_type") === t)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 15).select("user_id")
-      cohort("purchase").except(cohort("error")).orderBy("user_id")
-    }),
-    "buyers_and_errorprone" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def cohort(t: String) = ev.filter(col("event_type") === t)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 15).select("user_id")
-      cohort("purchase").intersect(cohort("error")).orderBy("user_id")
-    }),
+    "buyers_not_errorprone" -> ((s, d) =>
+      cohort(s, d, "purchase").except(cohort(s, d, "error")).orderBy("user_id")),
+    "buyers_and_errorprone" -> ((s, d) =>
+      cohort(s, d, "purchase").intersect(cohort(s, d, "error")).orderBy("user_id")),
 
     // Wide-format reshaping: days × event types as a PIVOT with an
     // explicit value list (an implicit list would need an extra
@@ -428,10 +402,17 @@ object EventQueries extends QueryModule {
       val delayUs = when(sampleBucket(col("event_id"), "graft-late-arrival") < 10,
         (expr("CAST(conv(substring(md5(concat('graft-delay', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
           % 7200L) * 1000000L).otherwise(0L)
-      val ranged = Tables.events(s, d)
+      // MATERIALIZED: `ranged` feeds two independent lineages (the
+      // per-partition running max and the per-partition offsets), and
+      // repartitionByRange samples its boundaries per EXECUTION — two
+      // separate executions could assign different pid ranges (AQE
+      // re-plan, resample after executor loss), making the pid join
+      // between the branches silently wrong. The cut pins ONE pid
+      // assignment and halves the scan+md5 work.
+      val ranged = graft.operators.Dedup.materialize(Tables.events(s, d)
         .select(col("event_id"), (unix_micros(col("ts")) - delayUs).as("us"))
         .repartitionByRange(col("event_id"))
-        .withColumn("pid", spark_partition_id().cast("long"))
+        .withColumn("pid", spark_partition_id().cast("long")))
       val local = ranged.withColumn("lmax",
         max(col("us")).over(Window.partitionBy("pid").orderBy("event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -480,20 +461,32 @@ object EventQueries extends QueryModule {
         .select(lit("all").as("grp"),
           (unix_micros(col("p_ts")) - unix_micros(col("asof_v_ts"))).as("d_us"),
           col("event_id"))
-      // delays MATERIALIZED before the two rank selections (median,
-      // p90) — each selection re-embeds its input lineage several
-      // times, and without the cut both would re-run the as-of join
-      // (the order_value_mad discipline)
+      // delays MATERIALIZED before the rank selection — it re-embeds
+      // its input lineage several times, and without the cut it would
+      // re-run the as-of join (the order_value_mad discipline).
+      // ONE selectRanks call carries all three target ranks (median
+      // pair + p90): each call is eager and expensive (stats +
+      // histogram aggregates, a targets materialization, the gate
+      // read, the final join+window), so the previous two-call shape
+      // paid all of that twice against the identical input. Selected
+      // rows split by __grank afterwards; a row can serve both roles
+      // when the ranks coincide at tiny n (the per-row flags overlap
+      // rather than conflict).
       val dmat = graft.operators.Dedup.materialize(delays)
-      val med = graft.operators.Quantile.selectRanks(dmat, "grp", "d_us", "event_id",
-          n => Seq(graft.operators.Quantile.idiv(n + lit(1L), 2), graft.operators.Quantile.idiv(n + lit(2L), 2)))
-        .groupBy("grp")
+      val q = graft.operators.Quantile
+      val sel = q.selectRanks(dmat, "grp", "d_us", "event_id",
+          n => Seq(q.idiv(n + lit(1L), 2), q.idiv(n + lit(2L), 2),
+            q.idiv(n * lit(9L) + lit(9L), 10)))
+        .withColumn("is_med",
+          col("__grank") === q.idiv(col("__n") + lit(1L), 2) ||
+            col("__grank") === q.idiv(col("__n") + lit(2L), 2))
+        .withColumn("is_p90",
+          col("__grank") === q.idiv(col("__n") * lit(9L) + lit(9L), 10))
+      sel.groupBy("grp")
         .agg(max(col("__n")).as("n_conversions"),
-          expr("CAST(sum(d_us) div count(1) AS BIGINT)").as("median_us"))
-      val p90 = graft.operators.Quantile.selectRanks(dmat, "grp", "d_us", "event_id",
-          n => Seq(graft.operators.Quantile.idiv(n * lit(9L) + lit(9L), 10)))
-        .select(col("grp"), col("d_us").as("p90_us"))
-      med.join(p90, "grp")
+          expr("CAST(sum(CASE WHEN is_med THEN d_us END) " +
+            "div sum(CASE WHEN is_med THEN 1 END) AS BIGINT)").as("median_us"),
+          max(when(col("is_p90"), col("d_us"))).as("p90_us"))
         .select(col("n_conversions"),
           expr("CAST(median_us div 1000000 AS BIGINT)").as("median_s"),
           expr("CAST(p90_us div 1000000 AS BIGINT)").as("p90_s"))
@@ -557,23 +550,63 @@ object EventQueries extends QueryModule {
     }),
   )
 
+  /** Zero-filled (hour × event_type) grid shared by events_hourly_filled
+    * (X-76, the grid IS the deliverable) and hourly_anomalies (X-89,
+    * builds its 3σ window on it): a missing bucket is silently "no
+    * data", a zero row is a measured zero. The axis is GENERATED, never
+    * scanned — a 1-row min/max bounds aggregate exploded through
+    * sequence(), crossed with the |types| distinct frame (both
+    * broadcast-bounded strata), then ONE left join against the hourly
+    * aggregate. Cost is the aggregate plus |hours|·|types| generated
+    * rows, independent of event volume. */
+  private def hourlyGrid(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+    val counts = ev.groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val axis = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val types = ev.select("event_type").distinct()
+    axis.crossJoin(broadcast(types))
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Behavioral cohort shared by the set-op queries: users with ≥ 15
+    * events of `eventType` — ONE definition so EXCEPT and INTERSECT
+    * can never drift onto different cohort thresholds. */
+  private def cohort(s: SparkSession, d: String, eventType: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === eventType)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 15).select("user_id")
+
   def oracle: Map[String, String] = Map(
     // Null case mirrors Spark: to_json omits null struct fields → '{}'
     // (DuckDB's struct_pack would serialize {"k":null} instead).
+    // json_valid + TRY_CAST make the extraction TOTAL like Spark's
+    // PERMISSIVE from_json: a NULL/malformed props row or a wrong-typed
+    // k yields k = NULL (and props_norm '{}') instead of aborting the
+    // whole oracle run — the Spark side coalesces to the same '{}'.
     "json_flatten" ->
       """WITH p AS (SELECT event_id, event_type,
-        |                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |                  TRY_CAST(CASE WHEN json_valid(props)
+        |                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
         |           FROM events)
         |SELECT event_id, event_type, k,
         |       CASE WHEN k IS NULL THEN '{}' ELSE to_json(struct_pack(k := k)) END AS props_norm
         |FROM p ORDER BY event_id""".stripMargin,
 
     "json_props_agg" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH p AS (SELECT event_type,
+        |                  TRY_CAST(CASE WHEN json_valid(props)
+        |                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
+        |           FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_by_type" ->
       s"""SELECT event_type, count(*) AS n_events,
