@@ -149,6 +149,12 @@ object SimilarityQueries extends QueryModule {
     * the `p` lowest-margin single-bit flips, margins ranked by the
     * identical (abs(coordinate), bit-index) order. Expects a `bk` CTE
     * carrying (vec_id, embedding, qe, nq, bucket). */
+  /** Shared sign-bucket SQL fragment (one copy so the ann_lsh_bucket
+    * and ann_recall oracles cannot drift on the sign convention). */
+  private val bucketSql: String = (0 until LshBits)
+    .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
+
   private def probeSql(p: Int): String =
     s"""qm AS (SELECT vec_id, i,
        |        ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -313,7 +319,12 @@ object SimilarityQueries extends QueryModule {
     // partition + 2-of-8 probing keeps 90%. Exactly the trade this
     // query exists to surface before anyone ships the cheaper index.
     "ann_recall" -> ((s, d) => {
-      val truth = knnTopK(s, d, LshK)
+      // truth MATERIALIZED: three recallOf branches consume it, and
+      // without the cut each union branch re-executes the brute-force
+      // queries×candidates kNN scan — the most expensive input here
+      // (the ivfTopK index-build discipline applied to the truth set;
+      // the frame is |queries|·k rows, trivially small).
+      val truth = graft.operators.Dedup.materialize(knnTopK(s, d, LshK))
       recallOf(truth, lshTopK(s, d, 0), "lsh")
         .unionByName(recallOf(truth, lshTopK(s, d, LshProbes), "lsh_mp"))
         .unionByName(recallOf(truth, ivfTopK(s, d), "ivf"))
@@ -403,11 +414,14 @@ object SimilarityQueries extends QueryModule {
       val b = base(s, d)
       val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
       val a2 = nearestClusters(b, c1, 1)
-      val u2 = lloydUpdate(a2)
-      val counts = a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      u2.select(col("cluster"), col("pos"), col("val").as("c_fx"))
-        .join(counts, "cluster")
-        .select("cluster", "pos", "c_fx", "n_members")
+      // lloydUpdate's per-(cluster,pos) cnt IS the member count
+      // (posexplode emits exactly one row per member per pos), so a
+      // separate counts aggregate would re-execute the whole round-1
+      // training + assignment lineage a second time and add a join —
+      // byte-identical output either way.
+      lloydUpdate(a2)
+        .select(col("cluster"), col("pos"), col("val").as("c_fx"),
+          col("cnt").as("n_members"))
         .orderBy("cluster", "pos")
     }),
 
@@ -503,12 +517,25 @@ object SimilarityQueries extends QueryModule {
       // spark.graft.semdedup.gate=false. Correct either way — the gate
       // only decides WHEN the quadratic bound is checked, never
       // whether the pair join is cluster-bounded.
-      val gateOn = s.conf.getOption(SemDedupGateKey).forall(_.toBoolean)
+      // defensive parse: toBoolean throws a keyless IllegalArgument
+      // for anything but literal true/false — name the offending key
+      val gateOn = s.conf.getOption(SemDedupGateKey).forall { v =>
+        v.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"$SemDedupGateKey must be true or false, got '$other'")
+        }
+      }
       if (gateOn) {
         val maxCluster = s.conf.getOption(SemDedupMaxKey)
           .map(_.toLong).getOrElse(SemDedupDefaultMax)
-        val biggest = assigned.groupBy("cluster").count()
-          .agg(max(col("count"))).first().getLong(0)
+        // max() over zero rows is a null cell — an empty embeddings
+        // table must yield an empty report, not an NPE (EdgeCasesSpec
+        // discipline)
+        val biggest = Option(assigned.groupBy("cluster").count()
+          .agg(max(col("count"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         require(biggest <= maxCluster,
           s"semantic dedup is quadratic within a cluster: largest cluster " +
             s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster; " +
@@ -614,14 +641,19 @@ object SimilarityQueries extends QueryModule {
         g.join(broadcast(v), "j")
           .groupBy("i")
           .agg(sum(col("s").cast("decimal(38,0)") * col("v")).as("w"))
-      def normalize(w: DataFrame): DataFrame =
-        w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("m"))))
+      // normalize takes the 1-row max frame as a parameter: round 2
+      // needs the same max twice (normalization + lambda), and an
+      // internal re-aggregate would run the identical max job twice
+      def maxOf(w: DataFrame): DataFrame = w.agg(max(abs(col("w"))).as("m"))
+      def normalize(w: DataFrame, m: DataFrame): DataFrame =
+        w.crossJoin(broadcast(m))
           .select(col("i").as("j"),
             expr("CAST(w * 1000000 div m AS BIGINT)").as("v"))
-      val v1 = normalize(matvec(v0))
+      val w1 = matvec(v0)
+      val v1 = normalize(w1, maxOf(w1))
       val w2 = matvec(v1)
       val m2 = w2.agg(max(abs(col("w"))).as("m"))
-      normalize(w2)
+      normalize(w2, m2)
         .crossJoin(broadcast(m2))
         .select(col("j").as("dim"), col("v").as("v_fx"),
           expr("CAST(m div 1000000 AS BIGINT)").as("lambda_fx"))
@@ -646,9 +678,6 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
 
     "ann_lsh_bucket" -> {
-      val bucketSql = (0 until LshBits)
-        .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
       s"""WITH $baseSql,
          |bk AS (SELECT *, CAST($bucketSql AS BIGINT) AS bucket FROM n),
          |${probeSql(LshProbes)},
@@ -707,9 +736,6 @@ object SimilarityQueries extends QueryModule {
     // from the same CTE fragments as their standalone oracles, then
     // hits counted FROM the truth side.
     "ann_recall" -> {
-      val bucketSql = (0 until LshBits)
-        .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
       s"""WITH $baseSql,
          |sc_t AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
          |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
