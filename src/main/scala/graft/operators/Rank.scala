@@ -36,4 +36,36 @@ object Rank {
       .drop("__prk")
       .withColumn(rkName, row_number().over(fin)).filter(col(rkName) <= k)
   }
+
+  /** Exact GLOBAL dense row numbering under a total `order`, with no
+    * single-task sort: range-repartition on the order columns, rank
+    * locally per physical partition, then add back the ≤ P-row prefix
+    * sum of partition counts (broadcast). Output = `df`'s columns plus
+    * `rkName` (1-based).
+    *
+    * The ranged frame is MATERIALIZED before its two consumers (the
+    * local window and the per-partition counts): both join back on
+    * `spark_partition_id()`, and repartitionByRange samples its
+    * boundaries per EXECUTION — without the cut, an AQE re-plan or a
+    * boundary resample could hand the two lineages different pid→range
+    * assignments and silently corrupt every rank. One shared operator
+    * so the invariant can't be fixed in one call site and left broken
+    * in another (it was, in round 8's review). `order` must be total
+    * (tiebreak on a unique key) for the ranking to be deterministic. */
+  def globalRank(df: DataFrame, order: Seq[Column], rkName: String): DataFrame = {
+    val ranged = Dedup.materialize(
+      df.repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id().cast("long")))
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)).cast("long"))
+    // ≤ P rows — the unpartitioned prefix-sum window is bounded by the
+    // partition count, never the data (the global_ids shape)
+    val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn(rkName, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
 }

@@ -181,26 +181,26 @@ object DedupQueries extends QueryModule {
     // probe volume exactly n·w.
     "sorted_neighborhood" -> ((s, d) => {
       import org.apache.spark.sql.DataFrame
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, d)
+      // base MATERIALIZED: both passes derive their blocking key from
+      // it, and the k2 key costs a whole-corpus token array_sort —
+      // without the cut each pass (and each side of its neighbor
+      // self-join) would re-run the scan + normalization + sort.
+      val base = materialize(Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.norm(col("text")).as("nt"))
         .select(col("doc_id"),
           substring(col("nt"), 1, 48).as("pfx"),
           substring(col("nt"), 1, 32).as("k1"),
-          substring(concat_ws(" ", array_sort(split(col("nt"), " "))), 1, 32).as("k2"))
-      def ranked(key: String): DataFrame = {
-        val keyed = base.select(col("doc_id"), col("pfx"), col(key).as("bkey"))
-          .repartitionByRange(col("bkey"), col("doc_id"))
-          .withColumn("pid", spark_partition_id().cast("long"))
-        val local = keyed.withColumn("lrn", row_number()
-          .over(Window.partitionBy("pid").orderBy("bkey", "doc_id")).cast("long"))
-        val offs = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("off", coalesce(sum(col("cnt")).over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        materialize(local.join(broadcast(offs), "pid")
-          .select(col("doc_id"), col("pfx"), (col("off") + col("lrn")).as("rnk")))
-      }
+          substring(concat_ws(" ", array_sort(split(col("nt"), " "))), 1, 32).as("k2")))
+      // global rank via the shared two-phase operator (Rank.globalRank
+      // pins one pid assignment internally — the lateness_audit /
+      // global_ids determinism invariant, now in ONE place); the result
+      // is materialized because the neighbor self-join consumes it on
+      // both sides.
+      def ranked(key: String): DataFrame = materialize(
+        graft.operators.Rank.globalRank(
+          base.select(col("doc_id"), col("pfx"), col(key).as("bkey")),
+          Seq(col("bkey"), col("doc_id")), "rnk")
+        .select("doc_id", "pfx", "rnk"))
       def pass(key: String, flag: Long): DataFrame = {
         val r = ranked(key)
         r.select(col("rnk"), col("doc_id").as("da"), col("pfx").as("pa"))
@@ -251,18 +251,23 @@ object DedupQueries extends QueryModule {
       val g = docs
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("toks"), K)).as("gram"))
         .withColumn("h", TextAnalysis.tokenHash(col("gram"))).drop("gram")
-      // Document frequency from per-doc DISTINCT windows: array_distinct
-      // BEFORE the explode turns countDistinct(doc_id) (whose shuffle
-      // carries every occurrence of every hot window — boilerplate
-      // spans repeat within docs too) into a plain count whose partial
-      // aggregation collapses to one (h, count) row per hash per task
-      // before the exchange. Dedup happens on the gram STRINGS and the
-      // md5 runs on the exploded rows: hashing inside a higher-order
+      // Document frequency = distinct DOC count per window hash.
+      // array_distinct dedups a doc's repeated windows before the
+      // explode (boilerplate spans repeat within docs too), and the
+      // (doc_id, h) distinct collapses within-doc HASH collisions —
+      // two different windows of one doc landing on the same 2^30
+      // hash must count as df=1, matching the oracle's
+      // count(DISTINCT doc_id) exactly (a per-doc-distinct-GRAM count
+      // diverges under collision — rare at sf0.01, guaranteed at
+      // corpus scale). Dedup happens on the gram STRINGS and the md5
+      // runs on the exploded rows: hashing inside a higher-order
       // transform() would drop the expensive expression out of
       // whole-stage codegen (measured 2.6 s of interpreted eval here).
       val hdf = docs
-        .select(explode(array_distinct(TextAnalysis.ngrams(col("toks"), K))).as("gram"))
-        .select(TextAnalysis.tokenHash(col("gram")).as("h"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.ngrams(col("toks"), K))).as("gram"))
+        .select(col("doc_id"), TextAnalysis.tokenHash(col("gram")).as("h"))
+        .distinct()
         .groupBy("h").agg(count(lit(1)).as("gdf"))
         .filter(col("gdf") >= 2 && col("gdf") <= DfCap)
         .select("h")
@@ -443,8 +448,10 @@ object DedupQueries extends QueryModule {
     // only colliding pairs are ever compared.
     "minhash_est_err" -> ((s, d) => {
       val sh = materialize(shingled(Tables.documents(s, d)))
-      val sig = minhashSigAgg(
-        sh.select(col("doc_id"), explode(col("ss")).as("s")))
+      // sig feeds THREE consumers (band derivation + both signature
+      // verification joins) — same 3-consumer materialize policy as sh
+      val sig = materialize(minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s"))))
       val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
       val stacked = banded.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => col(s"band$b")): _*))

@@ -127,22 +127,17 @@ object DocQueries extends QueryModule {
         .orderBy("lang", "shard")
     }),
 
-    "global_ids" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ranged = Tables.documents(s, d).select("doc_id", "lang")
-        .repartitionByRange(col("lang"), col("doc_id"))
-        .withColumn("pid", spark_partition_id().cast("long"))
-      val local = ranged.withColumn("lrn",
-        row_number().over(Window.partitionBy("pid").orderBy("lang", "doc_id"))
-          .cast("long"))
-      val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "off")
-      local.join(broadcast(offsets), "pid")
-        .select(col("doc_id"), col("lang"), (col("off") + col("lrn")).as("gid"))
-        .orderBy("gid")
-    }),
+    "global_ids" -> ((s, d) =>
+      // the shared two-phase global-rank operator (Rank.globalRank):
+      // range repartition -> per-partition local rank -> <= P-row offset
+      // prefix sum broadcast back, with the ranged frame materialized
+      // inside the operator so the two pid-joined lineages can never
+      // see different range boundaries
+      graft.operators.Rank.globalRank(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          Seq(col("lang"), col("doc_id")), "gid")
+        .select("doc_id", "lang", "gid")
+        .orderBy("gid")),
 
     // Shard-rebalance movement audit (X-118): how many documents MOVE
     // when the export grows from 4 to 5 shards, under (a) the naive

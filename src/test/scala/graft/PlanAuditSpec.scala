@@ -118,7 +118,7 @@ class PlanAuditSpec extends SparkSpec {
       "knn_cosine" -> 1,           // 10 query vectors
       "ann_lsh_bucket" -> 1,       // 10 query vectors
       "ivf_topk" -> 3,             // ≤8-row MATERIALIZED trained-centroid frame hinted on the assign + probe sides, + ≤20 probes (the 2 training rounds' hints sit behind the index materialization)
-      "kmeans_centroids" -> 4,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint, and the final count join re-embeds the assignment tree
+      "kmeans_centroids" -> 2,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint (member counts now read off lloydUpdate's cnt — no extra count join re-embedding the assignment tree)
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
@@ -155,7 +155,7 @@ class PlanAuditSpec extends SparkSpec {
       "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
-      "ann_recall" -> 8,           // 10-query frames: truth's hint ×3 (its lineage is embedded in all three union branches) + lsh's 1 + lsh_mp's 1 (multi-probe query fan-out) + ivf's 3 (materialized centroids on assign/probe + probes)
+      "ann_recall" -> 5,           // 10-query frames: lsh's 1 + lsh_mp's 1 (multi-probe query fan-out) + ivf's 3 (materialized centroids on assign/probe + probes); truth's own hint sits behind its round-8 materialization instead of re-embedding ×3
       "events_hourly_filled" -> 1, // |types| distinct frame crossed with the generated hour axis
       "hourly_anomalies" -> 1,     // same |types| distinct frame (the X-76 grid is its input)
       "equidepth_hist" -> 2,       // two-phase Quantile shape: per-group stats hinted in the selection pass + the materialized ≤ |bins| target-bucket frame
@@ -172,7 +172,7 @@ class PlanAuditSpec extends SparkSpec {
       "decayed_engagement" -> 1,   // 1-row reference-date frame
       "revenue_cusum" -> 1,        // 1-row (N, S) totals frame
       "scan_prune_audit" -> 1,     // 4-row literal predicate frame
-      "conversion_latency" -> 4,   // two two-phase Quantile selections (2 hints each, the median_order_value shape) over the MATERIALIZED delay frame — the delays themselves are never hinted
+      "conversion_latency" -> 2,   // ONE two-phase Quantile selection (2 hints, the median_order_value shape — all three ranks in one pass since round 8) over the MATERIALIZED delay frame — the delays themselves are never hinted
       "budget_allocation" -> 3,    // 1-row corpus total (embedded again in the leftover-seat frame's lineage) + the 1-row leftover-seat count (all other frames are |langs| rows)
       "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
       "abc_analysis" -> 5,         // customer + nation dims and the 1-row total (whose lineage re-embeds both dim hints)
