@@ -438,7 +438,10 @@ object LinkQueries extends QueryModule {
     * equal-length /tie/ allow+disallow pair; srcN%3=0 hosts also fence
     * /zh/ (so plain-language paths exercise the gate too). */
   private def robotsAllowRules(s: SparkSession, d: String): DataFrame = {
-    val srcN = substring(col("source"), 4, 10).cast("int")
+    // digit-suffix extraction, total on any source format (the
+    // corpus_mix rule: '' casts to null in Spark, TRY_CAST(NULL) in
+    // the oracle — both engines then drop the rule row identically)
+    val srcN = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
     Tables.documents(s, d).select(col("source")).distinct()
       .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
         explode(array(
@@ -456,7 +459,10 @@ object LinkQueries extends QueryModule {
   /** Per-host disallow rules: /private/ everywhere; srcN%3=0 hosts
     * also fence /zh/, srcN%3=1 hosts /es/. */
   private def robotsRules(s: SparkSession, d: String): DataFrame = {
-    val srcN = substring(col("source"), 4, 10).cast("int")
+    // digit-suffix extraction, total on any source format (the
+    // corpus_mix rule: '' casts to null in Spark, TRY_CAST(NULL) in
+    // the oracle — both engines then drop the rule row identically)
+    val srcN = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
     Tables.documents(s, d).select(col("source")).distinct()
       .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
         explode(array(lit("/private/"),
@@ -477,10 +483,10 @@ object LinkQueries extends QueryModule {
       |  SELECT 'www.' || source || '.example.com' AS host, '/private/' AS rule FROM hosts
       |  UNION ALL
       |  SELECT 'www.' || source || '.example.com',
-      |         CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN '/zh/'
+      |         CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 = 0 THEN '/zh/'
       |              ELSE '/es/' END
       |  FROM hosts
-      |  WHERE CAST(substr(source, 4) AS INT) % 3 IN (0, 1))""".stripMargin
+      |  WHERE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 IN (0, 1))""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // Mirrors UrlOps.canonicalize step-by-step; DuckDB regexp_replace
@@ -567,7 +573,7 @@ object LinkQueries extends QueryModule {
         |  SELECT 'www.' || source || '.example.com', '/tie/', true FROM hostsa
         |  UNION ALL
         |  SELECT 'www.' || source || '.example.com', '/zh/', false FROM hostsa
-        |  WHERE CAST(substr(source, 4) AS INT) % 3 = 0),
+        |  WHERE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 = 0),
         |m AS (SELECT f.doc_id, f.host, f.path,
         |             max(CASE WHEN substr(f.path, 1, length(r.rule)) = r.rule
         |                      THEN {'l': length(r.rule),

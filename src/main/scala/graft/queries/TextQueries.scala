@@ -64,21 +64,69 @@ object TextQueries extends QueryModule {
     s"CASE $arms ELSE 'und' END"
   }
 
+  /** One copy of the shard-local packing CTE chain (t → c → l) spliced
+    * into both sequence_pack oracles — mirrors [[packedLocal]]. */
+  private lazy val packCte: String =
+    s"""t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+       |             CAST(len($toksSql) AS INTEGER) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t),
+       |l AS (SELECT doc_id, lang, shard, n_tokens,
+       |             (cum - n_tokens) // $PackT AS local_seq,
+       |             (cum - n_tokens) % $PackT AS seq_offset
+       |      FROM c)""".stripMargin
+
   /** BM25 query terms, pinned so the Spark frames and both oracle
     * mirrors (bm25_score, rrf_fusion) can't drift. */
   private val BmTerms = Seq("data", "stream", "vector")
+
+  /** Packing chunk size (tokens per training sequence), shared by the
+    * two sequence_pack queries and their oracle CTE. */
+  private val PackT = 2048
+
+  /** Shard-local sequence packing (X-50): per-(lang, shard) running
+    * token totals cut at [[PackT]] boundaries — ONE definition shared
+    * by sequence_pack (shard-local ids ARE the deliverable) and
+    * sequence_pack_global (adds the prefix-offset pass), so the
+    * stratum recipe can't drift between them. Strata are (lang,
+    * shard), NOT lang alone: a running total is inherently sequential
+    * within its stratum, so a per-language window would funnel each
+    * language's corpus through one task at scale; sharding by a
+    * doc_id hash gives every stratum an independent stream. */
+  private def packedLocal(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(norm(col("text")))))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / PackT).as("local_seq"),
+        ((col("cum") - col("n_tokens")) % PackT).as("seq_offset"))
+  }
 
   /** Exact fixed-point BM25 per document over [[BmTerms]] (X-48) —
     * ln-free rational idf; bounded df/stats broadcast, tf shuffle-join.
     * Shared by bm25_score (as the deliverable) and rrf_fusion (as one
     * fusion arm). */
+  /** Per-(doc, term) frequency over [[BmTerms]] — ONE definition shared
+    * by bm25Frame and rrf_fusion's lexical arm (which aggregates it per
+    * doc), mirroring the oracle side where both derive from the same
+    * `tf` CTE; a second independent derivation could drift. */
+  private def bmTermFreq(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+      .filter(col("token").isin(BmTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
   private def bm25Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
     val dl = e.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = e.filter(col("token").isin(BmTerms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = bmTermFreq(s, d)
     val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dft), "token")
       .join(dl, "doc_id")
@@ -242,10 +290,14 @@ object TextQueries extends QueryModule {
     // (TextAnalysis.bpeMergeOnce) — exactly reproducible in DuckDB.
     // Scale shape per round: one pair-count aggregation (partial
     // map-side), a 1-row argmax, and one narrow corpus map — the same
-    // broadcast-iterate recipe as kmeans/pagerank.
+    // broadcast-iterate recipe as kmeans/pagerank, INCLUDING the
+    // per-round materialization: t0 feeds two consumers and t1 three
+    // (argmax, token total, next rewrite), and without the cuts each
+    // consumer re-executes the scan + tokenize + earlier rounds'
+    // rewrites (the connectedComponents 8×-measured recompute).
     "bpe_merges" -> ((s, d) => {
-      val t0 = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(norm(col("text"))).as("toks"))
+      val t0 = Dedup.materialize(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(norm(col("text"))).as("toks")))
       def top1(t: org.apache.spark.sql.DataFrame) = t
         .select(explode(ngrams(col("toks"), 2)).as("bg"))
         .select(split(col("bg"), " ").getItem(0).as("a"),
@@ -260,7 +312,7 @@ object TextQueries extends QueryModule {
             bpeMergeOnce(col("toks"), col("a"), col("b")).as("toks"))
       def total(t: org.apache.spark.sql.DataFrame) =
         t.agg(sum(size(col("toks"))).as("n_tokens_after"))
-      val m1 = top1(t0); val t1 = merged(t0, m1)
+      val m1 = top1(t0); val t1 = Dedup.materialize(merged(t0, m1))
       val m2 = top1(t1); val t2 = merged(t1, m2)
       m1.withColumn("merge_round", lit(1)).crossJoin(broadcast(total(t1)))
         .unionByName(
@@ -270,9 +322,10 @@ object TextQueries extends QueryModule {
     }),
 
     // Count-min sketch vs exact counts (Cormode & Muthukrishnan '05 —
-    // the frequency member of the sketch family beside HLL for
-    // cardinality and percentile_approx for quantiles): d=4 hash rows
-    // × w=1024 buckets, each cell a plain count. The sketch build is
+    // the frequency member of the sketch family beside KMV for
+    // cardinality and the bottom-k sample for quantiles): d=CmsD hash
+    // rows × w=CmsW=256 buckets (sized below the ~916-bigram domain —
+    // see the constant's comment), each cell a plain count. The sketch build is
     // ONE aggregation whose partial phase collapses every task to
     // ≤ d·w cells before the exchange — fixed-size regardless of
     // vocabulary, which is the whole point at a 1e8-token vocabulary
@@ -456,10 +509,11 @@ object TextQueries extends QueryModule {
         graft.operators.Rank.topKPerGroup(df.withColumn("g", lit(0)), K,
             Seq("g"), Seq(ord, col("doc_id")), rkName)
           .select(col("doc_id"), col(rkName))
-      val tfdoc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
-        .filter(col("token").isin(BmTerms: _*))
-        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      // the lexical arm aggregates the SAME shared term-frequency
+      // frame the bm25 arm consumes (one derivation, like the oracle's
+      // shared tf CTE)
+      val tfdoc = bmTermFreq(s, d)
+        .groupBy("doc_id").agg(sum(col("tf")).as("tf"))
       val lex = topRanks(tfdoc, col("tf").desc, "tf_rank")
       val bm = topRanks(bm25Frame(s, d).select("doc_id", "score_fx"),
         col("score_fx").desc, "bm25_rank")
@@ -523,18 +577,11 @@ object TextQueries extends QueryModule {
     // stratum an independent stream that packs in parallel — the same
     // recipe distributed loaders use — and chunk ids are shard-local by
     // construction.
-    "sequence_pack" -> ((s, d) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-      val T = 2048
-      Tables.documents(s, d)
-        .withColumn("n_tokens", size(tokens(norm(col("text")))))
-        .withColumn("shard", pmod(col("doc_id"), lit(8)))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+    "sequence_pack" -> ((s, d) =>
+      packedLocal(s, d)
         .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / T).as("seq_id"),
-          ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
-        .orderBy("doc_id")
-    }),
+          col("local_seq").as("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")),
 
     // sequence_pack with GLOBALLY contiguous chunk ids — what a real
     // loader emits. A second pass over the per-stratum chunk counts (a
@@ -545,19 +592,11 @@ object TextQueries extends QueryModule {
     // frame is touched once more by a broadcast hash join: no extra
     // shuffle of the corpus.
     "sequence_pack_global" -> ((s, d) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-      val T = 2048
-      val local = Tables.documents(s, d)
-        .withColumn("n_tokens", size(tokens(norm(col("text")))))
-        .withColumn("shard", pmod(col("doc_id"), lit(8)))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / T).as("local_seq"),
-          ((col("cum") - col("n_tokens")) % T).as("seq_offset"))
+      val local = packedLocal(s, d)
       val wOff = Window.orderBy("lang", "shard")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = local.groupBy("lang", "shard")
-        .agg(ceil(sum(col("n_tokens")) / lit(T.toDouble)).as("n_chunks"))
+        .agg(ceil(sum(col("n_tokens")) / lit(PackT.toDouble)).as("n_chunks"))
         .withColumn("chunk_off", coalesce(sum(col("n_chunks")).over(wOff), lit(0L)))
         .select("lang", "shard", "chunk_off")
       local.join(broadcast(offsets), Seq("lang", "shard"))
@@ -568,10 +607,13 @@ object TextQueries extends QueryModule {
 
     // Benchmark decontamination: flag training documents that share a
     // 5-gram shingle with the held-out "benchmark" slice (doc_id % 10
-    // = 0 plays the eval set). The benchmark side is BROADCAST — eval
-    // sets are tiny by definition while the training corpus is the
-    // 100 TB side, so the contamination sweep is a map-side hash probe
-    // per shingle, never a shuffle of the corpus.
+    // = 0 plays the eval set). The benchmark side carries NO broadcast
+    // hint: a REAL eval set (a fixed benchmark) is tiny and AQE
+    // broadcasts it adaptively for the map-side hash probe, but THIS
+    // synthesis derives the eval slice from the corpus itself (10% of
+    // it), so a hint would force a corpus-proportional frame to every
+    // executor at scale — the doc_lm_score vocabulary rule: bounded by
+    // observation, never by hope.
     "decontaminate" -> ((s, d) => {
       val e = Tables.documents(s, d)
         .withColumn("toks", tokens(norm(col("text"))))
@@ -579,7 +621,7 @@ object TextQueries extends QueryModule {
           explode(array_distinct(ngrams(col("toks"), 5))).as("s"))
       val bench = e.filter(col("doc_id") % 10 === 0).select("s").distinct()
       e.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench), "s")
+        .join(bench, "s")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
@@ -755,8 +797,12 @@ object TextQueries extends QueryModule {
     // (X-38/X-50) directly.
     "corpus_mix" -> ((s, d) =>
       Tables.documents(s, d)
+        // digit-suffix extraction, TOTAL on any source format: a
+        // non-'srcN' source yields '' → null → zero copies in BOTH
+        // engines (the oracle TRY_CASTs the same regex), where a
+        // positional substr would silently null here and ERROR there
         .withColumn("w10",
-          (lit(5) + substring(col("source"), 4, 10).cast("long") % 5 * 5).cast("int"))
+          (lit(5) + regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 5 * 5).cast("int"))
         .withColumn("bucket", sampleBucket(col("doc_id"), "graft-mix"))
         .withColumn("copies",
           (floor(col("w10") / lit(10.0)).cast("int") +
@@ -1063,7 +1109,7 @@ object TextQueries extends QueryModule {
     "corpus_mix" ->
       """WITH w AS (
         |  SELECT doc_id, source,
-        |         CAST(5 + (CAST(substr(source, 4) AS BIGINT) % 5) * 5 AS INTEGER) AS w10,
+        |         CAST(5 + (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5) * 5 AS INTEGER) AS w10,
         |         CAST('0x' || substr(md5('graft-mix' || doc_id), 1, 4) AS BIGINT) % 100 AS bucket
         |  FROM documents),
         |c AS (SELECT doc_id, source, w10,
@@ -1416,30 +1462,14 @@ object TextQueries extends QueryModule {
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "sequence_pack" ->
-      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
-         |             CAST(len($toksSql) AS INTEGER) AS n_tokens
-         |           FROM documents),
-         |c AS (SELECT doc_id, lang, shard, n_tokens,
-         |             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM t)
+      s"""WITH $packCte
          |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
-         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
-         |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |       CAST(local_seq AS BIGINT) AS seq_id,
+         |       CAST(seq_offset AS BIGINT) AS seq_offset
+         |FROM l ORDER BY doc_id""".stripMargin,
 
     "sequence_pack_global" ->
-      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
-         |             CAST(len($toksSql) AS INTEGER) AS n_tokens
-         |           FROM documents),
-         |c AS (SELECT doc_id, lang, shard, n_tokens,
-         |             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM t),
-         |l AS (SELECT doc_id, lang, shard, n_tokens,
-         |             (cum - n_tokens) // 2048 AS local_seq,
-         |             (cum - n_tokens) % 2048 AS seq_offset
-         |      FROM c),
+      s"""WITH $packCte,
          |o AS (SELECT lang, shard, CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS n_chunks
          |      FROM l GROUP BY lang, shard),
          |o2 AS (SELECT lang, shard,

@@ -123,10 +123,14 @@ class PlanAuditSpec extends SparkSpec {
       "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
-      "bpe_merges" -> 7,           // 1-row argmax-pair + 1-row token-total frames through 2 unrolled merge rounds (round 2's lineage re-embeds round 1's hints)
+      "bpe_merges" -> 3,           // 1-row token-total frames (×2) + round 2's rewrite hint; round 1's hints sit behind the per-round materialization since round 8
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
       "rrf_fusion" -> 2,           // the embedded bm25 arm's same two bounded frames
-      "decontaminate" -> 1,        // benchmark eval set: tiny by definition
+      // decontaminate carries NO hint since round 8: its synthesized
+      // eval slice is corpus-proportional (10% of documents), so the
+      // frame is bounded by OBSERVATION (AQE) not construction — the
+      // doc_lm_score vocabulary rule (a real fixed benchmark set would
+      // be broadcast adaptively anyway)
       "sequence_pack_global" -> 1, // per-(lang, shard) chunk offsets: stratum-cardinality
       "user_value_by_nation" -> 2, // customer + nation dims
       "revenue_by_nation" -> 3,    // customer + nation + region dims
