@@ -37,6 +37,13 @@ object Exact {
     sum(dec(extPrice) * (lit(1) - dec(discount)) * (lit(1) + dec(tax)))
       .cast("double")
 
+  /** Exact integer CENTS of a 2-decimal double money column — the
+    * fixed-point projection the whole exact-quantile/CDC family keys
+    * its arithmetic on. One definition (the suite's cross-engine
+    * exactness hinges on this idiom staying identical everywhere); the
+    * DuckDB mirror is [[sqlCents]]. */
+  def cents(c: Column): Column = (dec(c) * 100).cast("long")
+
   /** Exact second moments for variance/correlation: Σx² and Σxy as
     * DECIMAL sums cast to double. Spark's stddev_samp/corr accumulate
     * doubles in partition order — nondeterministic under a hash gate —
@@ -48,6 +55,8 @@ object Exact {
 
   /** DuckDB SQL fragments mirroring the expressions above. */
   def sqlDec(c: String): String = s"CAST($c AS DECIMAL(12,2))"
+  def sqlCents(c: String): String =
+    s"CAST(${sqlDec(c)} * 100 AS BIGINT)"
   def sqlDecSum(c: String): String = s"CAST(SUM(${sqlDec(c)}) AS DOUBLE)"
   def sqlDecAvg(c: String): String =
     s"CAST(SUM(${sqlDec(c)}) AS DOUBLE) / COUNT($c)"

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -237,7 +237,7 @@ object RelationalQueries extends QueryModule {
         when(cnt === 1, s * 2).otherwise(s)
       val cents = Tables.orders(s, d)
         .select(col("o_orderpriority"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          Exact.cents(col("o_totalprice")).as("p_c"),
           col("o_orderkey"))
       // The per-group medians are MATERIALIZED (|groups| rows) before
       // the deviation pass: the second rank selection re-embeds its
@@ -422,6 +422,13 @@ object RelationalQueries extends QueryModule {
     // unpartitioned window is safe for exactly that reason (allowlist
     // gate, PlanAuditSpec). Days with no open/close event are not
     // emitted (the count is constant there); both engines agree.
+    // ATTRIBUTION SEMANTICS of n_closed: the −1 delta lands on
+    // close_day + 1, so n_closed on day d counts orders whose last
+    // ship day was d−1 — i.e. "closures effective at the start of d",
+    // the convention that makes the n_open recurrence exact
+    // (n_open(d) = n_open(d−1) + n_opened(d) − n_closed(d), with an
+    // order still open ON its final ship day). A consumer attributing
+    // closures to the close day itself must read n_closed(d+1).
     "open_orders_by_day" -> ((s, d) => {
       val closes = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
@@ -468,9 +475,11 @@ object RelationalQueries extends QueryModule {
         .filter(graft.operators.TextAnalysis
           .sampleBucket(col("c_custkey"), "graft-erase") < 2)
         .select(col("c_custkey"))
-      val ordersHit = Tables.orders(s, d)
+      // MATERIALIZED: consumed by its own count AND the lineitem join
+      // — without the cut the orders scan + subject join runs twice
+      val ordersHit = graft.operators.Dedup.materialize(Tables.orders(s, d)
         .join(subjects, col("o_custkey") === col("c_custkey"))
-        .select("o_orderkey")
+        .select("o_orderkey"))
       val cust = subjects.agg(count(lit(1)).as("n_rows"))
         .withColumn("table_name", lit("customer"))
       val ord = ordersHit.agg(count(lit(1)).as("n_rows"))
@@ -550,10 +559,14 @@ object RelationalQueries extends QueryModule {
       val keys = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#13").select("p_partkey")
       val bloomDf = Bloom.build(keys, "p_partkey")
-      val candidates = Tables.lineitem(s, d)
+      // MATERIALIZED: the bloom-probed scan feeds both the candidate
+      // stats and the exact semi join — without the cut the fact scan
+      // + probe filter (the pass the query exists to minimize) runs
+      // twice under two different exchanges
+      val candidates = graft.operators.Dedup.materialize(Tables.lineitem(s, d)
         .select("l_returnflag", "l_partkey", "l_extendedprice", "l_discount")
         .crossJoin(broadcast(bloomDf))
-        .filter(Bloom.mightContain(col("bloom"), col("l_partkey")))
+        .filter(Bloom.mightContain(col("bloom"), col("l_partkey"))))
       val candStats = candidates.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_candidates"))
       val matched = candidates
@@ -650,12 +663,7 @@ object RelationalQueries extends QueryModule {
     // rather than nondeterminism.
     "scd2_dim" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val changes = Tables.orders(s, d)
-        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
-        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-      changes
-        .withColumn("version", row_number().over(w).cast("long"))
+      scd2Changes(s, d)
         .withColumn("valid_from", col("o_orderdate"))
         .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)
@@ -676,7 +684,7 @@ object RelationalQueries extends QueryModule {
     "equidepth_hist" -> ((s, d) => {
       val cents = Tables.orders(s, d)
         .select(lit("all").as("grp"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          Exact.cents(col("o_totalprice")).as("p_c"),
           col("o_orderkey"))
       val selected = Quantile.selectRanks(cents, "grp", "p_c", "o_orderkey",
         n => Quantile.ntileCutoffs(8)(n) :+ n)
@@ -739,18 +747,11 @@ object RelationalQueries extends QueryModule {
     // neither snapshot of a 100 TB table is broadcastable. Value
     // compare in exact integer cents.
     "snapshot_diff" -> ((s, d) => {
-      import graft.operators.TextAnalysis.sampleBucket
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      val old = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-ins") >= 2)
-        .withColumn("cents",
-          when(sampleBucket(col("o_orderkey"), "graft-snap-upd") < 3,
-            col("cents") - 100L).otherwise(col("cents")))
-        .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("st_old"),
-          col("cents").as("c_old"))
-      val neu = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-del") >= 2)
-        .select(col("o_orderkey").as("k_new"), col("o_orderstatus").as("st_new"),
-          col("cents").as("c_new"))
+      val (o, n) = snapshotPair(s, d)
+      val old = o.select(col("o_orderkey").as("k_old"),
+        col("o_orderstatus").as("st_old"), col("cents").as("c_old"))
+      val neu = n.select(col("o_orderkey").as("k_new"),
+        col("o_orderstatus").as("st_new"), col("cents").as("c_new"))
       neu.join(old, col("k_new") === col("k_old"), "full_outer")
         .withColumn("change_class",
           when(col("k_old").isNull, "insert")
@@ -827,7 +828,7 @@ object RelationalQueries extends QueryModule {
       val t = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L)
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+          Exact.cents(col("o_totalprice")).as("cents"))
         .select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(15))).as("b"))
         .withColumn("u", conv(substring(md5(concat(lit("graft-boot"),
@@ -858,7 +859,7 @@ object RelationalQueries extends QueryModule {
     "partition_fingerprint" -> ((s, d) => {
       val rh = conv(substring(md5(concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
+        Exact.cents(col("o_totalprice")),
         col("o_orderpriority"))), 1, 14), 16, 10).cast("long")
       Tables.orders(s, d)
         .withColumn("part_month", date_trunc("month", col("o_orderdate")))
@@ -891,7 +892,7 @@ object RelationalQueries extends QueryModule {
       import graft.operators.TextAnalysis.sampleBucket
       val o = Tables.orders(s, d)
         .select(date_trunc("month", col("o_orderdate")).as("month"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+          Exact.cents(col("o_totalprice")).as("cents"),
           sampleBucket(col("o_orderkey"), "graft-late").as("bkt"))
       def agg(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("month").agg(count(lit(1)).as("n_orders"),
@@ -990,7 +991,7 @@ object RelationalQueries extends QueryModule {
       val byNation = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .agg(sum(Exact.cents(col("o_totalprice")))
           .as("cents"))
       val tot = byNation.agg(sum(col("cents")).as("tt"))
       val wOrd = Window.orderBy(col("cents").desc, col("n_name"))
@@ -1078,11 +1079,9 @@ object RelationalQueries extends QueryModule {
     "pit_join" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_orderpriority"))
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val changes = o
-        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-        .withColumn("version", row_number().over(w).cast("long"))
+      // the dimension IS scd2_dim's change frame (shared build —
+      // see scd2Changes)
+      val changes = scd2Changes(s, d)
         .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
           col("version"), col("o_orderpriority").as("dim_priority"))
       graft.operators.AsOf.joinPrior(o, changes, "o_custkey",
@@ -1109,7 +1108,7 @@ object RelationalQueries extends QueryModule {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n_t"),
-          sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+          sum(Exact.cents(col("o_totalprice")))
             .as("s_t"))
       val tot = daily.agg(sum(col("n_t")).cast("decimal(38,0)").as("nn"),
         sum(col("s_t")).cast("decimal(38,0)").as("ss"))
@@ -1141,7 +1140,7 @@ object RelationalQueries extends QueryModule {
     // set is a literal VALUES frame crossed against the stats frame —
     // |preds|·|partitions| metadata rows of pure arithmetic.
     "scan_prune_audit" -> ((s, d) => {
-      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+      val cents = Exact.cents(col("o_totalprice"))
       val dayN = datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
         .cast("long")
       val stats = Tables.orders(s, d)
@@ -1185,7 +1184,7 @@ object RelationalQueries extends QueryModule {
     "winsorized_mean" -> ((s, d) => {
       val cents = Tables.orders(s, d)
         .select(col("o_orderpriority"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("p_c"),
+          Exact.cents(col("o_totalprice")).as("p_c"),
           col("o_orderkey"))
       val sel = Quantile.selectRanks(cents, "o_orderpriority", "p_c", "o_orderkey",
         n => Seq(Quantile.idiv(n + lit(19L), 20),
@@ -1223,7 +1222,7 @@ object RelationalQueries extends QueryModule {
         col("o_orderpriority"),
         datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
           .cast(dec).as("x"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        Exact.cents(col("o_totalprice"))
           .cast(dec).as("y"))
       base.groupBy("o_orderpriority")
         .agg(count(lit(1)).cast(dec).as("n"),
@@ -1252,21 +1251,22 @@ object RelationalQueries extends QueryModule {
     // 100 TB table is assumed broadcastable; AQE may still broadcast a
     // measured-small delta at runtime).
     "merge_apply" -> ((s, d) => {
-      import graft.operators.TextAnalysis.sampleBucket
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      val old = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-ins") >= 2)
-        .withColumn("cents",
-          when(sampleBucket(col("o_orderkey"), "graft-snap-upd") < 3,
-            col("cents") - 100L).otherwise(col("cents")))
-      val neu = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-del") >= 2)
+      // snapshots from the ONE shared synthesis (snapshotPair) — this
+      // query's documented premise is that it consumes X-97's change
+      // classes, which only holds if the two queries can't drift
+      val (old, neu) = snapshotPair(s, d)
       // the CDC delta, exactly as a MERGE statement consumes it:
-      // upserts carry v2 values; deletes carry only keys
-      val joined = neu.select(col("o_orderkey").as("k_new"),
+      // upserts carry v2 values; deletes carry only keys. MATERIALIZED:
+      // the full-outer join of two fact-sized snapshots is the heaviest
+      // shuffle here, and both `upserts` and `touched` consume it —
+      // without the cut it executes twice (different parent operators,
+      // no exchange reuse).
+      val joined = graft.operators.Dedup.materialize(
+        neu.select(col("o_orderkey").as("k_new"),
           col("o_orderstatus").as("st_new"), col("cents").as("c_new"))
         .join(old.select(col("o_orderkey").as("k_old"),
           col("o_orderstatus").as("st_old"), col("cents").as("c_old")),
-          col("k_new") === col("k_old"), "full_outer")
+          col("k_new") === col("k_old"), "full_outer"))
       val upserts = joined
         .filter(col("k_old").isNull ||
           (col("k_new").isNotNull &&
@@ -1297,6 +1297,43 @@ object RelationalQueries extends QueryModule {
   )
 
   import Exact._
+
+  /** X-92/X-124 shared SCD2 change-point build: per-customer
+    * order-priority change rows under the (o_orderdate, o_orderkey)
+    * total order, with 1-based version numbers. ONE definition —
+    * scd2_dim compresses it to validity intervals and pit_join
+    * re-joins facts against it as-of; a second inline derivation
+    * could silently drift (each query hash-matches its own oracle, so
+    * the gate can't see cross-query divergence) and would quietly
+    * stop testing what scd2_dim actually builds. */
+  private def scd2Changes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(w).cast("long"))
+  }
+
+  /** X-97/X-113 shared snapshot synthesis: two versions of `orders`
+    * derived by deterministic md5 draws (2% inserted-since, 2%
+    * deleted-since, 3% value-drifted). ONE definition — snapshot_diff
+    * computes the change classes and merge_apply consumes them, which
+    * only means anything if both see the SAME snapshots (each query
+    * hash-matches its own oracle, so the gate is blind to drift
+    * between them). Returns (old, new), both (o_orderkey,
+    * o_orderstatus, cents). */
+  private def snapshotPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.operators.TextAnalysis.sampleBucket
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      Exact.cents(col("o_totalprice")).as("cents"))
+    val old = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-ins") >= 2)
+      .withColumn("cents",
+        when(sampleBucket(col("o_orderkey"), "graft-snap-upd") < 3,
+          col("cents") - 100L).otherwise(col("cents")))
+    val neu = o.filter(sampleBucket(col("o_orderkey"), "graft-snap-del") >= 2)
+    (old, neu)
+  }
 
   def oracle: Map[String, String] = Map(
     "bloom_semi_prune" -> {

@@ -156,7 +156,9 @@ class PlanAuditSpec extends SparkSpec {
       "sq8_error" -> 1,            // 64-row per-dimension bounds frame (the trained SQ codebook)
       "zorder_layout" -> 1,        // 1-row global min/max bounds frame
       "temperature_mix" -> 2,      // 1-row total + |langs|-row smoothed-boost frame
-      "bloom_semi_prune" -> 2,     // 1-row bloom bitmap map (≤128 words by construction); candidate + matched arms each embed the lineage once
+      // bloom_semi_prune's 1-row bitmap-map hint sits behind the
+      // round-8 candidates materialization (the probed scan feeds two
+      // arms) — no hint visible in the final plan
       "zscore_features" -> 1,      // per-segment moment stats: |segments| rows
       "source_overlap" -> 2,       // per-source distinct-shingle sizes: |sources| rows, hinted on each pair side
       "ann_recall" -> 5,           // 10-query frames: lsh's 1 + lsh_mp's 1 (multi-probe query fan-out) + ivf's 3 (materialized centroids on assign/probe + probes); truth's own hint sits behind its round-8 materialization instead of re-embedding ×3
