@@ -85,18 +85,6 @@ object DocQueries extends QueryModule {
           length(col("text")).as("n_len"))
         .orderBy("doc_id")),
 
-    // Scale-safe global sequence assignment (X-99): contiguous ids in
-    // (lang, doc_id) order WITHOUT a global single-task sort — the
-    // distributed zipWithIndex, expressed declaratively. Range-
-    // repartition on the order keys (ONE exchange; partition count is
-    // bounded by the session parallelism), capture the physical
-    // partition id, rank locally per captured pid (every task sorts
-    // only its slice), aggregate per-partition counts (≤ P rows),
-    // prefix-sum them with an unpartitioned window over that P-row
-    // frame (allowlisted with that bound), broadcast the offsets
-    // back. The ids depend only on the TOTAL order (lang, doc_id is
-    // unique), not on where RangePartitioner's sampled boundaries
-    // fall, so the result is deterministic run to run.
     // Training-export shard manifest (X-108): deterministically assign
     // every document to a (lang, shard) output shard by an md5 draw on
     // the doc id (stable under reruns and cluster layout — a rand()
@@ -161,9 +149,14 @@ object DocQueries extends QueryModule {
       val per = Tables.documents(s, d).select(
         (h("graft-shard") % 4 =!= h("graft-shard") % 5).as("mod_moved"),
         (hrw(4) =!= hrw(5)).as("hrw_moved"))
-      val agg = per.agg(count(lit(1)).as("n_docs"),
-        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_m"),
-        sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("hrw_m"))
+      // the 1-row aggregate is MATERIALIZED before the two-strategy
+      // unpivot: both union branches consume it, and without the cut
+      // the corpus scan + six md5 hashes per row could execute twice
+      // (exchange reuse is an optimization, not a guarantee)
+      val agg = graft.operators.Dedup.materialize(
+        per.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_m"),
+          sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("hrw_m")))
       def row(name: String, c: String) =
         agg.select(lit(name).as("strategy"), col("n_docs"),
           col(c).as("n_moved"),

@@ -136,13 +136,9 @@ object EnrichQueries extends QueryModule {
       // extracted sentence. Reuses the one `filled` contract above.
       "leadsight_pipeline" -> {
         val extAbout = DocQueries.aboutSql
-        val keyCols = FlattenKeys.map { k =>
-          filled.get(k) match {
-            case Some(e) =>
-              s"CASE WHEN about IS NULL OR about = '' THEN NULL ELSE $e END AS $k"
-            case None => s"CAST(NULL AS VARCHAR) AS $k"
-          }
-        }.mkString(",\n       ")
+        // the ONE keyCols builder above — a second inline copy of the
+        // null-or-empty skip guard could silently desynchronize the
+        // two oracles
         s"""WITH base AS (
            |  SELECT doc_id,
            |         source || '-' || doc_id AS company,

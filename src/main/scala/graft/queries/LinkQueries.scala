@@ -85,13 +85,7 @@ object LinkQueries extends QueryModule {
       val Scale = 1000000000000L
       val docs = Tables.documents(s, d).select("doc_id")
       val stats = docs.agg(count(lit(1)).as("n"))
-      val edges = graft.operators.Dedup.materialize(
-        docs.crossJoin(broadcast(stats))
-          .filter(col("doc_id") % 7 =!= 0) // 1-in-7 docs are sinks
-          .select(col("doc_id").as("src"),
-            explode(array((1 to 3).map(j =>
-              (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
-          .repartition(col("src")))
+      val edges = linkEdges(s, d)
       def iterate(rIn: DataFrame): DataFrame = {
         val r = graft.operators.Dedup.materialize(rIn)
         val contrib = edges.join(r, edges("src") === r("doc_id"))
@@ -133,11 +127,7 @@ object LinkQueries extends QueryModule {
     "link_triangles" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id")
       val stats = docs.agg(count(lit(1)).as("n"))
-      val raw = docs.crossJoin(broadcast(stats))
-        .filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id").as("src"),
-          explode(array((1 to 3).map(j =>
-            (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
+      val raw = linkEdgesRaw(s, d)
       val und = graft.operators.Dedup.materialize(
         raw.filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("a"),
@@ -196,14 +186,14 @@ object LinkQueries extends QueryModule {
       val F = 1000000L
       val docs = Tables.documents(s, d).select("doc_id")
       val stats = docs.agg(count(lit(1)).as("n"))
-      val edges = graft.operators.Dedup.materialize(
-        docs.crossJoin(broadcast(stats))
-          .filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id").as("src"),
-            explode(array((1 to 3).map(j =>
-              (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
-          .repartition(col("src")))
-      def normalized(scores: DataFrame, c: String): DataFrame = {
+      val edges = linkEdges(s, d)
+      def normalized(scoresIn: DataFrame, c: String): DataFrame = {
+        // scores MATERIALIZED before the max: both the 1-row max
+        // aggregate and the rescale join consume it, and without the
+        // cut the round's edges-join + aggregation lineage executes
+        // twice (4 joins + 4 aggregates per round instead of the
+        // stated 2 + 2)
+        val scores = graft.operators.Dedup.materialize(scoresIn)
         val m = scores.agg(max(col(c)).as("mx"))
         scores.crossJoin(broadcast(m))
           .select(col("doc_id"), expr(s"($c * ${F}L) div mx").as(c))
@@ -262,13 +252,7 @@ object LinkQueries extends QueryModule {
     "neighbor_features" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val stats = docs.agg(count(lit(1)).as("n"))
-      val edges = graft.operators.Dedup.materialize(
-        docs.select("doc_id").crossJoin(broadcast(stats))
-          .filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id").as("src"),
-            explode(array((1 to 3).map(j =>
-              (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
-          .repartition(col("src")))
+      val edges = linkEdges(s, d)
       def hop(h: DataFrame, valCol: String): DataFrame =
         edges.join(h, edges("src") === h("doc_id"))
           .groupBy("dst")
@@ -402,6 +386,27 @@ object LinkQueries extends QueryModule {
     }),
   )
 
+  /** Shared synthesized link graph for X-52/X-82/X-111/X-116: every
+    * doc emits 3 hash-derived targets except every 7th (a SINK). ONE
+    * definition, materialized and pre-partitioned on src (the CC
+    * recipe — iterative consumers join it every round); the four graph
+    * queries describe "the same synthesized link graph" and can only
+    * mean it if they build it here. `raw` = the un-deduped directed
+    * edge list before the materialize (link_triangles needs the
+    * pre-materialization form to build its undirected view). */
+  private def linkEdgesRaw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val stats = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(stats))
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(j =>
+          (col("doc_id") * 31 + j * 97) % col("n")): _*)).as("dst"))
+  }
+  private def linkEdges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.materialize(
+      linkEdgesRaw(s, d).repartition(col("src")))
+
   /** Shared crawl-frontier synthesis for X-133/X-134: one URL per doc
     * (host from source, path from lang; every 11th doc targets a
     * /private/ path so the robots gate has real work). */
@@ -438,10 +443,13 @@ object LinkQueries extends QueryModule {
     * equal-length /tie/ allow+disallow pair; srcN%3=0 hosts also fence
     * /zh/ (so plain-language paths exercise the gate too). */
   private def robotsAllowRules(s: SparkSession, d: String): DataFrame = {
-    // digit-suffix extraction, total on any source format (the
-    // corpus_mix rule: '' casts to null in Spark, TRY_CAST(NULL) in
-    // the oracle — both engines then drop the rule row identically)
-    val srcN = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    // digit-suffix extraction, total on any source format: the empty
+    // no-match string is nulled BEFORE the cast (Spark 4 runs ANSI
+    // mode, where CAST('' AS INT) throws rather than nulling), so a
+    // digit-less source drops its rule row exactly like the oracle's
+    // TRY_CAST
+    val digits = regexp_extract(col("source"), "([0-9]+)$", 1)
+    val srcN = when(digits === "", lit(null)).otherwise(digits).cast("int")
     Tables.documents(s, d).select(col("source")).distinct()
       .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
         explode(array(
@@ -459,10 +467,13 @@ object LinkQueries extends QueryModule {
   /** Per-host disallow rules: /private/ everywhere; srcN%3=0 hosts
     * also fence /zh/, srcN%3=1 hosts /es/. */
   private def robotsRules(s: SparkSession, d: String): DataFrame = {
-    // digit-suffix extraction, total on any source format (the
-    // corpus_mix rule: '' casts to null in Spark, TRY_CAST(NULL) in
-    // the oracle — both engines then drop the rule row identically)
-    val srcN = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    // digit-suffix extraction, total on any source format: the empty
+    // no-match string is nulled BEFORE the cast (Spark 4 runs ANSI
+    // mode, where CAST('' AS INT) throws rather than nulling), so a
+    // digit-less source drops its rule row exactly like the oracle's
+    // TRY_CAST
+    val digits = regexp_extract(col("source"), "([0-9]+)$", 1)
+    val srcN = when(digits === "", lit(null)).otherwise(digits).cast("int")
     Tables.documents(s, d).select(col("source")).distinct()
       .select(concat(lit("www."), col("source"), lit(".example.com")).as("host"),
         explode(array(lit("/private/"),

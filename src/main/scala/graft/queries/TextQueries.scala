@@ -797,12 +797,15 @@ object TextQueries extends QueryModule {
     // (X-38/X-50) directly.
     "corpus_mix" -> ((s, d) =>
       Tables.documents(s, d)
-        // digit-suffix extraction, TOTAL on any source format: a
-        // non-'srcN' source yields '' → null → zero copies in BOTH
-        // engines (the oracle TRY_CASTs the same regex), where a
-        // positional substr would silently null here and ERROR there
+        // digit-suffix extraction, TOTAL on any source format: the
+        // empty no-match string is nulled BEFORE the cast (ANSI mode
+        // throws on CAST('' AS BIGINT)), so a non-'srcN' source yields
+        // null weight → zero copies in BOTH engines (the oracle
+        // TRY_CASTs the same regex)
+        .withColumn("__digits", regexp_extract(col("source"), "([0-9]+)$", 1))
         .withColumn("w10",
-          (lit(5) + regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 5 * 5).cast("int"))
+          (lit(5) + when(col("__digits") === "", lit(null))
+            .otherwise(col("__digits")).cast("long") % 5 * 5).cast("int"))
         .withColumn("bucket", sampleBucket(col("doc_id"), "graft-mix"))
         .withColumn("copies",
           (floor(col("w10") / lit(10.0)).cast("int") +
