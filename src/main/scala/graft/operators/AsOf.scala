@@ -40,7 +40,16 @@ object AsOf {
       lit(null).cast(tbType).as("__tb"),
       struct(left.columns.map(col): _*).as("__left"),
       lit(null).cast(rightStruct).as("__right"))
-    val rpart = right.select(
+    // SQL as-of semantics: right.ts <= left.ts is UNKNOWN for a null
+    // timestamp (and a null key equi-matches nothing), so such right
+    // rows must never be "the prior row" — but ascending NULLS FIRST
+    // ordering would sort them to the partition head where
+    // last(ignoreNulls) fabricates them as matches for early left
+    // rows. Drop them up front. (A null-ts LEFT row then sorts first
+    // with no preceding right row → asof_* null, also correct.)
+    val rpart = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
       col(tiebreak).as("__tb"),
       lit(null).cast(leftStruct).as("__left"),

@@ -63,8 +63,9 @@ object Bloom {
   private def word(pos: Column): Column = shiftright(pos, 5)
 
   /** 2^(pos mod 32) via a literal lookup array — the Column-level
-    * shiftleft only takes a constant shift, and a 33-element literal
-    * array keeps the whole expression codegen-friendly. */
+    * shiftleft only takes a constant shift, and a 32-element literal
+    * array (indexed 1-based over [1, 32]) keeps the whole expression
+    * codegen-friendly. */
   private val Pow2: Column = array((0 until 32).map(b => lit(1L << b)): _*)
   private def mask(pos: Column): Column =
     element_at(Pow2, (pos % lit(32L)).cast("int") + lit(1))
@@ -74,6 +75,10 @@ object Bloom {
   def build(keys: DataFrame, keyCol: String): DataFrame = {
     val h = keyHash(col(keyCol))
     keys
+      // a null key hashes to null positions → a null map key, which
+      // throws NULL_MAP_KEY in map_from_entries; nulls can never pass
+      // the exact equi join this filter fronts, so drop them here
+      .filter(col(keyCol).isNotNull)
       .select(explode(array((0 until K).map(i => bitPos(h, i)): _*)).as("__pos"))
       .select(word(col("__pos")).as("__word"), mask(col("__pos")).as("__mask"))
       .groupBy("__word")

@@ -50,15 +50,26 @@ object Similarity {
     graft.functions.DotProductFx.dot_fx(a, b)
 
   /** Cosine from exact integer dot + norms; norms are multiplied as
-    * doubles (their long product would overflow). */
+    * doubles (their long product would overflow). A ZERO norm (every
+    * element quantizes to 0) yields NULL rather than dividing: the
+    * session runs Spark 4's default ANSI mode, where the division
+    * would throw DIVIDE_BY_ZERO and kill the job on one degenerate
+    * vector — null instead drops the row at any cos-threshold filter
+    * (cosine is undefined for the zero vector). The fixtures contain
+    * no zero-norm vectors, so oracle parity is unaffected. */
   def cosFx(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+    when(na === 0 || nb === 0, lit(null).cast("double"))
+      .otherwise(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
 
   /** Sign-bit LSH bucket: bit i set when dimension i is non-negative —
     * random-hyperplane hashing with axis-aligned planes. `bits` controls
     * the bucket count (2^bits). */
   def signBucket(arr: Column, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(arr, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      // null-safe 0-based get(): a truncated/corrupt vector shorter
+      // than `bits` hashes its missing dimensions to the 0 branch
+      // instead of throwing INVALID_ARRAY_INDEX under ANSI mode
+      // (matches the probe-side access in SimilarityQueries)
+      .map(i => when(get(arr, lit(i)) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 }

@@ -20,6 +20,11 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       buckets: Int = 8, seed: Long = 42L): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // withColumn would silently OVERWRITE a pre-existing __salt column
+    // (and the final drop would remove the user's column) — wrong rows
+    // or lost data with no error; fail fast instead
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val salted = fact.withColumn("__salt",
       (rand(seed) * buckets).cast("int"))
     val exploded = dim.withColumn("__salt",

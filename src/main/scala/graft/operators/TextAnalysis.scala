@@ -30,9 +30,15 @@ object TextAnalysis {
 
   /** BPE-ish subword segmentation count: letter runs, digit runs, and
     * single punctuation marks each count as one token (the common
-    * pre-tokenizer regex shape). */
+    * pre-tokenizer regex shape). UNICODE letter/digit classes — the
+    * ASCII-only form counted every accented letter as standalone
+    * punctuation ('café' → 2 tokens, 'über' → 3), systematically
+    * inflating counts for exactly the es/de/fr corpora LangProfiles
+    * targets. \p{L}/\p{N} mean the same thing in Java regex and the
+    * oracle's RE2. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Word n-grams of a token array, in order, multiset (frequency
     * analysis needs repeats — [[Dedup.shingles]] wraps this with
@@ -132,8 +138,13 @@ object TextAnalysis {
     val lenTerm  = least(nTok.cast("double") / lit(100.0), lit(1.0))
     val ttr      = nDistinct.cast("double") / nTok.cast("double")
     val stopRate = stopHits.cast("double") / nTok.cast("double")
-    lit(0.4) * lenTerm + lit(0.3) * ttr +
-      lit(0.3) * (lit(1.0) - abs(stopRate - lit(0.4)))
+    // nTok = 0 would DIVIDE_BY_ZERO under the session's ANSI default;
+    // current callers always pass ≥ 1 (split("") is [""]), but the
+    // natural composition with bpeTokenCount (0 for empty text) must
+    // degrade to score 0, not kill the job
+    when(nTok === 0, lit(0.0)).otherwise(
+      lit(0.4) * lenTerm + lit(0.3) * ttr +
+        lit(0.3) * (lit(1.0) - abs(stopRate - lit(0.4))))
   }
 
   /** Grade bands over the quality score. */

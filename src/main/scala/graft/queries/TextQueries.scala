@@ -1167,7 +1167,7 @@ object TextQueries extends QueryModule {
       """WITH t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS tx FROM documents)
         |SELECT doc_id,
         |       CAST(len(string_split(tx, ' ')) AS INTEGER) AS n_ws_tokens,
-        |       CAST(len(regexp_extract_all(tx, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |       CAST(len(regexp_extract_all(tx, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(len(list_distinct(string_split(tx, ' '))) AS INTEGER) AS n_distinct,
         |       CAST(length(tx) AS INTEGER) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,

@@ -59,4 +59,20 @@ class AsOfSpec extends SparkSpec {
     out.columns.toSeq shouldEqual Seq("event_id", "user_id", "ts", "note", "asof_click_id")
     out.collect().head.getAs[String]("note") shouldEqual "x"
   }
+
+  test("null right timestamps/keys are never fabricated as prior rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(5), "L1"), (1L, ts(1), "L0")).toDF("k", "lts", "lv")
+    // the null-ts right row would sort NULLS FIRST to the partition
+    // head and become "the prior row" for ts(1) without the guard
+    val right = Seq((1L, null.asInstanceOf[Timestamp], "BAD"),
+        (1L, ts(3), "R3")).toDF("k", "rts", "rv")
+    val out = AsOf.joinPrior(left, right, "k", "lts", "rts",
+        rightVals = Seq("rv"), tiebreak = "rts")
+      .collect().map(r => (r.getString(2), r.getString(3))).toMap
+    out("L0") shouldBe null // nothing precedes ts(1)
+    out("L1") shouldBe "R3"
+  }
 }

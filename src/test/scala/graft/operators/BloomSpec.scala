@@ -49,4 +49,14 @@ class BloomSpec extends SparkSpec {
       .count()
     hits shouldBe 0L
   }
+
+  test("null build keys are dropped, not a NULL_MAP_KEY crash") {
+    val keys = Seq[java.lang.Long](1L, null, 2L).toDF("k")
+    val bloom = Bloom.build(keys, "k")
+    val hits = Seq(1L, 2L, 3L).toDF("k")
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("bloom"), col("k")))
+      .collect().map(_.getLong(0)).toSet
+    hits should contain allOf (1L, 2L) // no false negatives on real keys
+  }
 }

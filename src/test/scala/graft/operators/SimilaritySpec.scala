@@ -48,4 +48,24 @@ class SimilaritySpec extends SparkSpec {
       .select(signBucket(col("a"), 4).as("b")).collect().head.getLong(0)
     b shouldEqual (1L | 4L) // dims 0 and 2 non-negative
   }
+
+  test("zero-norm vectors yield null cosine, not an ANSI divide-by-zero crash") {
+    import spark.implicits._
+    val out = Seq((Seq(0f, 0f), Seq(1f, 0f))).toDF("a", "b")
+      .select(Similarity.cosFx(
+        Similarity.dotFx(Similarity.quantize(col("a")), Similarity.quantize(col("b"))),
+        Similarity.dotFx(Similarity.quantize(col("a")), Similarity.quantize(col("a"))),
+        Similarity.dotFx(Similarity.quantize(col("b")), Similarity.quantize(col("b"))))
+        .as("cos"))
+      .collect().head
+    out.isNullAt(0) shouldBe true
+  }
+
+  test("signBucket hashes a too-short vector instead of throwing under ANSI") {
+    import spark.implicits._
+    val b = Seq(Seq(1L)).toDF("q") // 1 element, 6 bits requested
+      .select(Similarity.signBucket(col("q"), 6).as("b"))
+      .collect().head.getLong(0)
+    b shouldBe 1L // present dim 0 is >= 0; missing dims hash to 0
+  }
 }

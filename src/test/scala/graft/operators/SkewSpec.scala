@@ -29,4 +29,12 @@ class SkewSpec extends SparkSpec {
     // with 1 fact row only one salt matches: output stays 1 row
     Skew.saltedJoin(fact, dim, "k", buckets = 16).count() shouldEqual 1
   }
+
+  test("a pre-existing __salt column fails fast instead of silently clobbering") {
+    import spark.implicits._
+    val f = Seq((1L, "x")).toDF("k", "__salt")
+    val d = Seq((1L, "v")).toDF("k", "dv")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(f, d, "k")
+  }
 }

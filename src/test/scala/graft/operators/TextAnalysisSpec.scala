@@ -56,4 +56,20 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(0.61, 0.6, 0.35, 0.349).toDF("s").select(grade(col("s")).as("g"))
     df.collect().map(_.getString(0)).toSeq shouldEqual Seq("good", "good", "fair", "poor")
   }
+
+  test("bpe tokenization treats unicode letters as letters, not punctuation") {
+    import spark.implicits._
+    val counts = Seq(("caf\u00e9 \u00fcber", "a1")).toDF("t", "id")
+      .select(TextAnalysis.bpeTokenCount(col("t")).as("n"))
+      .collect().head.getInt(0)
+    counts shouldBe 2 // one token per word, accents included
+  }
+
+  test("qualityScore degrades to 0 on an empty token count, never divides by zero") {
+    import spark.implicits._
+    val sc = Seq(1).toDF("x")
+      .select(TextAnalysis.qualityScore(lit(0), lit(0), lit(0)).as("s"))
+      .collect().head.getDouble(0)
+    sc shouldBe 0.0
+  }
 }
