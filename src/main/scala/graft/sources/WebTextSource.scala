@@ -69,21 +69,42 @@ object WebTextSource {
   }
 
   /** JDK built-in client via the engine-wide [[graft.Net]] seam (one
-    * browser-like redirect-following instance per executor JVM). */
+    * browser-like redirect-following instance per executor JVM).
+    * The WHOLE exchange is bounded by `timeoutMs`: HttpRequest.timeout
+    * only bounds time-to-response-HEADERS, so a slow-loris host that
+    * returns 200 and then drips the body one byte a minute would wedge
+    * the Spark task forever — sendAsync + a deadline on the future
+    * bounds headers AND body together (TimeoutException propagates to
+    * the caller's swallow-and-skip error row like any transport
+    * failure). */
   object JdkFetcher extends Fetcher {
     def get(url: String, timeoutMs: Long): (Int, String) = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .GET().build()
-      val resp = graft.Net.fetching.send(req,
+      val fut = graft.Net.fetching.sendAsync(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
-      (resp.statusCode(), resp.body())
+      try {
+        val resp = fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        (resp.statusCode(), resp.body())
+      } catch {
+        case e: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          throw e
+        case e: java.util.concurrent.ExecutionException =>
+          // unwrap so callers see the same IOException the sync send threw
+          throw Option(e.getCause).getOrElse(e)
+      }
     }
   }
 
+  // &amp; decodes LAST: a literal "&amp;lt;" on the page renders as
+  // "&lt;" in browser inner_text — decoding &amp; first would produce
+  // "&lt;" mid-fold and the later pass would double-decode it to "<"
+  // (the Sitemaps.decodeXmlEntities rule)
   private val BasicEntities = Seq(
-    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
 
   private def decodeEntities(s: String): String =
     BasicEntities.foldLeft(s) { case (acc, (e, c)) => acc.replace(e, c) }

@@ -63,44 +63,128 @@ object Xlsx {
         s"xlsx is missing required column '${f.name}' (header: ${header.mkString(", ")})")
       i
     }
-    raw.iterator.drop(1).map { cells =>
-      Row.fromSeq(schema.fields.zip(colIdx).toSeq.map { case (f, i) =>
+    raw.iterator.drop(1).zipWithIndex.map { case (cells, rowNo) =>
+      // castCell runs LAZILY during downstream consumption, outside
+      // read()'s try — attach row context here or a bad cell value
+      // fails the task with no hint of which row was malformed (the
+      // caller's wrapper then adds the file path)
+      try Row.fromSeq(schema.fields.zip(colIdx).toSeq.map { case (f, i) =>
         castCell(if (i < cells.length) cells(i) else null, f.dataType)
       })
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"bad cell value in data row ${rowNo + 1}: ${e.getMessage}", e)
+      }
     }
   }
 
-  /** First zip entry matching `pred`, fully read. */
+  /** Decompression cap per zip entry: workbooks are untrusted input
+    * (the XXE hardening below says so), and unbounded readAllBytes
+    * would let a few-KB zip bomb inflate to gigabytes on-heap and OOM
+    * the executor. 256 MB is far beyond any operational workbook part;
+    * a capped-out entry fails THIS file with a clear message instead
+    * of killing the JVM. */
+  private val MaxEntryBytes = 256L * 1024 * 1024
+
+  private def readCapped(zin: ZipInputStream, name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = zin.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      require(out.size() <= MaxEntryBytes,
+        s"zip entry $name inflates past $MaxEntryBytes bytes (zip bomb?)")
+      n = zin.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** First zip entry matching `pred`, fully read (capped). */
   private def zipEntry(bytes: Array[Byte],
       pred: String => Boolean): Option[Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .collectFirst { case e if pred(e.getName) => zin.readAllBytes() }
+        .collectFirst { case e if pred(e.getName) => readCapped(zin, e.getName) }
     } finally zin.close()
   }
 
   private val SheetName = """xl/worksheets/sheet(\d+)\.xml""".r
 
-  /** The workbook's first sheet = the LOWEST-numbered sheetN.xml part.
-    * Zip archive order is writer-dependent (a multi-sheet workbook may
-    * store sheet10 before sheet1), so "first matching entry" could
-    * silently read the wrong sheet. */
+  /** The workbook's FIRST TAB. Tab order lives in xl/workbook.xml (the
+    * first <sheet> element's r:id, resolved to a worksheet part through
+    * xl/_rels/workbook.xml.rels) — part NAMES never change when a user
+    * reorders tabs in Excel, so neither archive order nor the lowest
+    * sheetN number identifies the first tab on a reordered workbook.
+    * Falls back to the lowest-numbered part when the workbook/rels
+    * parts are absent or unparsable (minimal single-sheet writers). */
   private def firstSheet(bytes: Array[Byte]): Option[Array[Byte]] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    try {
-      var best = -1
-      var bytesOut: Array[Byte] = null
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
-        e.getName match {
-          case SheetName(n) =>
-            val num = n.toInt
-            if (best < 0 || num < best) { best = num; bytesOut = zin.readAllBytes() }
-          case _ => ()
+    val viaWorkbook: Option[Array[Byte]] =
+      try {
+        for {
+          wb <- zipEntry(bytes, _ == "xl/workbook.xml")
+          rid <- firstSheetRid(wb)
+          rels <- zipEntry(bytes, _ == "xl/_rels/workbook.xml.rels")
+          target <- relTarget(rels, rid)
+          // rels targets are workbook-relative ("worksheets/sheet3.xml")
+          part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+          data <- zipEntry(bytes, _ == part)
+        } yield data
+      } catch { case _: Exception => None }
+    viaWorkbook.orElse {
+      val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+      try {
+        var best = -1
+        var bytesOut: Array[Byte] = null
+        Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+          e.getName match {
+            case SheetName(n) =>
+              val num = n.toInt
+              if (best < 0 || num < best) { best = num; bytesOut = readCapped(zin, e.getName) }
+            case _ => ()
+          }
         }
+        Option(bytesOut)
+      } finally zin.close()
+    }
+  }
+
+  /** r:id of the first <sheet> element in xl/workbook.xml. */
+  private def firstSheetRid(wb: Array[Byte]): Option[String] = {
+    val r = xmlReader(wb)
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheet" =>
+          (0 until r.getAttributeCount).foreach { i =>
+            if (r.getAttributeLocalName(i) == "id") // r:id
+              return Some(r.getAttributeValue(i))
+          }
+          return None
+        case _ => ()
       }
-      Option(bytesOut)
-    } finally zin.close()
+      None
+    } finally r.close()
+  }
+
+  /** Target of the relationship with the given Id in workbook.xml.rels. */
+  private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
+    val r = xmlReader(rels)
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "Relationship" =>
+          var id: String = null; var target: String = null
+          (0 until r.getAttributeCount).foreach { i =>
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => target = r.getAttributeValue(i)
+              case _ => ()
+            }
+          }
+          if (id == rid && target != null) return Some(target)
+        case _ => ()
+      }
+      None
+    } finally r.close()
   }
 
   /** Hardened StAX reader: no DTDs, no external entities (workbooks are
@@ -112,15 +196,25 @@ object Xlsx {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
-  /** `<si>` entries; rich-text runs concatenate their `<t>` pieces. */
+  /** `<si>` entries; rich-text runs concatenate their `<t>` pieces.
+    * Phonetic runs (`<rPh>`, furigana annotations) are SKIPPED like in
+    * [[parseSheet]]: their `<t>` children are reading guides, not cell
+    * content — without the guard a Japanese workbook's shared strings
+    * come back with the furigana appended. */
   private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
     val r = xmlReader(bytes)
     val out = Vector.newBuilder[String]
     var cur: StringBuilder = null
+    var inPhonetic = false
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-        cur = new StringBuilder
-      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" && cur != null =>
+        cur = new StringBuilder; inPhonetic = false
+      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" =>
+        inPhonetic = true
+      case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+        inPhonetic = false
+      case XMLStreamConstants.START_ELEMENT
+          if r.getLocalName == "t" && cur != null && !inPhonetic =>
         cur.append(r.getElementText) // advances past </t>
       case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
         out += cur.toString; cur = null

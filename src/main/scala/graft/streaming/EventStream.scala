@@ -40,9 +40,14 @@ object EventStream {
 
   /** Gap-based sessionization via the native session_window operator
     * (events within `gap` of the session end extend it; session end =
-    * last event + gap). Same shape batch or streaming. */
+    * last event + gap). Same shape batch or streaming — the watermark
+    * is REQUIRED for the streaming form (Spark refuses a streaming
+    * session_window aggregation without one) and is a no-op in batch,
+    * so applying it here keeps the one definition valid in both
+    * modes. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw").getField("start").as("session_start"),
         col("sw").getField("end").as("session_end"), col("n_events"))
@@ -104,12 +109,18 @@ object EventStream {
     * schedule itself. */
   val trigger300ms: Trigger = Trigger.ProcessingTime("300 milliseconds")
 
-  /** Update-mode per-type counters on the 300 ms trigger, feeding a
-    * memory sink (the stat-tile feed A-1/A-2 with R-2's cadence). */
+  /** Per-type counters on the 300 ms trigger, feeding a memory sink
+    * (the stat-tile feed A-1/A-2 with R-2's cadence). COMPLETE mode:
+    * the memory sink REPLACES its table each batch in complete mode,
+    * keeping the driver-side table bounded at |event types| rows for
+    * the life of the dashboard — update mode would APPEND each batch's
+    * changed rows and grow the table by ~one row per type per 300 ms
+    * forever. (Production feeds go through [[incrementalParquetSink]]/
+    * foreachBatch; the memory sink is the live-inspection surface.) */
   def typeCountsLive(events: DataFrame, queryName: String,
       checkpoint: String): StreamingQuery =
     typeCounts(events).writeStream
-      .outputMode("update").format("memory").queryName(queryName)
+      .outputMode("complete").format("memory").queryName(queryName)
       .trigger(trigger300ms)
       .option("checkpointLocation", checkpoint)
       .start()
@@ -119,6 +130,10 @@ object EventStream {
     * drain-and-stop counterpart of [[trigger300ms]]'s live feed (the
     * reference's "run the job over what's accumulated" mode,
     * server.py:326-334 kicking off one bounded scrape run). */
+  /** NOTE: the memory sink materializes the drained result in DRIVER
+    * memory — right for the bounded verification/backfill-inspection
+    * runs it serves here; a large backfill drains through
+    * [[incrementalParquetSink]] instead (executor-side appends). */
   def drainAvailable(transformed: DataFrame, queryName: String,
       checkpoint: String): StreamingQuery =
     transformed.writeStream

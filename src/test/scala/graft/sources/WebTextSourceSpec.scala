@@ -118,4 +118,14 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .select(col("url"), col("link.href"), col("link.anchor"))
     df.count() shouldEqual 2L
   }
+
+  test("escaped entities decode once, like browser inner_text (&amp;lt; stays &lt;)") {
+    // a code sample showing literal markup: the page SOURCE says
+    // &amp;lt;div&amp;gt;, a browser renders &lt;div&gt; — decoding
+    // &amp; before &lt; would double-decode to <div>
+    WebTextSource.innerText("<p>use &amp;lt;div&amp;gt; here</p>") shouldEqual
+      "use &lt;div&gt; here"
+    WebTextSource.innerText("<p>a &amp; b &lt; c</p>") shouldEqual "a & b < c"
+  }
+
 }

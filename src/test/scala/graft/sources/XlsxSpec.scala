@@ -241,4 +241,77 @@ class XlsxSpec extends SparkSpec {
     Xlsx.colIndex("AA12") shouldEqual 26
     Xlsx.colIndex("BC7") shouldEqual 54
   }
+
+  test("a reordered workbook reads the FIRST TAB via workbook.xml + rels, not part names") {
+    // the user dragged their data sheet (stored as sheet3.xml) to the
+    // first tab position: part names never change on reorder, only
+    // workbook.xml's <sheet> order — lowest-numbered-part logic would
+    // silently read sheet1.xml here
+    val dir = Files.createTempDirectory("xlsx-reorder").toFile
+    def sheetXml(name: String) =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>company_name</t></is></c></row>
+         |<row r="2"><c r="A2" t="inlineStr"><is><t>$name</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="3" r:id="rId2"/><sheet name="Old" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val relsXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "re.xlsx")))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name)); zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    put("xl/workbook.xml", workbookXml)
+    put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/worksheets/sheet1.xml", sheetXml("old-first-part"))
+    put("xl/worksheets/sheet3.xml", sheetXml("first-tab-data"))
+    zout.close()
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+      .map(_.getString(0)).toSeq shouldEqual Seq("first-tab-data")
+  }
+
+  test("shared-string phonetic runs (furigana) are annotations, not content") {
+    val dir = Files.createTempDirectory("xlsx-furi").toFile
+    val ssXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t>company_name</t></si>
+        |<si><t>Tokyo</t><rPh sb="0" eb="2"><t>TOKYO-READING</t></rPh></si>
+        |</sst>""".stripMargin
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new FileOutputStream(new java.io.File(dir, "f.xlsx")))
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name)); zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    put("xl/sharedStrings.xml", ssXml)
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    zout.close()
+    val one = StructType(Seq(StructField("company_name", StringType)))
+    Xlsx.read(spark, dir.getAbsolutePath, one).collect()
+      .map(_.getString(0)).toSeq shouldEqual Seq("Tokyo")
+  }
+
+  test("a bad cell value names the data row instead of an anonymous cast failure") {
+    val dir = Files.createTempDirectory("xlsx-bad").toFile
+    writeXlsx(new java.io.File(dir, "b.xlsx"), Seq(
+      header,
+      Seq(s("acme"), s("w"), Some(("str", "not-a-number")), Some(("n", "1.5")), Some(("b", "1")))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Xlsx.read(spark, dir.getAbsolutePath, schema).collect()
+    }
+    e.getMessage should include("data row 1")
+  }
 }

@@ -401,4 +401,21 @@ class EventStreamSpec extends SparkSpec {
       streamed shouldEqual batch
     } finally q.stop()
   }
+
+  test("sessionWindows runs as a STREAMING aggregation (watermark present)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // without the watermark inside sessionWindows, this start() throws
+    // AnalysisException: streaming session_window requires a watermark
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionWindows(in.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_s").option("checkpointLocation", tmp("sess_s")).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 10), ev(3, 120)) // gap > 30 min splits
+      q.processAllAvailable()
+      spark.table("sess_s").count() shouldEqual 2L
+    } finally q.stop()
+  }
+
 }
