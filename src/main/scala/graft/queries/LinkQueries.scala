@@ -384,7 +384,90 @@ object LinkQueries extends QueryModule {
         .select("doc_id", "host", "path", "wave", "eta_s")
         .orderBy("doc_id")
     }),
+
+    // X-136: the crawl-pipeline CAPSTONE — X-132 → X-133 → link
+    // selection (F-8/P-4/T-2) → X-134 composed end-to-end, the batch
+    // mirror of the live WebCrawlPipelineSpec: raw discovered URLs
+    // (with anchors) → canonical dedup ("seen this page?", best anchor
+    // score and first discoverer kept per page) → robots disallow gate
+    // on the canonical host/path → relevance-scored per-host top-5 →
+    // per-host politeness waves. The synthesis extends the X-132 URL
+    // variants with robots-relevant path classes (/private/ fenced
+    // everywhere, /about/ keyword-bearing) and a 6-cycle anchor rotation
+    // in which 4 anchors carry reference keywords and 2 score zero, so
+    // every stage has real work. Scale shape: one hash aggregate
+    // (canon), one host equi-join (rules frame never broadcast-hinted),
+    // and two windows on the SAME host key — a single shuffle serves
+    // both; no global sort, no unbounded partition.
+    "crawl_frontier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val did = col("doc_id")
+      val raw = Tables.documents(s, d).select(
+        did,
+        // 6-cycle anchors: 0/1/2/5 carry scoring keywords, 3/4 do not
+        (did % 6).cast("int").as("a6"),
+        concat(
+          lit("https://"),
+          when(did % 5 === 0,
+            concat(lit("WWW."), upper(col("source")), lit(".Example.com")))
+            .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+          when(did % 7 === 0, lit(":443")).otherwise(lit("")),
+          when(did % 11 === 0, concat(lit("/private/x"), did.cast("string")))
+            .when(did % 9 === 0, concat(lit("/about/p"), (did % 5).cast("string")))
+            .otherwise(concat(lit("/"), col("lang"), lit("/p"),
+              (did % 5).cast("string"))),
+          when(did % 3 === 0, lit("/")).otherwise(lit("")),
+          when(did % 4 === 0, concat(lit("?page="), (did % 2).cast("string")))
+            .otherwise(lit("")),
+          when(did % 2 === 0,
+            concat(when(did % 4 === 0, lit("&")).otherwise(lit("?")),
+              lit("utm_source=s"), (did % 3).cast("string")))
+            .otherwise(lit("")),
+          when(did % 6 === 0, concat(lit("#sec"), (did % 4).cast("string")))
+            .otherwise(lit(""))).as("url"))
+        .withColumn("anchor",
+          element_at(array(CapstoneAnchors.map(lit): _*), col("a6") + 1))
+      // X-132: canonicalize, then dedup per page keeping the BEST anchor
+      // score (the LinkSelection T-3 discipline) and the first
+      // discoverer
+      val pages = raw
+        .withColumn("canon", UrlOps.canonicalize(col("url")))
+        .withColumn("score", LinkSelection.keywordScore(
+          graft.operators.Extraction.normToken(col("anchor")), col("canon")))
+        .groupBy("canon")
+        .agg(max(col("score")).as("score"), min(did).as("keep_doc"))
+        .withColumn("host", regexp_extract(col("canon"), "^https?://([^/?#]+)", 1))
+        .withColumn("path", regexp_replace(col("canon"), "^https?://[^/?#]+", ""))
+      // X-133: robots disallow gate on the canonical host/path
+      val rules = robotsRules(s, d)
+      val open = pages.join(rules, Seq("host"), "left_outer")
+        .withColumn("hit",
+          substring(col("path"), lit(1), length(col("rule"))) === col("rule"))
+        .groupBy("canon", "host", "score", "keep_doc")
+        .agg(max(col("hit")).as("blocked"))
+        .filter(!coalesce(col("blocked"), lit(false)))
+      // link selection: positive-score gate (P-4) + per-host top-5 (T-2)
+      val byHost = Window.partitionBy("host")
+      val sel = open.filter(col("score") > 0)
+        .withColumn("rk", row_number().over(
+          byHost.orderBy(col("score").desc, col("canon"))))
+        .filter(col("rk") <= 5)
+      // X-134: politeness waves among the selected URLs
+      sel
+        .withColumn("wave", row_number().over(byHost.orderBy(col("canon"))))
+        .withColumn("eta_s", (col("wave") - 1) * lit(10L))
+        .select("host", "canon", "score", "keep_doc", "rk", "wave", "eta_s")
+        .orderBy("host", "wave")
+    }),
   )
+
+  /** X-136 anchor rotation: indices 0/1/2/5 carry reference keywords
+    * (about+company / leadership+management / investor+overview /
+    * corporate+profile), 3/4 score zero — the P-4 gate has real work. */
+  private val CapstoneAnchors: Seq[String] = Seq(
+    "About the Company", "Leadership and Management",
+    "Investor Relations Overview", "Products Catalog",
+    "Contact Support", "Corporate Profile")
 
   /** Shared synthesized link graph for X-52/X-82/X-111/X-116: every
     * doc emits 3 hash-derived targets except every 7th (a SINK). ONE
@@ -499,55 +582,118 @@ object LinkQueries extends QueryModule {
       |  FROM hosts
       |  WHERE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 IN (0, 1))""".stripMargin
 
+  /** DuckDB mirror of UrlOps.canonicalize as a reusable CTE chain:
+    * reads `url` (plus `carry` columns) from CTE `src`, ends in CTE
+    * `out` carrying (carry..., url, canon). DuckDB regexp_replace
+    * needs the explicit 'g' flag where Spark's is always-global, and
+    * every pattern is backreference-free so Java regex and RE2 agree.
+    * Shared by X-132 and the X-136 capstone so the mirrors can't
+    * drift. The scheme gate (non-web URLs pass through unchanged) is
+    * vacuous on the all-https syntheses but kept in lockstep with the
+    * Spark operator. */
+  private def canonSql(src: String, out: String, carry: Seq[String]): String = {
+    val c = carry.map(_ + ", ").mkString
+    s"""${out}_f AS (SELECT ${c}url, regexp_replace(url, '#.*', '', 'g') AS nf FROM $src),
+       |${out}_r AS (SELECT ${c}url, nf,
+       |         regexp_replace(nf, '(?i)^https?://[^/?#]+', '', 'g') AS rest
+       |       FROM ${out}_f),
+       |$out AS (SELECT ${c}url,
+       |         CASE WHEN regexp_extract(nf, '(?i)^(https?)://', 1) = '' THEN url ELSE
+       |         lower(regexp_extract(nf, '(?i)^(https?)://', 1)) || '://' ||
+       |         (CASE WHEN lower(regexp_extract(nf, '(?i)^(https?)://', 1)) = 'https'
+       |               THEN regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
+       |                 ':443$$', '', 'g')
+       |               ELSE regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
+       |                 ':80$$', '', 'g') END) ||
+       |         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$$', '', 'g') ||
+       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |           regexp_replace(rest, '^[^?]*', '', 'g'),
+       |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+       |           '^\\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+       |           '^\\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$$', '', 'g'),
+       |           '^\\?$$', '', 'g') END AS canon
+       |       FROM ${out}_r)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
-    // Mirrors UrlOps.canonicalize step-by-step; DuckDB regexp_replace
-    // needs the explicit 'g' flag where Spark's is always-global, and
-    // every pattern is backreference-free so Java regex and RE2 agree.
+    // Mirrors UrlOps.canonicalize step-by-step via [[canonSql]].
     "url_canonical_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |         'https://' ||
-        |         CASE WHEN doc_id % 5 = 0
-        |              THEN 'WWW.' || upper(source) || '.Example.com'
-        |              ELSE 'www.' || source || '.example.com' END ||
-        |         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-        |         '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) ||
-        |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
-        |         CASE WHEN doc_id % 4 = 0
-        |              THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
-        |         CASE WHEN doc_id % 2 = 0
-        |              THEN (CASE WHEN doc_id % 4 = 0 THEN '&' ELSE '?' END)
-        |                   || 'utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
-        |s2 AS (SELECT doc_id, url, nf,
-        |         regexp_replace(nf, '(?i)^https?://[^/?#]+', '', 'g') AS rest
-        |       FROM s1),
-        |s3 AS (SELECT doc_id, url,
-        |         -- non-web URLs pass through unchanged (scheme gate,
-        |         -- mirrors UrlOps.canonicalize; vacuous on this all-https
-        |         -- synthesis but kept so the mirror can't drift)
-        |         CASE WHEN regexp_extract(nf, '(?i)^(https?)://', 1) = '' THEN url ELSE
-        |         lower(regexp_extract(nf, '(?i)^(https?)://', 1)) || '://' ||
-        |         (CASE WHEN lower(regexp_extract(nf, '(?i)^(https?)://', 1)) = 'https'
-        |               THEN regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
-        |                 ':443$', '', 'g')
-        |               ELSE regexp_replace(lower(regexp_extract(nf, '(?i)^https?://([^/?#]+)', 1)),
-        |                 ':80$', '', 'g') END) ||
-        |         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '', 'g') ||
-        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(rest, '^[^?]*', '', 'g'),
-        |           '&(utm_[a-z_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
-        |           '^\?(utm_[a-z_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
-        |           '^\?$', '', 'g') END AS canon
-        |       FROM s2)
-        |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
-        |       min(doc_id) AS keep_doc
-        |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://' ||
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN 'WWW.' || upper(source) || '.Example.com'
+         |              ELSE 'www.' || source || '.example.com' END ||
+         |         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+         |         '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+         |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         |         CASE WHEN doc_id % 4 = 0
+         |              THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
+         |         CASE WHEN doc_id % 2 = 0
+         |              THEN (CASE WHEN doc_id % 4 = 0 THEN '&' ELSE '?' END)
+         |                   || 'utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 6 = 0
+         |              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+         |  FROM documents),
+         |${canonSql("u", "s3", Seq("doc_id"))}
+         |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
+         |       min(doc_id) AS keep_doc
+         |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+
+    // X-136: the full crawl pipeline composed — same canonSql chain,
+    // same crawlSql rules frame, LinkSelection's score as CASE sums,
+    // precedence/windows mirrored stage by stage.
+    "crawl_frontier" ->
+      s"""WITH $crawlSql,
+         |raw0 AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS a6,
+         |         'https://' ||
+         |         CASE WHEN doc_id % 5 = 0
+         |              THEN 'WWW.' || upper(source) || '.Example.com'
+         |              ELSE 'www.' || source || '.example.com' END ||
+         |         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+         |         CASE WHEN doc_id % 11 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+         |              WHEN doc_id % 9 = 0 THEN '/about/p' || CAST(doc_id % 5 AS VARCHAR)
+         |              ELSE '/' || lang || '/p' || CAST(doc_id % 5 AS VARCHAR) END ||
+         |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         |         CASE WHEN doc_id % 4 = 0
+         |              THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
+         |         CASE WHEN doc_id % 2 = 0
+         |              THEN (CASE WHEN doc_id % 4 = 0 THEN '&' ELSE '?' END)
+         |                   || 'utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 6 = 0
+         |              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+         |  FROM documents),
+         |rawa AS (SELECT doc_id, url,
+         |           CASE a6 ${CapstoneAnchors.zipWithIndex
+                       .map { case (a, i) => s"WHEN $i THEN '$a'" }
+                       .mkString(" ")} END AS anchor
+         |         FROM raw0),
+         |${canonSql("rawa", "cn", Seq("doc_id", "anchor"))},
+         |pages AS (SELECT canon,
+         |            max(${scoreSql("trim(lower(anchor))", "canon",
+                        LinkSelection.ReferenceKeywords)}) AS score,
+         |            min(doc_id) AS keep_doc
+         |          FROM cn GROUP BY canon),
+         |hp AS (SELECT canon, score, keep_doc,
+         |        regexp_extract(canon, '^https?://([^/?#]+)', 1) AS host,
+         |        regexp_replace(canon, '^https?://[^/?#]+', '', 'g') AS path
+         |       FROM pages),
+         |open0 AS (SELECT h.canon, h.host, h.score, h.keep_doc,
+         |           max(substr(h.path, 1, length(r.rule)) = r.rule) AS blocked
+         |          FROM hp h LEFT JOIN rules r ON h.host = r.host
+         |          GROUP BY 1, 2, 3, 4),
+         |sel AS (SELECT canon, host, score, keep_doc,
+         |         CAST(row_number() OVER (PARTITION BY host
+         |                                 ORDER BY score DESC, canon) AS INT) AS rk
+         |        FROM open0 WHERE NOT coalesce(blocked, false) AND score > 0),
+         |sched AS (SELECT host, canon, score, keep_doc, rk,
+         |           CAST(row_number() OVER (PARTITION BY host ORDER BY canon) AS INT) AS wave
+         |          FROM sel WHERE rk <= 5)
+         |SELECT host, canon, score, keep_doc, rk, wave,
+         |       CAST((wave - 1) * 10 AS BIGINT) AS eta_s
+         |FROM sched ORDER BY host, wave""".stripMargin,
 
     // X-133: same frontier/rules synthesis; longest-match via a struct
     // max (lexicographic on (length, rule) — identical ordering in both

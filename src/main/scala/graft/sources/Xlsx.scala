@@ -47,22 +47,35 @@ object Xlsx {
     }(Encoders.row(schema))
   }
 
-  /** Parse one workbook: first sheet, header row → schema-ordered rows. */
+  /** Parse one workbook: first sheet, header row → schema-ordered rows.
+    *
+    * COLUMN PRUNING: the schema doubles as the projection — once the
+    * header row resolves field names to column indices, every data-row
+    * cell OUTSIDE the projected set is skipped in the StAX pass (no
+    * value text read, no shared-string lookup, no buffering), so a
+    * 2-column read of a 50-column workbook touches only those cells
+    * plus the header. `cellCounter` is the proof seam: when non-null it
+    * counts each cell actually MATERIALIZED (XlsxSpec asserts the
+    * pruned count). */
   private[sources] def parseWorkbook(bytes: Array[Byte],
-      schema: StructType): Iterator[Row] = {
+      schema: StructType,
+      cellCounter: java.util.concurrent.atomic.AtomicLong = null): Iterator[Row] = {
     val shared = zipEntry(bytes, _ == "xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
     val sheet = firstSheet(bytes)
       .getOrElse(throw new IllegalArgumentException("no worksheet entry"))
-    val raw = parseSheet(sheet, shared)
+    var colIdx: Array[Int] = null
+    val raw = parseSheet(sheet, shared, headerRow => {
+      val header = headerRow.map(v => if (v == null) "" else v.trim)
+      colIdx = schema.fields.map { f =>
+        val i = header.indexOf(f.name)
+        require(i >= 0,
+          s"xlsx is missing required column '${f.name}' (header: ${header.mkString(", ")})")
+        i
+      }
+      colIdx.toSet
+    }, cellCounter)
     if (raw.isEmpty) return Iterator.empty
-    val header = raw.head.map(v => if (v == null) "" else v.trim)
-    val colIdx = schema.fields.map { f =>
-      val i = header.indexOf(f.name)
-      require(i >= 0,
-        s"xlsx is missing required column '${f.name}' (header: ${header.mkString(", ")})")
-      i
-    }
     raw.iterator.drop(1).zipWithIndex.map { case (cells, rowNo) =>
       // castCell runs LAZILY during downstream consumption, outside
       // read()'s try — attach row context here or a bad cell value
@@ -225,22 +238,39 @@ object Xlsx {
   }
 
   /** Sheet rows as raw string cells, positioned by their `r="BC12"`
-    * reference (blank cells are simply absent in the XML → null). */
+    * reference (blank cells are simply absent in the XML → null).
+    *
+    * The FIRST completed row (the header) is handed to `onHeader`,
+    * which returns the set of column indices to materialize for every
+    * later row; cells outside that set are skipped without reading
+    * their value text or resolving shared strings (column pruning —
+    * the XML tokenizer necessarily still walks the bytes, but per-cell
+    * work is only spent on projected columns). `cellCounter`, when
+    * non-null, counts materialized cells (header + kept data cells). */
   private def parseSheet(bytes: Array[Byte],
-      shared: Vector[String]): Vector[Array[String]] = {
+      shared: Vector[String],
+      onHeader: Array[String] => Set[Int],
+      cellCounter: java.util.concurrent.atomic.AtomicLong = null): Vector[Array[String]] = {
     val r = xmlReader(bytes)
     val rows = Vector.newBuilder[Array[String]]
+    var wanted: Set[Int] = null // null until the header row completes
     var row: ArrayBuffer[(Int, String)] = null
+    var rowHadCells = false // cells seen in the XML, incl. pruned ones
     var cellCol = -1
     var cellType: String = null
     var cellVal: String = null
     var inPhonetic = false
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => row = ArrayBuffer.empty
+        case "row" => row = ArrayBuffer.empty; rowHadCells = false
         case "c" if row != null =>
-          cellCol = colIndex(Option(r.getAttributeValue(null, "r"))
+          rowHadCells = true
+          val c = colIndex(Option(r.getAttributeValue(null, "r"))
             .getOrElse(throw new IllegalArgumentException("cell without r= ref")))
+          // header row (wanted == null) materializes every cell; data
+          // rows only the projected ones — an unprojected cell keeps
+          // cellCol = -1 so its <v>/<t> content falls through unread
+          cellCol = if (wanted == null || wanted(c)) c else -1
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
           cellVal = null
         case "v" if cellCol >= 0 => cellVal = r.getElementText
@@ -260,12 +290,18 @@ object Xlsx {
             case "s" => if (cellVal == null) null else shared(cellVal.toInt)
             case _   => cellVal // n, str, inlineStr, b carry their text
           }
+          if (cellCounter != null) cellCounter.incrementAndGet()
           row += ((cellCol, resolved)); cellCol = -1
         case "row" =>
-          if (row.nonEmpty) {
-            val width = row.map(_._1).max + 1
+          // a row is EMITTED iff it had cells in the XML — a data row
+          // whose projected cells are all blank still yields an all-null
+          // row (width 0), exactly as the unpruned parse did after the
+          // schema mapping; only truly cell-less <row/> elements drop
+          if (rowHadCells) {
+            val width = if (row.isEmpty) 0 else row.map(_._1).max + 1
             val arr = new Array[String](width)
             row.foreach { case (i, v) => arr(i) = v }
+            if (wanted == null) wanted = onHeader(arr)
             rows += arr
           }
           row = null

@@ -314,4 +314,56 @@ class XlsxSpec extends SparkSpec {
     }
     e.getMessage should include("data row 1")
   }
+
+  test("column pruning: a 2-column projection of a 50-column sheet materializes only those cells") {
+    val dir = Files.createTempDirectory("xlsx-prune").toFile
+    val f = new java.io.File(dir, "wide.xlsx")
+    val nCols = 50
+    val nRows = 20
+    val hdr = (0 until nCols).map(i => s(s"col$i"))
+    val data = (0 until nRows).map(r =>
+      (0 until nCols).map(c => Some(("n", (r.toLong * nCols + c).toString)): Option[(String, String)]))
+    writeXlsx(f, hdr +: data)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+
+    val narrow = StructType(Seq(
+      StructField("col3", LongType), StructField("col47", LongType)))
+    val pruned = new java.util.concurrent.atomic.AtomicLong
+    val rows = Xlsx.parseWorkbook(bytes, narrow, pruned).toVector
+    rows.length shouldEqual nRows
+    rows.head.getAs[Long](0) shouldEqual 3L
+    rows.head.getAs[Long](1) shouldEqual 47L
+    rows.last.getAs[Long](0) shouldEqual (nRows - 1).toLong * nCols + 3
+    // the proof: header cells + exactly 2 cells per data row — the other
+    // 48 columns of every data row were never materialized
+    pruned.get() shouldEqual nCols.toLong + nRows.toLong * 2
+
+    // contrast: the full-width read touches every cell
+    val full = StructType((0 until nCols).map(i => StructField(s"col$i", LongType)))
+    val allCells = new java.util.concurrent.atomic.AtomicLong
+    Xlsx.parseWorkbook(bytes, full, allCells).toVector.length shouldEqual nRows
+    allCells.get() shouldEqual nCols.toLong * (nRows + 1)
+
+    // and the distributed read path honors the same projection
+    val viaRead = Xlsx.read(spark, dir.getAbsolutePath, narrow)
+      .orderBy("col3").collect()
+    viaRead.length shouldEqual nRows
+    viaRead.head.getAs[Long]("col47") shouldEqual 47L
+  }
+
+  test("pruning keeps a data row whose projected cells are all blank (all-null row, not dropped)") {
+    val dir = Files.createTempDirectory("xlsx-prune-blank").toFile
+    val f = new java.io.File(dir, "sparse.xlsx")
+    // row 1 fills only col1 (unprojected); row 2 fills col0 too
+    writeXlsx(f, Seq(
+      Seq(s("a"), s("b")),
+      Seq(None, Some(("n", "7"))),
+      Seq(Some(("n", "1")), Some(("n", "8")))))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val onlyA = StructType(Seq(StructField("a", LongType)))
+    val rows = Xlsx.parseWorkbook(bytes, onlyA).toVector
+    rows.length shouldEqual 2
+    rows.head.isNullAt(0) shouldEqual true
+    rows.last.getAs[Long](0) shouldEqual 1L
+  }
 }
