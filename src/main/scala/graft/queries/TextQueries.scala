@@ -1061,7 +1061,112 @@ object TextQueries extends QueryModule {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("n_tokens", "doc_id")
     }),
+
+    // X-137: Gopher-style quality-rule FUNNEL (Rae et al. 2021,
+    // arXiv:2112.11446 §A1.1) — the ordered rule cascade every
+    // pretraining corpus passes through, reported as a funnel: per rule,
+    // how many docs entered, failed, and survived (cumulative), plus
+    // each rule's standalone failure count. Thresholds are the paper's
+    // rule SHAPES calibrated to this corpus (word-count band, mean-
+    // word-length band, type-token ratio, stopword containment). Every
+    // comparison is INTEGER-exact (mean length as totlen vs 3n..5n,
+    // TTR as 10·distinct vs 3·n — no float division anywhere), and the
+    // output is five rows of counts. Scale shape: one narrow map over
+    // the scan + one partial-aggregated global fold; the funnel explode
+    // runs on a 1-row frame.
+    "gopher_rules" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", tokens(norm(col("text"))))
+        .select(
+          size(col("toks")).cast("long").as("n"),
+          size(array_distinct(col("toks"))).cast("long").as("nd"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("totlen"),
+          occurrences(col("toks"), GopherStopwords).as("stop_hits"))
+      val p = Seq(
+        col("n") >= 20 && col("n") <= 80,              // word-count band
+        col("totlen") >= col("n") * 3 &&
+          col("totlen") <= col("n") * 5,               // mean word length 3..5
+        col("nd") * 10 >= col("n") * 3,                // TTR >= 0.3
+        col("stop_hits") >= 2)                         // stopword containment
+      val cum = p.scanLeft(lit(true))(_ && _).drop(1)  // rule k AND all before
+      val agg = base.agg(
+        count(lit(1)).as("s0"),
+        (cum.zipWithIndex.map { case (c, i) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"s${i + 1}")
+        } ++ p.zipWithIndex.map { case (c, i) =>
+          sum(when(!c, 1L).otherwise(0L)).as(s"a${i + 1}")
+        }): _*)
+      agg.select(explode(array(
+        GopherRuleNames.zipWithIndex.map { case (name, i) =>
+          struct(lit(i + 1).as("rule_id"), lit(name).as("rule"),
+            col(s"s$i").as("n_in"),
+            (col(s"s$i") - col(s"s${i + 1}")).as("n_fail"),
+            col(s"s${i + 1}").as("n_out"),
+            col(s"a${i + 1}").as("n_fail_alone"))
+        }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("rule_id")
+    }),
+
+    // X-138: DSIR-style hashed-n-gram importance weights (Xie et al.
+    // 2023, arXiv:2302.03169) — the data-selection op that scores every
+    // raw document by how target-like its hashed n-gram profile is.
+    // Target domain = the corpus's `lang='en'` slice (DSIR's "small
+    // target sample"); features = bigrams hashed into 1024 fixed
+    // buckets; both distributions Laplace-smoothed. DSIR's log-ratio
+    // sum is replaced by the engine's exact-arithmetic discipline (the
+    // doc_lm_score rule): per-bucket importance RATIO in integer fixed
+    // point (×10⁶, DECIMAL div), per-doc weight = exact fixed-point sum
+    // with ONE final double division — ln() is libm-dependent and not
+    // bit-identical across engines, while the ratio form keeps the same
+    // target-vs-raw ranking signal hash-stable. Scale shape: the bucket
+    // frame is ≤1024 rows BY CONSTRUCTION at any corpus size (that is
+    // the point of hashed features), so the join-back is a bounded
+    // broadcast under AQE; everything else is hash aggregates.
+    "dsir_weights" -> ((s, d) => {
+      val B = 1024
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(ngrams(tokens(norm(col("text"))), 2)).as("g"))
+        .withColumn("bucket", tokenHash(col("g")) % B)
+      // ONE aggregation pass carries both distributions (raw count +
+      // target count per bucket); the corpus totals then read off the
+      // ≤B-row bucket frame instead of re-scanning the corpus — the
+      // exploded lineage is walked exactly twice (counts + probe).
+      // The bounded counts frame is MATERIALIZED so the totals
+      // aggregate doesn't re-embed (and re-scan) its lineage.
+      val counts = Dedup.materialize(grams.groupBy("bucket").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t")))
+      val tot = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+      val ratio = counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), expr(
+          s"""CAST((CAST(c_t AS DECIMAL(24,0)) + 1) * (n_r + $B) * 1000000
+             |     div ((CAST(c_r AS DECIMAL(24,0)) + 1) * (n_t + $B)) AS BIGINT)"""
+            .stripMargin).as("r_fx"))
+      // ratio is bucket-bounded but carries no hint (the doc_lm_score
+      // rule: AQE broadcasts it by MEASURED size)
+      grams.join(ratio, "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_grams"), sum(col("r_fx")).as("sum_fx"))
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("sum_fx").cast("long").as("sum_fx"),
+          (col("sum_fx").cast("double") / col("n_grams").cast("double"))
+            .as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** X-137 rule order (the funnel is reported in this order). */
+  private val GopherRuleNames = Seq(
+    "word_count_20_80", "mean_word_len_3_5", "ttr_ge_0.3", "stopwords_ge_2")
+
+  /** X-137 stopword containment list: the union of the language-ID
+    * profiles — a doc in any profiled language passes, the zh slice
+    * (no profile) exercises the failure arm. */
+  private val GopherStopwords: Seq[String] =
+    LangProfiles.flatMap(_._2).distinct
 
   /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
     * one copy spliced into bm25_score and rrf_fusion. */
@@ -1640,5 +1745,62 @@ object TextQueries extends QueryModule {
          |FROM s JOIN f ON s.n_tokens = f.n_tokens AND s.quality = f.qmax
          |WHERE f.best_shorter IS NULL OR f.qmax > f.best_shorter
          |ORDER BY s.n_tokens, s.doc_id""".stripMargin,
+
+    // X-137: same integer-exact rule predicates; the funnel rows as
+    // UNION ALL selects off the single aggregate row.
+    "gopher_rules" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (SELECT CAST(len(toks) AS BIGINT) AS n,
+         |             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |             CAST(list_aggregate(list_transform(toks,
+         |               x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS totlen,
+         |             ${occSql(GopherStopwords)} AS stop_hits
+         |      FROM t),
+         |p AS (SELECT (n >= 20 AND n <= 80) AS p1,
+         |             (totlen >= n * 3 AND totlen <= n * 5) AS p2,
+         |             (nd * 10 >= n * 3) AS p3,
+         |             (stop_hits >= 2) AS p4
+         |      FROM b),
+         |a AS (SELECT count(*) AS s0,
+         |             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |             CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |             CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |             CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         |             CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |             CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         |             CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+         |             CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS a4
+         |      FROM p)
+         |SELECT CAST(1 AS INTEGER) AS rule_id, '${GopherRuleNames(0)}' AS rule,
+         |       s0 AS n_in, s0 - s1 AS n_fail, s1 AS n_out, a1 AS n_fail_alone FROM a
+         |UNION ALL SELECT CAST(2 AS INTEGER), '${GopherRuleNames(1)}', s1, s1 - s2, s2, a2 FROM a
+         |UNION ALL SELECT CAST(3 AS INTEGER), '${GopherRuleNames(2)}', s2, s2 - s3, s3, a3 FROM a
+         |UNION ALL SELECT CAST(4 AS INTEGER), '${GopherRuleNames(3)}', s3, s3 - s4, s4, a4 FROM a
+         |ORDER BY rule_id""".stripMargin,
+
+    // X-138: same hashed-bigram buckets (md5-derived, bit-identical),
+    // the smoothed importance ratio in HUGEINT integral arithmetic
+    // (mirrors Spark's DECIMAL div exactly), one final double division.
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |g0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t),
+         |g AS (SELECT doc_id, lang,
+         |        CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) % 1000000007 % 1024 AS bucket
+         |      FROM g0),
+         |c AS (SELECT bucket, count(*) AS c_r,
+         |             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+         |      FROM g GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |               CAST(sum(c_t) AS BIGINT) AS n_t FROM c),
+         |r AS (SELECT c.bucket,
+         |        CAST((CAST(c.c_t AS HUGEINT) + 1) * (tot.n_r + 1024) * 1000000
+         |             // ((CAST(c.c_r AS HUGEINT) + 1) * (tot.n_t + 1024)) AS BIGINT) AS r_fx
+         |      FROM c CROSS JOIN tot)
+         |SELECT g.doc_id, g.lang, count(*) AS n_grams,
+         |       CAST(sum(r.r_fx) AS BIGINT) AS sum_fx,
+         |       CAST(sum(r.r_fx) AS DOUBLE) / count(*) AS dsir_weight
+         |FROM g JOIN r USING (bucket)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
   )
 }

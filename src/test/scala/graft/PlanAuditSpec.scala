@@ -122,6 +122,7 @@ class PlanAuditSpec extends SparkSpec {
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
+      "dsir_weights" -> 1,         // single-row (n_r, n_t) totals frame (the ≤1024-bucket ratio frame is NOT hinted — AQE broadcasts it by measured size)
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
       "bpe_merges" -> 3,           // 1-row token-total frames (×2) + round 2's rewrite hint; round 1's hints sit behind the per-round materialization since round 8
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
