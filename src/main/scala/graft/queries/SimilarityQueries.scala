@@ -425,6 +425,38 @@ object SimilarityQueries extends QueryModule {
         .orderBy("cluster", "pos")
     }),
 
+    // X-139: cluster-balanced sampling — the diversity-selection pass
+    // modern curation pipelines run after clustering (per-cluster
+    // quotas à la SemDeDup/DataComp: equal representation per semantic
+    // cluster instead of frequency-weighted draws). Train the SAME
+    // two-Lloyd-round index as kmeans_centroids/ivf_topk (shared
+    // helpers), assign every vector to its nearest trained centroid,
+    // then take a fixed quota per cluster by deterministic md5
+    // priority (never rand() — the corpus_mix rule). Scale shape: the
+    // trained index AND the thin (vec_id, cluster, pri) assignment are
+    // materialized once; the per-cluster quota runs through
+    // Rank.topKPerGroup (a raw window keyed on ≤8 clusters would
+    // funnel n/8 rows per task — the exact anti-pattern the plan gate
+    // forbids); the only hint is the ≤8-row cluster-sizes frame.
+    "cluster_balanced_sample" -> ((s, d) => {
+      val b = base(s, d)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+      val assigned = graft.operators.Dedup.materialize(
+        nearestClusters(b, c2, 1)
+          .select(col("vec_id"), col("cluster"),
+            conv(substring(md5(concat(lit("graft-cbs"),
+              col("vec_id").cast("string"))), 1, 14), 16, 10)
+              .cast("long").as("pri")))
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+      graft.operators.Rank.topKPerGroup(assigned, 4, Seq("cluster"),
+          Seq(col("pri"), col("vec_id")))
+        .join(broadcast(sizes), "cluster")
+        .select("cluster", "vec_id", "n_cluster", "rk")
+        .orderBy("cluster", "rk")
+    }),
+
     // Exact fixed-point centroid sums per (label, dimension): the
     // aggregation shape of embedding analytics, partial+final over one
     // shuffle on (label, pos).
@@ -858,6 +890,26 @@ object SimilarityQueries extends QueryModule {
          |counts AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
          |SELECT u2.cluster, u2.pos, u2.c_fx, counts.n_members
          |FROM u2 JOIN counts USING (cluster) ORDER BY u2.cluster, u2.pos""".stripMargin,
+
+    // X-139: the full two-round training (both rounds via lloydRoundSql
+    // — the kmeans/ivf recipe), assignment against the trained c2,
+    // md5-priority quota of 4 per cluster.
+    "cluster_balanced_sample" ->
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |asg AS ${nearestSql("c2", "", 1)},
+         |p AS (SELECT vec_id, cluster,
+         |        CAST('0x' || substr(md5('graft-cbs' || vec_id), 1, 14) AS BIGINT) AS pri
+         |      FROM asg),
+         |sz AS (SELECT cluster, count(*) AS n_cluster FROM p GROUP BY cluster),
+         |r AS (SELECT cluster, vec_id, pri,
+         |        CAST(row_number() OVER (PARTITION BY cluster ORDER BY pri, vec_id) AS INT) AS rk
+         |      FROM p)
+         |SELECT r.cluster, r.vec_id, sz.n_cluster, r.rk
+         |FROM r JOIN sz USING (cluster)
+         |WHERE r.rk <= 4 ORDER BY cluster, rk""".stripMargin,
 
     "label_centroids" ->
       """WITH q AS (SELECT label,

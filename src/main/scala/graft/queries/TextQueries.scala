@@ -1075,20 +1075,8 @@ object TextQueries extends QueryModule {
     // the scan + one partial-aggregated global fold; the funnel explode
     // runs on a 1-row frame.
     "gopher_rules" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .withColumn("toks", tokens(norm(col("text"))))
-        .select(
-          size(col("toks")).cast("long").as("n"),
-          size(array_distinct(col("toks"))).cast("long").as("nd"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (a, x) => a + x).as("totlen"),
-          occurrences(col("toks"), GopherStopwords).as("stop_hits"))
-      val p = Seq(
-        col("n") >= 20 && col("n") <= 80,              // word-count band
-        col("totlen") >= col("n") * 3 &&
-          col("totlen") <= col("n") * 5,               // mean word length 3..5
-        col("nd") * 10 >= col("n") * 3,                // TTR >= 0.3
-        col("stop_hits") >= 2)                         // stopword containment
+      val base = gopherBase(s, d)
+      val p = gopherPreds
       val cum = p.scanLeft(lit(true))(_ && _).drop(1)  // rule k AND all before
       val agg = base.agg(
         count(lit(1)).as("s0"),
@@ -1124,37 +1112,33 @@ object TextQueries extends QueryModule {
     // frame is ≤1024 rows BY CONSTRUCTION at any corpus size (that is
     // the point of hashed features), so the join-back is a bounded
     // broadcast under AQE; everything else is hash aggregates.
-    "dsir_weights" -> ((s, d) => {
-      val B = 1024
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(ngrams(tokens(norm(col("text"))), 2)).as("g"))
-        .withColumn("bucket", tokenHash(col("g")) % B)
-      // ONE aggregation pass carries both distributions (raw count +
-      // target count per bucket); the corpus totals then read off the
-      // ≤B-row bucket frame instead of re-scanning the corpus — the
-      // exploded lineage is walked exactly twice (counts + probe).
-      // The bounded counts frame is MATERIALIZED so the totals
-      // aggregate doesn't re-embed (and re-scan) its lineage.
-      val counts = Dedup.materialize(grams.groupBy("bucket").agg(
-        count(lit(1)).as("c_r"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t")))
-      val tot = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
-      val ratio = counts.crossJoin(broadcast(tot))
-        .select(col("bucket"), expr(
-          s"""CAST((CAST(c_t AS DECIMAL(24,0)) + 1) * (n_r + $B) * 1000000
-             |     div ((CAST(c_r AS DECIMAL(24,0)) + 1) * (n_t + $B)) AS BIGINT)"""
-            .stripMargin).as("r_fx"))
-      // ratio is bucket-bounded but carries no hint (the doc_lm_score
-      // rule: AQE broadcasts it by MEASURED size)
-      grams.join(ratio, "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_grams"), sum(col("r_fx")).as("sum_fx"))
-        .select(col("doc_id"), col("lang"), col("n_grams"),
-          col("sum_fx").cast("long").as("sum_fx"),
+    "dsir_weights" -> ((s, d) =>
+      dsirScores(Tables.documents(s, d).select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("lang"), col("n_grams"), col("sum_fx"),
           (col("sum_fx").cast("double") / col("n_grams").cast("double"))
             .as("dsir_weight"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // X-140: the curation CAPSTONE composing this round's selection ops
+    // — the Gopher rule gate (X-137, pass ALL FOUR rules) feeding DSIR
+    // importance weighting (X-138, distributions re-estimated over the
+    // SURVIVORS — selection always rescoring the pool it actually
+    // draws from), closed with a per-language top-10 by weight through
+    // the two-phase Rank (a raw window keyed on ≤5 langs is the
+    // gated anti-pattern). The per-stage shapes are unchanged from the
+    // component queries; the composition shares their builders/SQL
+    // fragments so the capstone cannot drift from its parts.
+    "curation_pipeline" -> ((s, d) => {
+      val keep = gopherBase(s, d)
+        .filter(gopherPreds.reduce(_ && _))
+        .select("doc_id", "lang", "text")
+      val scored = dsirScores(keep)
+        .withColumn("dsir_weight",
+          col("sum_fx").cast("double") / col("n_grams").cast("double"))
+      graft.operators.Rank.topKPerGroup(scored, 10, Seq("lang"),
+          Seq(col("dsir_weight").desc, col("doc_id")))
+        .select("lang", "doc_id", "n_grams", "dsir_weight", "rk")
+        .orderBy("lang", "rk")
     }),
   )
 
@@ -1167,6 +1151,62 @@ object TextQueries extends QueryModule {
     * (no profile) exercises the failure arm. */
   private val GopherStopwords: Seq[String] =
     LangProfiles.flatMap(_._2).distinct
+
+  /** X-137 per-doc rule metrics (doc_id/lang/text carried through for
+    * composition). */
+  private def gopherBase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(norm(col("text"))))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("totlen"),
+        occurrences(col("toks"), GopherStopwords).as("stop_hits"))
+
+  /** X-137 rule predicates over [[gopherBase]]'s metric columns, in
+    * [[GopherRuleNames]] order — every comparison integer-exact. */
+  private def gopherPreds: Seq[Column] = Seq(
+    col("n") >= 20 && col("n") <= 80,              // word-count band
+    col("totlen") >= col("n") * 3 &&
+      col("totlen") <= col("n") * 5,               // mean word length 3..5
+    col("nd") * 10 >= col("n") * 3,                // TTR >= 0.3
+    col("stop_hits") >= 2)                         // stopword containment
+
+  /** X-138 hashed-bigram feature space. */
+  private val DsirBuckets = 1024
+
+  /** X-138 scoring pipeline over a (doc_id, lang, text) frame: per-doc
+    * (doc_id, lang, n_grams, sum_fx) where sum_fx is the exact
+    * fixed-point sum of smoothed target-vs-raw bucket ratios (×10⁶).
+    * ONE aggregation pass carries both distributions (raw count +
+    * target count per bucket); the corpus totals then read off the
+    * ≤B-row bucket frame instead of re-scanning the corpus — the
+    * exploded lineage is walked exactly twice (counts + probe). The
+    * bounded counts frame is MATERIALIZED so the totals aggregate
+    * doesn't re-embed (and re-scan) its lineage. The ratio join-back
+    * is bucket-bounded but carries no hint (the doc_lm_score rule:
+    * AQE broadcasts it by MEASURED size). */
+  private def dsirScores(docs: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(ngrams(tokens(norm(col("text"))), 2)).as("g"))
+      .withColumn("bucket", tokenHash(col("g")) % B)
+    val counts = Dedup.materialize(grams.groupBy("bucket").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t")))
+    val tot = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val ratio = counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), expr(
+        s"""CAST((CAST(c_t AS DECIMAL(24,0)) + 1) * (n_r + $B) * 1000000
+           |     div ((CAST(c_r AS DECIMAL(24,0)) + 1) * (n_t + $B)) AS BIGINT)"""
+          .stripMargin).as("r_fx"))
+    grams.join(ratio, "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_fx")).as("sum_fx"))
+  }
 
   /** BM25 scoring CTEs (through `sc`: doc_id, n_terms, score_fx) —
     * one copy spliced into bm25_score and rrf_fusion. */
@@ -1746,21 +1786,15 @@ object TextQueries extends QueryModule {
          |WHERE f.best_shorter IS NULL OR f.qmax > f.best_shorter
          |ORDER BY s.n_tokens, s.doc_id""".stripMargin,
 
-    // X-137: same integer-exact rule predicates; the funnel rows as
-    // UNION ALL selects off the single aggregate row.
+    // X-137: same integer-exact rule predicates (shared fragments with
+    // the X-140 capstone); the funnel rows as UNION ALL selects off the
+    // single aggregate row.
     "gopher_rules" ->
-      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
-         |b AS (SELECT CAST(len(toks) AS BIGINT) AS n,
-         |             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
-         |             CAST(list_aggregate(list_transform(toks,
-         |               x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS totlen,
-         |             ${occSql(GopherStopwords)} AS stop_hits
-         |      FROM t),
-         |p AS (SELECT (n >= 20 AND n <= 80) AS p1,
-         |             (totlen >= n * 3 AND totlen <= n * 5) AS p2,
-         |             (nd * 10 >= n * 3) AS p3,
-         |             (stop_hits >= 2) AS p4
-         |      FROM b),
+      s"""WITH $gopherBaseSql,
+         |p AS (SELECT ${gopherPredsSql.zipWithIndex
+                 .map { case (q, i) => s"$q AS p${i + 1}" }
+                 .mkString(",\n         |             ")}
+         |      FROM gb),
          |a AS (SELECT count(*) AS s0,
          |             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
          |             CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
@@ -1782,25 +1816,66 @@ object TextQueries extends QueryModule {
     // the smoothed importance ratio in HUGEINT integral arithmetic
     // (mirrors Spark's DECIMAL div exactly), one final double division.
     "dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         |g0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-         |         i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t),
-         |g AS (SELECT doc_id, lang,
-         |        CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) % 1000000007 % 1024 AS bucket
-         |      FROM g0),
-         |c AS (SELECT bucket, count(*) AS c_r,
-         |             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
-         |      FROM g GROUP BY bucket),
-         |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
-         |               CAST(sum(c_t) AS BIGINT) AS n_t FROM c),
-         |r AS (SELECT c.bucket,
-         |        CAST((CAST(c.c_t AS HUGEINT) + 1) * (tot.n_r + 1024) * 1000000
-         |             // ((CAST(c.c_r AS HUGEINT) + 1) * (tot.n_t + 1024)) AS BIGINT) AS r_fx
-         |      FROM c CROSS JOIN tot)
-         |SELECT g.doc_id, g.lang, count(*) AS n_grams,
-         |       CAST(sum(r.r_fx) AS BIGINT) AS sum_fx,
-         |       CAST(sum(r.r_fx) AS DOUBLE) / count(*) AS dsir_weight
-         |FROM g JOIN r USING (bucket)
-         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+      s"""WITH ${dsirCteSql("documents")}
+         |SELECT doc_id, lang, n_grams, sum_fx,
+         |       CAST(sum_fx AS DOUBLE) / n_grams AS dsir_weight
+         |FROM dsir ORDER BY doc_id""".stripMargin,
+
+    // X-140: the Gopher gate (all four predicates) feeding the DSIR
+    // fragment re-estimated over the survivors, per-lang top-10.
+    "curation_pipeline" ->
+      s"""WITH $gopherBaseSql,
+         |keep AS (SELECT doc_id, lang, text FROM gb
+         |         WHERE ${gopherPredsSql.mkString(" AND ")}),
+         |${dsirCteSql("keep")},
+         |sc AS (SELECT doc_id, lang, n_grams,
+         |         CAST(sum_fx AS DOUBLE) / n_grams AS dsir_weight FROM dsir),
+         |rr AS (SELECT lang, doc_id, n_grams, dsir_weight,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY dsir_weight DESC, doc_id) AS INT) AS rk
+         |       FROM sc)
+         |SELECT lang, doc_id, n_grams, dsir_weight, rk
+         |FROM rr WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
   )
+
+  /** X-137 SQL mirror of [[gopherBase]] (CTE `gb`). */
+  private lazy val gopherBaseSql =
+    s"""gb AS (SELECT doc_id, lang, text,
+       |         CAST(len(toks) AS BIGINT) AS n,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+       |         CAST(list_aggregate(list_transform(toks,
+       |           x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS totlen,
+       |         ${occSql(GopherStopwords)} AS stop_hits
+       |       FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents))""".stripMargin
+
+  /** X-137 SQL mirror of [[gopherPreds]], same order. */
+  private val gopherPredsSql = Seq(
+    "(n >= 20 AND n <= 80)",
+    "(totlen >= n * 3 AND totlen <= n * 5)",
+    "(nd * 10 >= n * 3)",
+    "(stop_hits >= 2)")
+
+  /** X-138 SQL mirror of [[dsirScores]] as a CTE chain over `src`
+    * (needs doc_id, lang, text): ends in CTE `dsir` with (doc_id,
+    * lang, n_grams, sum_fx). HUGEINT `//` mirrors Spark's DECIMAL
+    * `div` exactly on these magnitudes. */
+  private def dsirCteSql(src: String): String =
+    s"""dg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |          i -> array_to_string(toks[i:i+1], ' '))) AS g
+       |        FROM (SELECT doc_id, lang, $toksSql AS toks FROM $src)),
+       |dg AS (SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) % 1000000007 % $DsirBuckets AS bucket
+       |       FROM dg0),
+       |dc AS (SELECT bucket, count(*) AS c_r,
+       |              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |       FROM dg GROUP BY bucket),
+       |dtot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+       |                CAST(sum(c_t) AS BIGINT) AS n_t FROM dc),
+       |dr AS (SELECT dc.bucket,
+       |         CAST((CAST(dc.c_t AS HUGEINT) + 1) * (dtot.n_r + $DsirBuckets) * 1000000
+       |              // ((CAST(dc.c_r AS HUGEINT) + 1) * (dtot.n_t + $DsirBuckets)) AS BIGINT) AS r_fx
+       |       FROM dc CROSS JOIN dtot),
+       |dsir AS (SELECT dg.doc_id, dg.lang, count(*) AS n_grams,
+       |           CAST(sum(dr.r_fx) AS BIGINT) AS sum_fx
+       |         FROM dg JOIN dr USING (bucket) GROUP BY 1, 2)""".stripMargin
 }

@@ -117,12 +117,14 @@ class PlanAuditSpec extends SparkSpec {
     val bounded: Map[String, Int] = Map(
       "knn_cosine" -> 1,           // 10 query vectors
       "ann_lsh_bucket" -> 1,       // 10 query vectors
+      "cluster_balanced_sample" -> 1, // ≤8-row cluster-sizes frame (training + assignment hints sit behind the two materializations)
       "ivf_topk" -> 3,             // ≤8-row MATERIALIZED trained-centroid frame hinted on the assign + probe sides, + ≤20 probes (the 2 training rounds' hints sit behind the index materialization)
       "kmeans_centroids" -> 2,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint (member counts now read off lloydUpdate's cnt — no extra count join re-embedding the assignment tree)
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
       "doc_lm_score" -> 1,         // single-row corpus total (the vocabulary is NOT hinted)
       "dsir_weights" -> 1,         // single-row (n_r, n_t) totals frame (the ≤1024-bucket ratio frame is NOT hinted — AQE broadcasts it by measured size)
+      "curation_pipeline" -> 1,    // the embedded DSIR fragment's same single-row totals frame
       "join_key_skew" -> 1,        // single-row (total, n_keys) frame
       "bpe_merges" -> 3,           // 1-row token-total frames (×2) + round 2's rewrite hint; round 1's hints sit behind the per-round materialization since round 8
       "bm25_score" -> 2,           // per-term df (≤3 literal query terms) + single-row corpus stats
