@@ -50,9 +50,18 @@ object ScaleBench {
     * scale (replicas shift vec_ids above the query range), so their
     * cost model is index+scan over a growing corpus for a constant
     * query load — the serve-side shape whose scaling matters. */
+  /** Default ladder membership. The dedup/ANN block is the round-7
+    * verdict's mandate; the selection block (X-137..X-140) rides the
+    * same corpora — gopher/dsir/curation scan the replicated documents,
+    * cluster_balanced_sample the replicated embeddings (train+assign
+    * grows with the corpus, the quota output stays fixed).
+    * `SPARK_GRAFT_SCALE_QUERIES` (csv) restricts a run to a subset —
+    * unknown names fail fast rather than silently shrinking coverage. */
   private val Queries = Seq(
     "ngram_jaccard", "containment_dup", "dedup_clusters", "minhash_lsh",
-    "knn_cosine", "ann_lsh_bucket", "ivf_topk")
+    "knn_cosine", "ann_lsh_bucket", "ivf_topk",
+    "gopher_rules", "dsir_weights", "curation_pipeline",
+    "cluster_balanced_sample")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
@@ -98,6 +107,11 @@ object ScaleBench {
       "/tmp/graft-scale")
     require(scales.nonEmpty && scales.min >= 1 && scales.max <= 20,
       "scales must be 1..20 (embedding rotation shift < dim, dup classes mod 20)")
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries)
+    queries.foreach(q => require(Queries.contains(q),
+      s"unknown scale query '$q' (ladder members: ${Queries.mkString(", ")})"))
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -152,7 +166,7 @@ object ScaleBench {
 
     // Warmup at the smallest scale: JIT/codegen for all seven plans.
     val smallest = dirs(scales.min)._1
-    Queries.foreach { q =>
+    queries.foreach { q =>
       SparkEntry.queries(q)(spark, smallest)
         .write.format("noop").mode("overwrite").save()
     }
@@ -163,7 +177,7 @@ object ScaleBench {
       readMb: Double, writeMb: Double)
     val obs = scala.collection.mutable.ArrayBuffer[Obs]()
 
-    for (r <- scales.sorted; q <- Queries) {
+    for (r <- scales.sorted; q <- queries) {
       val (dir, n) = dirs(r)
       def once(): (Double, Double, Double) = {
         settle()
@@ -194,7 +208,7 @@ object ScaleBench {
     }
     // A single-scale run has no ladder to fit — skip the exponent
     // lines rather than printing NaN (not legal JSON).
-    if (scales.distinct.size >= 2) for (q <- Queries) {
+    if (scales.distinct.size >= 2) for (q <- queries) {
       val o = obs.filter(_.query == q).sortBy(_.scale).toSeq
       val xs = o.map(_.scale.toDouble)
       val eT = slope(xs, o.map(_.sec))
