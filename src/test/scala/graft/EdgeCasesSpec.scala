@@ -101,6 +101,36 @@ class EdgeCasesSpec extends SparkSpec {
     out(4L)._2 shouldEqual 0L     // unique content: no dup windows
   }
 
+  /** Empty documents + embeddings tables with the production schemas:
+    * a fully filtered-out (or partition-pruned-to-nothing) corpus. */
+  private lazy val emptyCorpusDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("selection ops (X-137..X-140) flow through an empty corpus") {
+    // the funnel skeleton survives: 4 rule rows with zero docs entering
+    // rule 1 (later stages are SQL-null — sum over zero rows — in both
+    // engines, so the cross-engine contract holds even here)
+    val funnel = SparkEntry.queries("gopher_rules")(spark, emptyCorpusDir).collect()
+    funnel.length shouldEqual 4
+    funnel.head.getAs[Long]("n_in") shouldEqual 0L
+    // per-doc outputs are empty frames, never a crash: dsir's totals
+    // frame is one all-null row crossed against zero buckets, and the
+    // Lloyd training loop runs on zero seeds straight through
+    SparkEntry.queries("dsir_weights")(spark, emptyCorpusDir).count() shouldEqual 0
+    SparkEntry.queries("curation_pipeline")(spark, emptyCorpusDir).count() shouldEqual 0
+    SparkEntry.queries("cluster_balanced_sample")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+  }
+
   test("bm25_score: only docs carrying a query term appear; scores are positive") {
     val out = SparkEntry.queries("bm25_score")(spark, tinyDocsDir)
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
