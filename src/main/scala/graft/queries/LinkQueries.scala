@@ -222,6 +222,55 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Label-propagation community detection (X-141, Raghavan et al.
+    // 2007, Phys. Rev. E 76:036106) over the same synthesized link
+    // graph — the COMMUNITY op beside connectivity (X-32 CC merges
+    // everything reachable) and centrality (X-52/X-111 rank nodes):
+    // LPA finds locally dense neighborhoods by majority vote. The
+    // textbook's asynchronous random-order sweep is not reproducible
+    // across engines, so this is the SYNCHRONOUS variant with a total
+    // tie rule — each round every node adopts the label occurring most
+    // among its neighbors, ties to the LOWEST label — making the
+    // result exact and oracle-mirrorable. Two unrolled rounds. Scale
+    // shape: undirected simple-graph view derived once from the shared
+    // edge synthesis and MATERIALIZED pre-partitioned on the probe key
+    // (the CC recipe); per round ONE key join + a (node, label) count
+    // + a per-node struct-min argmax (two hash aggregates — never a
+    // window over the raw join); each round's label frame is
+    // materialized because the next round consumes it twice (neighbor
+    // join + isolated-node fallback). Isolated nodes keep their own
+    // label; the community-size join-back keys on the label (community
+    // count grows with the corpus — never hinted).
+    "label_propagation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val raw = linkEdgesRaw(s, d)
+      val pairs = raw.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val und = graft.operators.Dedup.materialize(
+        pairs.select(col("a"), col("b"))
+          .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+          .repartition(col("a")))
+      def round(prevIn: DataFrame): DataFrame = {
+        val prev = graft.operators.Dedup.materialize(prevIn)
+        val vote = und.join(prev, und("b") === prev("doc_id"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("a"), col("m.l").as("nlabel"))
+        prev.join(vote, prev("doc_id") === vote("a"), "left_outer")
+          .select(prev("doc_id"),
+            coalesce(col("nlabel"), prev("label")).as("label"))
+      }
+      val l0 = docs.select(col("doc_id"), col("doc_id").as("label"))
+      val lab = graft.operators.Dedup.materialize(round(round(l0)))
+      val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
+      lab.join(sizes, "label")
+        .select(col("doc_id"), col("label"), col("community_size"))
+        .orderBy("doc_id")
+    }),
+
     // S-4: link scan as row explosion — each document yields its <a>
     // elements (href + anchor) as rows, the operator feeding P-2..P-4
     // (/root/reference/app.py:147-155). Links are synthesized
@@ -851,6 +900,37 @@ object LinkQueries extends QueryModule {
         |                 ELSE 0 END AS BIGINT) AS cc_fx
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
         |ORDER BY d.node""".stripMargin,
+
+    // Same edge synthesis as link_pagerank; the simple-graph view, the
+    // two synchronous vote rounds (max count, ties to lowest label via
+    // the same (cnt DESC, label) total order the struct-min encodes),
+    // and the isolated-node fallback mirror the Spark side literally.
+    "label_propagation" -> {
+      def roundSql(prev: String, i: Int) =
+        s"""v$i AS (SELECT u.a, p.label, count(*) AS cnt
+           |      FROM und u JOIN $prev p ON u.b = p.doc_id GROUP BY u.a, p.label),
+           |p$i AS (SELECT a, label FROM (
+           |        SELECT a, label,
+           |               row_number() OVER (PARTITION BY a
+           |                 ORDER BY cnt DESC, label) AS rk
+           |        FROM v$i) WHERE rk = 1),
+           |l$i AS (SELECT p.doc_id, COALESCE(x.label, p.label) AS label
+           |      FROM $prev p LEFT JOIN p$i x ON p.doc_id = x.a)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+         |        FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |        WHERE doc_id % 7 <> 0),
+         |pairs AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |          FROM raw WHERE src <> dst),
+         |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM docs),
+         |${roundSql("l0", 1)},
+         |${roundSql("l1", 2)},
+         |sz AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
+         |SELECT l2.doc_id, l2.label, sz.community_size
+         |FROM l2 JOIN sz USING (label) ORDER BY l2.doc_id""".stripMargin
+    },
 
     "link_topk" ->
       s"""WITH cand AS ($candidatesSql),

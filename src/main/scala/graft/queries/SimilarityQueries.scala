@@ -127,6 +127,57 @@ object SimilarityQueries extends QueryModule {
     b.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cluster"), col("qe").as("ce"), col("nq").as("nc"))
 
+  // ── PQ building blocks, shared by pq_error (X-101, training + codes
+  //    as the deliverable) and ivfpq_topk (X-143, the trained codebook
+  //    feeding the serving index). M=4 × 16-dim subspaces, 8
+  //    sub-centroids each; all distances exact integer squared-L2. ──
+
+  private val PqM = 4
+  private val PqSd = Dim / PqM
+
+  /** (vec_id, sub, sv) subvector split of a (vec_id, qe) frame. */
+  private def pqSubvectors(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("qe"))
+      .withColumn("sv", expr(s"slice(qe, sub * $PqSd + 1, $PqSd)"))
+      .drop("qe")
+
+  /** Exact squared-L2 of every (vec, sub) row against EVERY
+    * sub-centroid of its subspace (`cents`: sub, cluster, ce — ≤ M×8
+    * rows by construction, broadcast). */
+  private def pqDists(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), "sub")
+      .withColumn("dist",
+        expr("aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+
+  /** Argmin code assignment (ties to the lowest cluster). */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cluster"))
+    pqDists(sv, cents)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .drop("ce", "rk")
+  }
+
+  /** One floored-IEEE-mean Lloyd update from the vec_id < 8 seeds →
+    * the trained 32-row (sub, cluster, ce) codebook (the consumer's
+    * own assignment against it is the second Lloyd round). */
+  private def pqTrain(sv: DataFrame): DataFrame = {
+    val seeds = sv.filter(col("vec_id") < 8)
+      .select(col("sub"), col("vec_id").as("cluster"), col("sv").as("ce"))
+    pqAssign(sv, seeds)
+      .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("spos", "v")))
+      .groupBy("sub", "cluster", "spos")
+      .agg(sum(col("v")).as("sv_"), count(lit(1)).as("cnt"))
+      .withColumn("val",
+        floor(col("sv_").cast("double") / col("cnt").cast("double")).cast("long"))
+      .groupBy("sub", "cluster")
+      .agg(transform(array_sort(collect_list(struct(col("spos"), col("val")))),
+        x => x("val")).as("ce"))
+  }
+
+  /** X-142 MMR pool size (exact top-P per query feeds the greedy
+    * selection; every post-pool frame is ≤ queries·P rows). */
+  private val MmrPool = 8
+
   /** Shared oracle CTE: quantized embeddings + exact norms. */
   private val baseSql =
     """q AS (SELECT vec_id, embedding,
@@ -607,35 +658,136 @@ object SimilarityQueries extends QueryModule {
     // (sub, cluster, dim) aggregate; assignment windows partition on
     // (vec_id, sub) — data-bound keys.
     "pq_error" -> ((s, d) => {
-      val M = 4; val sd = Dim / M
-      val sv = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("qe"))
-        .withColumn("sv", expr(s"slice(qe, sub * $sd + 1, $sd)"))
-        .drop("qe")
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cluster"))
-        sv.join(broadcast(cents), "sub")
-          .withColumn("dist",
-            expr("aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .drop("ce", "rk")
-      }
-      val seeds = sv.filter(col("vec_id") < 8)
-        .select(col("sub"), col("vec_id").as("cluster"), col("sv").as("ce"))
-      val c1 = assign(seeds)
-        .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("spos", "v")))
-        .groupBy("sub", "cluster", "spos")
-        .agg(sum(col("v")).as("sv_"), count(lit(1)).as("cnt"))
-        .withColumn("val",
-          floor(col("sv_").cast("double") / col("cnt").cast("double")).cast("long"))
-        .groupBy("sub", "cluster")
-        .agg(transform(array_sort(collect_list(struct(col("spos"), col("val")))),
-          x => x("val")).as("ce"))
-      assign(c1)
+      val sv = pqSubvectors(Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe")))
+      pqAssign(sv, pqTrain(sv))
         .select(col("vec_id"), col("sub").cast("long").as("sub"),
           col("cluster").as("code"), col("dist").as("sse_fx"))
         .orderBy("vec_id", "sub")
+    }),
+
+    // IVF-PQ with asymmetric distance computation (X-143, Jégou et al.
+    // 2011, "Product Quantization for Nearest Neighbor Search", IEEE
+    // TPAMI §IV) — the index form a billion-vector serving deployment
+    // actually ships, COMPOSING the two halves this registry already
+    // trains separately: the IVF coarse quantizer (X-51's 2-Lloyd-round
+    // centroids, shared helpers with ivf_topk/kmeans_centroids) prunes
+    // the scan to the query's 2 probed clusters, and the PQ codebook
+    // (X-101's per-subspace training, shared helpers with pq_error)
+    // compresses every stored vector to 4 codes so the probe never
+    // touches raw vectors. ADC: per (query, subspace) the exact
+    // squared-L2 to all 8 sub-centroids is tabulated ONCE (10×4×8 =
+    // 320 rows, bounded by the query load — broadcast), and each
+    // candidate's approximate distance is the 4-way table-lookup sum —
+    // the memory-bandwidth trade that makes PQ serving fast. Everything
+    // is exact BIGINT arithmetic (the pq_error discipline), so both
+    // engines reproduce every distance bit-for-bit. Scale shape: the
+    // coarse index and the 32-row codebook are trained once and
+    // MATERIALIZED; the corpus-side work is one coarse assignment +
+    // one code assignment + an equi-join on the probed cluster key;
+    // nothing corpus-sized is ever hinted.
+    "ivfpq_topk" -> ((s, d) => {
+      val b = base(s, d)
+      // coarse quantizer: ivf_topk's trained + materialized index
+      val c1c = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val coarse = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1c, 1))))
+      val assigned = nearestClusters(b.filter(col("vec_id") >= 10), coarse, 1)
+        .select(col("vec_id"), col("cluster"))
+      val probes = nearestClusters(b.filter(col("vec_id") < 10), coarse, 2)
+        .select(col("vec_id").as("q_id"), col("cluster"))
+      // PQ codebook: pq_error's trained 32-row frame, materialized
+      // because BOTH the candidate code assignment and the ADC tables
+      // consume it (each would otherwise re-run the training round)
+      val sv = pqSubvectors(b.select(col("vec_id"), col("qe")))
+      val cb = graft.operators.Dedup.materialize(pqTrain(sv))
+      val codes = pqAssign(sv.filter(col("vec_id") >= 10), cb)
+        .select(col("vec_id"), col("sub"), col("cluster").as("code"))
+      val tables = pqDists(sv.filter(col("vec_id") < 10), cb)
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("cluster").as("code"), col("dist").as("adist"))
+      val cand = assigned.join(broadcast(probes), "cluster")
+      val adc = cand.join(codes, "vec_id")
+        .join(broadcast(tables), Seq("q_id", "sub", "code"))
+        .groupBy("q_id", "vec_id", "cluster")
+        .agg(sum(col("adist")).as("adc_fx"))
+      graft.operators.Rank.topKPerGroup(adc, LshK, Seq("q_id"),
+          Seq(col("adc_fx"), col("vec_id")))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("cluster"), col("rk"), col("adc_fx"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Maximal-marginal-relevance diverse top-k (X-142, Carbonell &
+    // Goldstein, SIGIR'98) — the retrieval-side SELECTION op beside
+    // the index family: a plain top-k returns near-duplicates of one
+    // good answer; MMR greedily picks argmax λ·rel(c) −
+    // (1−λ)·max_{s∈S} sim(c, s), trading relevance against redundancy
+    // with what's already selected. λ = 0.7, pool = exact top-8 per
+    // query, k = 3 picks, ties to the lowest vec_id. The greedy loop
+    // is inherently sequential, but every round runs over the
+    // (queries × pool)-BOUNDED frames — the corpus-dependent work is
+    // exactly one brute-force top-pool scan (knn_cosine's audited
+    // shape); the pool and its complete pairwise-similarity matrix
+    // (≤ queries·P² rows) are materialized once and every selection
+    // round is joins + aggregates over them. Scores stay in the
+    // engine's proven-deterministic double space: rel/sim are cosFx
+    // doubles and the MMR combination (7·rel − 3·maxsim)/10 is the
+    // same IEEE expression in both engines.
+    "mmr_select" -> ((s, d) => {
+      val b = base(s, d)
+      val qs = broadcast(b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"), col("nq").as("q_nq")))
+      val pool = graft.operators.Dedup.materialize(
+        graft.operators.Rank.topKPerGroup(
+            scored(b.filter(col("vec_id") >= 10).crossJoin(qs)),
+            MmrPool, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
+          .select(col("q_id"), col("vec_id"), col("cos").as("rel"),
+            col("qe"), col("nq")))
+      val sims = graft.operators.Dedup.materialize(
+        pool.select(col("q_id"), col("vec_id").as("ca"),
+            col("qe").as("a_qe"), col("nq").as("a_nq"))
+          .join(pool.select(col("q_id").as("r_qid"), col("vec_id").as("cb"),
+              col("qe").as("b_qe"), col("nq").as("b_nq")),
+            col("q_id") === col("r_qid") && col("ca") =!= col("cb"))
+          .select(col("q_id"), col("ca"), col("cb"),
+            cosFx(dotFx(col("a_qe"), col("b_qe")),
+              col("a_nq"), col("b_nq")).as("sim")))
+      val slim = pool.select("q_id", "vec_id", "rel")
+      def mmrOf(rel: Column, ms: Column): Column =
+        (lit(7.0) * rel - lit(3.0) * ms) / lit(10.0)
+      val pickW = Window.partitionBy("q_id")
+      val first = slim
+        .withColumn("r0", row_number().over(
+          pickW.orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("r0") === 1)
+        .select(col("q_id"), lit(1).as("pick"), col("vec_id"), col("rel"),
+          lit(0.0).as("maxsim"), mmrOf(col("rel"), lit(0.0)).as("mmr"))
+      def next(selPrev: DataFrame, t: Int): DataFrame = {
+        val selSet = selPrev.select(col("q_id").as("s_qid"),
+          col("vec_id").as("sel_id"))
+        val remaining = slim.join(selSet,
+          col("q_id") === col("s_qid") && col("vec_id") === col("sel_id"),
+          "left_anti")
+        val simToSel = sims.join(selSet,
+            sims("q_id") === col("s_qid") && sims("cb") === col("sel_id"))
+          .select(sims("q_id").as("m_qid"), col("ca"), col("sim"))
+        remaining.join(simToSel,
+            col("q_id") === col("m_qid") && col("vec_id") === col("ca"))
+          .groupBy(col("q_id"), col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("maxsim"))
+          .withColumn("mmr", mmrOf(col("rel"), col("maxsim")))
+          .withColumn("rt", row_number().over(
+            pickW.orderBy(col("mmr").desc, col("vec_id"))))
+          .filter(col("rt") === 1)
+          .select(col("q_id"), lit(t).as("pick"), col("vec_id"),
+            col("rel"), col("maxsim"), col("mmr"))
+      }
+      val s2 = next(first, 2)
+      val s3 = next(first.unionByName(s2), 3)
+      first.unionByName(s2).unionByName(s3)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .orderBy("q_id", "pick")
     }),
 
     // Top principal component by power iteration (X-114): the
@@ -981,6 +1133,105 @@ object SimilarityQueries extends QueryModule {
          |         FROM sv v JOIN c1 c USING (sub)) WHERE rk = 1)
          |SELECT vec_id, sub, CAST(cluster AS BIGINT) AS code, dist AS sse_fx
          |FROM a2 ORDER BY vec_id, sub""".stripMargin
+    },
+
+    // Coarse CTEs = ivf_topk's oracle verbatim (same trained index);
+    // PQ CTEs = pq_error's oracle with p-prefixed names; the ADC table
+    // join and the 4-way lookup sum mirror the Spark side literally.
+    "ivfpq_topk" -> {
+      val sd = PqSd
+      def distSql(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${sd + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |assigned AS ${nearestSql("c2", "WHERE v.vec_id >= 10", 1)},
+         |probes0 AS ${nearestSql("c2", "WHERE v.vec_id < 10", 2)},
+         |probes AS (SELECT vec_id AS q_id, cluster FROM probes0),
+         |psv AS (SELECT vec_id, s.sub, qe[s.sub * $sd + 1 : (s.sub + 1) * $sd] AS sv
+         |        FROM n, (SELECT unnest(range(0, $PqM)) AS sub) s),
+         |pseeds AS (SELECT sub, vec_id AS cluster, sv AS ce FROM psv WHERE vec_id < 8),
+         |pa1 AS (SELECT vec_id, sub, sv, cluster FROM (
+         |          SELECT v.vec_id, v.sub, v.sv, c.cluster,
+         |                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                                    ORDER BY ${distSql("v.sv", "c.ce")}, c.cluster) AS rk
+         |          FROM psv v JOIN pseeds c USING (sub)) WHERE rk = 1),
+         |pu1 AS (SELECT sub, cluster, i.spos,
+         |               CAST(floor(CAST(sum(sv[i.spos]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+         |        FROM pa1, (SELECT unnest(range(1, ${sd + 1})) AS spos) i
+         |        GROUP BY sub, cluster, i.spos),
+         |pc1 AS (SELECT sub, cluster, list(val ORDER BY spos) AS ce
+         |        FROM pu1 GROUP BY sub, cluster),
+         |codes AS (SELECT vec_id, sub, cluster AS code FROM (
+         |            SELECT v.vec_id, v.sub, c.cluster,
+         |                   row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                                      ORDER BY ${distSql("v.sv", "c.ce")}, c.cluster) AS rk
+         |            FROM psv v JOIN pc1 c USING (sub)
+         |            WHERE v.vec_id >= 10) WHERE rk = 1),
+         |tbl AS (SELECT v.vec_id AS q_id, v.sub, c.cluster AS code,
+         |               ${distSql("v.sv", "c.ce")} AS adist
+         |        FROM psv v JOIN pc1 c USING (sub) WHERE v.vec_id < 10),
+         |cand AS (SELECT p.q_id, a.vec_id, a.cluster
+         |         FROM assigned a JOIN probes p USING (cluster)),
+         |adc AS (SELECT c.q_id, c.vec_id, c.cluster, CAST(sum(t.adist) AS BIGINT) AS adc_fx
+         |        FROM cand c
+         |        JOIN codes k ON c.vec_id = k.vec_id
+         |        JOIN tbl t ON t.q_id = c.q_id AND t.sub = k.sub AND t.code = k.code
+         |        GROUP BY 1, 2, 3),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY adc_fx, vec_id) AS INTEGER) AS rk FROM adc)
+         |SELECT q_id, vec_id AS neighbor_id, cluster, rk, adc_fx
+         |FROM r WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
+    },
+
+    // Pool window, complete pool-pairwise similarity matrix, and the
+    // three unrolled greedy rounds mirror the Spark side; the MMR
+    // combination (7·rel − 3·maxsim)/10 is the identical IEEE double
+    // expression in both engines (7.0/3.0/10.0 are exactly
+    // representable, rel/sim are the proven-bit-identical cosines).
+    "mmr_select" -> {
+      val mmrSql = "(7.0 * rel - 3.0 * maxsim) / 10.0"
+      def roundSql(prevSet: String, cN: String, selN: String, t: Int) =
+        s"""$cN AS (SELECT p.q_id, p.vec_id, p.rel, max(s.sim) AS maxsim
+           |      FROM pool p
+           |      JOIN sims s ON s.q_id = p.q_id AND s.ca = p.vec_id
+           |      JOIN $prevSet x ON x.q_id = s.q_id AND x.vec_id = s.cb
+           |      WHERE NOT EXISTS (SELECT 1 FROM $prevSet e
+           |                        WHERE e.q_id = p.q_id AND e.vec_id = p.vec_id)
+           |      GROUP BY 1, 2, 3),
+           |$selN AS (SELECT q_id, CAST($t AS INTEGER) AS pick, vec_id, rel, maxsim,
+           |                 $mmrSql AS mmr
+           |        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |                ORDER BY $mmrSql DESC, vec_id) AS rk FROM $cN)
+           |        WHERE rk = 1)""".stripMargin
+      s"""WITH $baseSql,
+         |sc AS (SELECT qq.vec_id AS q_id, c.vec_id, c.qe, c.nq,
+         |              CAST(${dotSql2("c.qe", "qq.qe")} AS DOUBLE)
+         |                / sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) AS rel
+         |       FROM n c CROSS JOIN n qq
+         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |pool AS (SELECT * FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rel DESC, vec_id) AS prk FROM sc)
+         |         WHERE prk <= $MmrPool),
+         |sims AS (SELECT a.q_id, a.vec_id AS ca, b.vec_id AS cb,
+         |                CAST(${dotSql2("a.qe", "b.qe")} AS DOUBLE)
+         |                  / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS sim
+         |         FROM pool a JOIN pool b
+         |           ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT q_id, CAST(1 AS INTEGER) AS pick, vec_id, rel,
+         |                CAST(0.0 AS DOUBLE) AS maxsim,
+         |                (7.0 * rel - 3.0 * CAST(0.0 AS DOUBLE)) / 10.0 AS mmr
+         |         FROM pool WHERE prk = 1),
+         |${roundSql("sel1", "m2", "sel2", 2)},
+         |s12 AS (SELECT q_id, vec_id FROM sel1
+         |        UNION ALL SELECT q_id, vec_id FROM sel2),
+         |${roundSql("s12", "m3", "sel3", 3)}
+         |SELECT q_id, pick, vec_id AS neighbor_id, rel, maxsim, mmr FROM sel1
+         |UNION ALL SELECT q_id, pick, vec_id AS neighbor_id, rel, maxsim, mmr FROM sel2
+         |UNION ALL SELECT q_id, pick, vec_id AS neighbor_id, rel, maxsim, mmr FROM sel3
+         |ORDER BY q_id, pick""".stripMargin
     },
 
     // Same 1e4 quantization, Gram sums, and two L∞-normalized power

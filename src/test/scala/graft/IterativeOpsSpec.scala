@@ -290,4 +290,45 @@ class IterativeOpsSpec extends SparkSpec {
     (v1, v2).zipped.map((a, b) => a * b).sum should be > BigInt(0)
     assert(m2 > 0)
   }
+
+  test("label_propagation matches a plain-Scala synchronous LPA") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    // same derived simple graph: distinct undirected pairs, no self-loops
+    val pairs = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj: Map[Long, Array[Long]] =
+      (pairs ++ pairs.map(p => (p._2, p._1))).groupMap(_._1)(_._2)
+        .view.mapValues(_.toArray).toMap
+    var lab = docIds.map(d => d -> d).toMap
+    for (_ <- 1 to 2) {
+      val prev = lab
+      lab = docIds.map { d =>
+        adj.get(d) match {
+          case Some(nb) =>
+            // majority label among neighbors, ties to the LOWEST label
+            val cnt = nb.groupMapReduce(prev)(_ => 1L)(_ + _)
+            d -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+          case None => d -> prev(d) // isolated: keeps its own label
+        }
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("label_propagation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.length shouldEqual n
+    got.foreach { case (d, l, sz) =>
+      l shouldEqual lab(d)
+      sz shouldEqual sizes(l)
+    }
+    // the vote actually coarsens: strictly fewer communities than nodes,
+    // and at least one genuine multi-member community formed
+    val nComm = lab.values.toSet.size
+    assert(nComm < n)
+    assert(sizes.values.max > 1)
+  }
 }

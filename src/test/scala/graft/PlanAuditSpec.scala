@@ -119,6 +119,7 @@ class PlanAuditSpec extends SparkSpec {
       "ann_lsh_bucket" -> 1,       // 10 query vectors
       "cluster_balanced_sample" -> 1, // ≤8-row cluster-sizes frame (training + assignment hints sit behind the two materializations)
       "ivf_topk" -> 3,             // ≤8-row MATERIALIZED trained-centroid frame hinted on the assign + probe sides, + ≤20 probes (the 2 training rounds' hints sit behind the index materialization)
+      "ivfpq_topk" -> 6,           // the same ≤8-row coarse index on assign + probe sides and the ≤20-row probe set, + the MATERIALIZED 32-row PQ codebook on the candidate-code side and the ≤320-row ADC tables (whose lineage re-embeds the codebook's hint) — every hinted frame bounded by seeds × subspaces or the query load; nothing corpus-sized (mmr_select/label_propagation carry NO visible hints: their bounded frames sit behind materializations)
       "kmeans_centroids" -> 2,     // ≤8-row centroid frames; round 2's lineage re-embeds round 1's hint (member counts now read off lloydUpdate's cnt — no extra count join re-embedding the assignment tree)
       "link_pagerank" -> 2,        // final iteration's 1-row count + 1-row dangling-mass frames (earlier rounds' hints sit behind the per-round rank materialization)
       "link_hits" -> 1,            // final authority round's 1-row max-normalizer frame (earlier rounds' hints sit behind the per-round score materialization)
