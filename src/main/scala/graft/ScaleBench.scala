@@ -61,7 +61,12 @@ object ScaleBench {
     "ngram_jaccard", "containment_dup", "dedup_clusters", "minhash_lsh",
     "knn_cosine", "ann_lsh_bucket", "ivf_topk",
     "gopher_rules", "dsir_weights", "curation_pipeline",
-    "cluster_balanced_sample")
+    "cluster_balanced_sample",
+    // graph/retrieval block (X-141..X-143): label_propagation's edge
+    // list is 3·n by synthesis (iterative-join scaling); mmr_select /
+    // ivfpq_topk keep the fixed 10-vector query load against a growing
+    // indexed corpus, same serve-side cost model as ivf_topk
+    "label_propagation", "mmr_select", "ivfpq_topk")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {

@@ -271,6 +271,42 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Deterministic random-walk corpus generation (X-144, DeepWalk —
+    // Perozzi et al. 2014, KDD; node2vec's p=q=1 case) over the same
+    // synthesized link graph: the graph→sequence data-prep op that
+    // turns an edge list into the "sentences" a skip-gram embedding
+    // trainer consumes. One length-4 walk per start node; step t's
+    // neighbor pick is an md5 draw on (start, t) mod out-degree —
+    // deterministic (rand() would re-corpus every run) and
+    // oracle-mirrorable; dead ends (sink nodes) truncate the walk with
+    // nulls rather than dropping the row. Scale shape: the sorted
+    // adjacency frame is built once (one hash aggregate), MATERIALIZED
+    // and pre-partitioned on the probe key; each step is ONE left
+    // equi-join against it on the data-bound current-node key — L
+    // joins total, shuffle ∝ walks, never degree². Walks fan out from
+    // EVERY node, so output rows = |V| regardless of skew.
+    "random_walks" -> ((s, d) => {
+      val adj = graft.operators.Dedup.materialize(
+        linkEdgesRaw(s, d).distinct()
+          .groupBy(col("src"))
+          .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+          .withColumn("deg", size(col("nbrs")).cast("long"))
+          .repartition(col("src")))
+      def step(w: DataFrame, t: Int): DataFrame = {
+        val pick = expr(
+          s"CAST(conv(substring(md5(concat('graft-walk', CAST(start AS STRING), '|$t')), 1, 4), 16, 10) AS BIGINT)")
+        w.join(adj, w("cur") === adj("src"), "left_outer")
+          .withColumn(s"s$t",
+            element_at(col("nbrs"), (pick % col("deg")).cast("int") + 1))
+          .drop("src", "nbrs", "deg", "cur")
+          .withColumn("cur", col(s"s$t"))
+      }
+      val w0 = Tables.documents(s, d)
+        .select(col("doc_id").as("start"), col("doc_id").as("cur"))
+      val walked = (1 to 4).foldLeft(w0)(step)
+      walked.select("start", "s1", "s2", "s3", "s4").orderBy("start")
+    }),
+
     // S-4: link scan as row explosion — each document yields its <a>
     // elements (href + anchor) as rows, the operator feeding P-2..P-4
     // (/root/reference/app.py:147-155). Links are synthesized
@@ -930,6 +966,33 @@ object LinkQueries extends QueryModule {
          |sz AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
          |SELECT l2.doc_id, l2.label, sz.community_size
          |FROM l2 JOIN sz USING (label) ORDER BY l2.doc_id""".stripMargin
+    },
+
+    // Same edge synthesis; DISTINCT directed adjacency sorted per
+    // node, and each step's md5-mod-degree draw mirrors the Spark
+    // side's (start, step)-salted pick literally.
+    "random_walks" -> {
+      def stepSql(prev: String, cols: String, t: Int) =
+        s"""w$t AS (SELECT w.start,$cols
+           |        a.nbrs[1 + CAST(CAST('0x' || substr(md5('graft-walk' || CAST(w.start AS VARCHAR) || '|$t'), 1, 4) AS BIGINT) % a.deg AS INTEGER)] AS s$t
+           |      FROM $prev w LEFT JOIN adj a ON w.cur = a.src)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+         |        FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |        WHERE doc_id % 7 <> 0),
+         |e AS (SELECT DISTINCT src, dst FROM raw),
+         |adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs, count(*) AS deg
+         |        FROM e GROUP BY src),
+         |w0 AS (SELECT doc_id AS start, doc_id AS cur FROM docs),
+         |${stepSql("w0", "", 1)},
+         |w1c AS (SELECT start, s1, s1 AS cur FROM w1),
+         |${stepSql("w1c", " w.s1,", 2)},
+         |w2c AS (SELECT start, s1, s2, s2 AS cur FROM w2),
+         |${stepSql("w2c", " w.s1, w.s2,", 3)},
+         |w3c AS (SELECT start, s1, s2, s3, s3 AS cur FROM w3),
+         |${stepSql("w3c", " w.s1, w.s2, w.s3,", 4)}
+         |SELECT start, s1, s2, s3, s4 FROM w4 ORDER BY start""".stripMargin
     },
 
     "link_topk" ->

@@ -331,4 +331,38 @@ class IterativeOpsSpec extends SparkSpec {
     assert(nComm < n)
     assert(sizes.values.max > 1)
   }
+
+  test("random_walks matches a plain-Scala md5-seeded walk") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val adj: Map[Long, Array[Long]] = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .distinct.groupMap(_._1)(_._2)
+      .view.mapValues(_.distinct.sorted.toArray).toMap
+    def md5hex4(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(2).map(b => f"$b%02x").mkString, 16)
+    }
+    val expect = docIds.map { start =>
+      var cur: Option[Long] = Some(start)
+      val steps = (1 to 4).map { t =>
+        cur = cur.flatMap(c => adj.get(c).map { nb =>
+          nb((md5hex4(s"graft-walk$start|$t") % nb.length).toInt)
+        })
+        cur
+      }
+      (start, steps(0), steps(1), steps(2), steps(3))
+    }
+    val got = SparkEntry.queries("random_walks")(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), opt(1), opt(2), opt(3), opt(4))
+    }
+    got.toSeq shouldEqual expect.toSeq
+    // the corpus is non-degenerate: most walks complete all 4 steps,
+    // and at least one walk hits a sink and truncates with nulls
+    assert(got.count(_._5.isDefined) > n / 2)
+    assert(got.exists(_._5.isEmpty))
+  }
 }
