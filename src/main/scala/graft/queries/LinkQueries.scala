@@ -243,14 +243,17 @@ object LinkQueries extends QueryModule {
     // count grows with the corpus — never hinted).
     "label_propagation" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id")
-      val raw = linkEdgesRaw(s, d)
-      val pairs = raw.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      // symmetrize BEFORE the distinct: one explode + ONE dedup
+      // aggregate over 2·|E| rows (a dedup-unordered-pairs-then-union
+      // form would embed the distinct in both union branches and run
+      // the aggregate twice per pass)
       val und = graft.operators.Dedup.materialize(
-        pairs.select(col("a"), col("b"))
-          .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        linkEdgesRaw(s, d).filter(col("src") =!= col("dst"))
+          .select(explode(array(
+            struct(col("src").as("a"), col("dst").as("b")),
+            struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
           .repartition(col("a")))
       def round(prevIn: DataFrame): DataFrame = {
         val prev = graft.operators.Dedup.materialize(prevIn)

@@ -131,6 +131,21 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
+  test("graph/retrieval ops (X-141..X-144) flow through an empty corpus") {
+    // zero nodes → zero communities / walks; zero vectors → the greedy
+    // MMR loop and both trained indexes (coarse Lloyd, PQ codebook)
+    // run on empty seed frames straight through to empty outputs —
+    // never an NPE from a first()/collect on an empty training frame
+    SparkEntry.queries("label_propagation")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("random_walks")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("mmr_select")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("ivfpq_topk")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+  }
+
   test("bm25_score: only docs carrying a query term appear; scores are positive") {
     val out = SparkEntry.queries("bm25_score")(spark, tinyDocsDir)
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
