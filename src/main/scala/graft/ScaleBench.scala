@@ -66,7 +66,8 @@ object ScaleBench {
     // list is 3·n by synthesis (iterative-join scaling); mmr_select /
     // ivfpq_topk keep the fixed 10-vector query load against a growing
     // indexed corpus, same serve-side cost model as ivf_topk
-    "label_propagation", "mmr_select", "ivfpq_topk", "random_walks")
+    "label_propagation", "mmr_select", "ivfpq_topk", "random_walks",
+    "kcenter_seeds", "bfs_distances")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {

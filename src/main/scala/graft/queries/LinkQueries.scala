@@ -274,6 +274,39 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Multi-source BFS distance labeling (X-146) over the same
+    // synthesized link graph — the SHORTEST-PATH member of the graph
+    // family (connectivity X-32, centrality X-52/X-111, density
+    // X-82/X-141, traversal X-144): hop distance from the seed set
+    // {doc_id < 5} following DIRECTED edges, the "crawl depth from the
+    // seed list" every frontier scheduler reasons about. Three
+    // unrolled level-synchronous relaxation rounds (the Bellman-Ford
+    // step specialized to unit weights): dist_t(v) = min(dist_{t-1}(v),
+    // 1 + min over in-edges of dist_{t-1}(u)); nodes unreached within
+    // 3 hops report null, never drop. Scale shape = the PageRank
+    // recipe: one key join against the materialized src-partitioned
+    // edge list + one min-aggregate per round; per-round label frames
+    // materialized (each feeds the join AND the union). Duplicate
+    // edges are harmless under min — the raw synthesis needs no dedup
+    // pass.
+    "bfs_distances" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val edges = linkEdges(s, d)
+      def relax(prevIn: DataFrame): DataFrame = {
+        val prev = graft.operators.Dedup.materialize(prevIn)
+        val cand = edges.join(prev, edges("src") === prev("node"))
+          .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+        prev.select("node", "hops").unionByName(cand)
+          .groupBy("node").agg(min(col("hops")).as("hops"))
+      }
+      val d0 = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("node"), lit(0L).as("hops"))
+      val d3 = (1 to 3).foldLeft(d0)((acc, _) => relax(acc))
+      docs.join(d3, docs("doc_id") === d3("node"), "left_outer")
+        .select(col("doc_id"), col("hops"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic random-walk corpus generation (X-144, DeepWalk —
     // Perozzi et al. 2014, KDD; node2vec's p=q=1 case) over the same
     // synthesized link graph: the graph→sequence data-prep op that
@@ -969,6 +1002,32 @@ object LinkQueries extends QueryModule {
          |sz AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
          |SELECT l2.doc_id, l2.label, sz.community_size
          |FROM l2 JOIN sz USING (label) ORDER BY l2.doc_id""".stripMargin
+    },
+
+    // Same edge synthesis as link_pagerank (raw, duplicates harmless
+    // under min); three unrolled relaxation rounds and the unreached-
+    // null left join mirror the Spark side literally.
+    "bfs_distances" -> {
+      def relaxSql(prev: String, rN: String) =
+        s"""$rN AS (SELECT node, min(hops) AS hops FROM (
+           |        SELECT node, hops FROM $prev
+           |        UNION ALL
+           |        SELECT e.dst AS node, p.hops + 1 AS hops
+           |        FROM edges e JOIN $prev p ON e.src = p.node)
+           |      GROUP BY node)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |edges AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+         |          FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |          WHERE doc_id % 7 <> 0),
+         |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hops
+         |       FROM docs WHERE doc_id < 5),
+         |${relaxSql("d0", "d1")},
+         |${relaxSql("d1", "d2")},
+         |${relaxSql("d2", "d3")}
+         |SELECT docs.doc_id, d3.hops
+         |FROM docs LEFT JOIN d3 ON docs.doc_id = d3.node
+         |ORDER BY docs.doc_id""".stripMargin
     },
 
     // Same edge synthesis; DISTINCT directed adjacency sorted per

@@ -718,6 +718,58 @@ object SimilarityQueries extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // Greedy k-center seeding / farthest-point traversal (X-145,
+    // Gonzalez 1985, the 2-approximation for metric k-center; the
+    // "coreset" seed selection k-means++/DataComp pipelines run before
+    // clustering) — the GLOBAL diversity selection completing the
+    // family: MMR (X-142) diversifies within a per-query pool,
+    // cluster_balanced_sample (X-139) quotas within trained clusters,
+    // k-center picks the corpus-wide maximally-spread seed set. Seed 1
+    // = lowest vec_id; each round selects argmax over candidates of
+    // min squared-L2 to the already-picked seeds (ties to the lowest
+    // id), reporting that distance — the coverage radius at selection
+    // time, the quantity the 2-approximation bounds. Scale shape: the
+    // k−1 rounds are the algorithm's contract and each is ONE corpus
+    // map + ONE 1-row struct-max fold — the ≤k seed vectors travel as
+    // a collected 1-row array (never a per-seed join, never a shuffle
+    // of the corpus: dmin is an array_min over the broadcast seeds,
+    // partial-aggregated map-side); every per-round seed frame is a
+    // materialized single row. All distances exact BIGINT.
+    "kcenter_seeds" -> ((s, d) => {
+      val b = base(s, d).select(col("vec_id"), col("qe"))
+      def sqL2(sv: Column): Column =
+        aggregate(zip_with(col("qe"), sv, (p, q) => (p - q) * (p - q)),
+          lit(0L), (a, v) => a + v)
+      val s1 = graft.operators.Dedup.materialize(
+        b.orderBy("vec_id").limit(1)
+          .select(col("vec_id"), col("qe"), lit(1).as("seed_rk"),
+            lit(null).cast("long").as("dist_fx")))
+      def nextSeed(seeds: DataFrame, rk: Int): DataFrame = {
+        val sArr = broadcast(seeds.agg(collect_list(col("qe")).as("sqes")))
+        val sIds = broadcast(seeds.select(col("vec_id").as("s_id")))
+        val dm = b.join(sIds, col("vec_id") === col("s_id"), "left_anti")
+          .crossJoin(sArr)
+          .withColumn("dmin", array_min(transform(col("sqes"), sv => sqL2(sv))))
+        val far = dm
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("vec_id"), col("m.dmin").as("dist_fx"))
+        // the selected row is 1 row BY CONSTRUCTION (an argmax fold):
+        // hint it so the qe fetch is a broadcast probe of the corpus
+        // scan by plan, not by AQE's runtime measurement. (The
+        // query's measured shuffle on the scale ladder is the
+        // embeddings scan's fan-out repartition — the audited
+        // CPU-dense single-split-file discipline — ∝ n per round;
+        // the fetch join itself moves 1 row.)
+        graft.operators.Dedup.materialize(
+          b.join(broadcast(far), "vec_id")
+            .select(col("vec_id"), col("qe"), lit(rk).as("seed_rk"),
+              col("dist_fx")))
+      }
+      val seeds = (2 to 4).foldLeft(s1)((acc, rk) =>
+        acc.unionByName(nextSeed(acc, rk)))
+      seeds.select("seed_rk", "vec_id", "dist_fx").orderBy("seed_rk")
+    }),
+
     // Maximal-marginal-relevance diverse top-k (X-142, Carbonell &
     // Goldstein, SIGIR'98) — the retrieval-side SELECTION op beside
     // the index family: a plain top-k returns near-duplicates of one
@@ -1183,6 +1235,36 @@ object SimilarityQueries extends QueryModule {
          |             ORDER BY adc_fx, vec_id) AS INTEGER) AS rk FROM adc)
          |SELECT q_id, vec_id AS neighbor_id, cluster, rk, adc_fx
          |FROM r WHERE rk <= $LshK ORDER BY q_id, rk""".stripMargin
+    },
+
+    // Lowest-id first seed, then three unrolled farthest-point rounds:
+    // per round min-squared-L2 to the accumulated seed set (CROSS JOIN
+    // over the ≤3-row seed CTE + GROUP BY), argmax via the identical
+    // (dmin DESC, vec_id) total order the struct-max encodes.
+    "kcenter_seeds" -> {
+      def distSql(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def roundSql(prevSet: String, fN: String, sN: String, gN: String) =
+        s"""$fN AS (SELECT v.vec_id, min(${distSql("v.qe", "s.qe")}) AS dmin
+           |      FROM b v CROSS JOIN $prevSet s
+           |      WHERE v.vec_id NOT IN (SELECT vec_id FROM $prevSet)
+           |      GROUP BY v.vec_id
+           |      ORDER BY dmin DESC, v.vec_id LIMIT 1),
+           |$sN AS (SELECT b.vec_id, b.qe FROM $fN JOIN b USING (vec_id)),
+           |$gN AS (SELECT vec_id, qe FROM $prevSet
+           |      UNION ALL SELECT vec_id, qe FROM $sN)""".stripMargin
+      s"""WITH $baseSql,
+         |b AS (SELECT vec_id, qe FROM n),
+         |s1 AS (SELECT vec_id, qe FROM b ORDER BY vec_id LIMIT 1),
+         |${roundSql("s1", "f2", "s2", "g2")},
+         |${roundSql("g2", "f3", "s3", "g3")},
+         |${roundSql("g3", "f4", "s4", "g4")}
+         |SELECT CAST(1 AS INTEGER) AS seed_rk, vec_id,
+         |       CAST(NULL AS BIGINT) AS dist_fx FROM s1
+         |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, dmin FROM f2
+         |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, dmin FROM f3
+         |UNION ALL SELECT CAST(4 AS INTEGER), vec_id, dmin FROM f4
+         |ORDER BY seed_rk""".stripMargin
     },
 
     // Pool window, complete pool-pairwise similarity matrix, and the

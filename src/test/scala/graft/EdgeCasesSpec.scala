@@ -131,18 +131,24 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
-  test("graph/retrieval ops (X-141..X-144) flow through an empty corpus") {
-    // zero nodes → zero communities / walks; zero vectors → the greedy
-    // MMR loop and both trained indexes (coarse Lloyd, PQ codebook)
-    // run on empty seed frames straight through to empty outputs —
-    // never an NPE from a first()/collect on an empty training frame
+  test("graph/retrieval ops (X-141..X-146) flow through an empty corpus") {
+    // zero nodes → zero communities / walks / distances; zero vectors
+    // → the greedy loops (MMR, farthest-point) and both trained
+    // indexes (coarse Lloyd, PQ codebook) run on empty seed frames
+    // straight through to empty outputs — never an NPE from a
+    // first()/collect on an empty training frame (kcenter's argmax
+    // fold yields an all-null row whose seed join matches nothing)
     SparkEntry.queries("label_propagation")(spark, emptyCorpusDir)
       .count() shouldEqual 0
     SparkEntry.queries("random_walks")(spark, emptyCorpusDir)
       .count() shouldEqual 0
+    SparkEntry.queries("bfs_distances")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
     SparkEntry.queries("mmr_select")(spark, emptyCorpusDir)
       .count() shouldEqual 0
     SparkEntry.queries("ivfpq_topk")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("kcenter_seeds")(spark, emptyCorpusDir)
       .count() shouldEqual 0
   }
 

@@ -332,6 +332,29 @@ class IterativeOpsSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("bfs_distances matches a plain-Scala level-synchronous BFS") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val out: Map[Long, Seq[Long]] = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSeq).toMap
+    var dist = docIds.filter(_ < 5).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, h) =>
+        out.getOrElse(u, Nil).map(_ -> (h + 1)) } ++ dist.toSeq
+      dist = relaxed.groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val got = SparkEntry.queries("bfs_distances")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    got.length shouldEqual n
+    got.foreach { case (d, h) => h shouldEqual dist.get(d) }
+    // the frontier genuinely expands: some node at every level 1..3,
+    // and some node still unreached after 3 hops
+    (1L to 3L).foreach(l => assert(dist.values.exists(_ == l)))
+    assert(got.exists(_._2.isEmpty))
+  }
+
   test("random_walks matches a plain-Scala md5-seeded walk") {
     val docIds = Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).sorted

@@ -62,6 +62,29 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(expect.map(e => (e._1, e._2, e._3)).toSet != byRel)
   }
 
+  test("kcenter_seeds matches a plain-Scala farthest-point traversal") {
+    val ids = emb.keys.toSeq.sorted
+    def l2(a: Long, b: Long): Long =
+      (emb(a), emb(b)).zipped.map((x, y) => (x - y) * (x - y)).sum
+    var seeds = Vector((1, ids.min, None: Option[Long]))
+    for (rk <- 2 to 4) {
+      val sel = seeds.map(_._2).toSet
+      val far = ids.filterNot(sel)
+        .map(v => v -> sel.map(s => l2(v, s)).min)
+        .minBy { case (v, dmin) => (-dmin, v) }
+      seeds :+= ((rk, far._1, Some(far._2)))
+    }
+    val got = SparkEntry.queries("kcenter_seeds")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    got.toSeq shouldEqual seeds
+    // farthest-point actually spreads: selection distances are
+    // non-increasing (each pick can only shrink the uncovered radius)
+    val dists = seeds.flatMap(_._3)
+    dists.zip(dists.tail).foreach { case (a, b) => b should be <= a }
+    dists.last should be > 0L
+  }
+
   test("ivfpq_topk matches a plain-Scala coarse-probe + ADC lookup") {
     val ids = emb.keys.toSeq.sorted
     val qids = ids.filter(_ < 10)
