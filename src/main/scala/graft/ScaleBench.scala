@@ -67,7 +67,12 @@ object ScaleBench {
     // ivfpq_topk keep the fixed 10-vector query load against a growing
     // indexed corpus, same serve-side cost model as ivf_topk
     "label_propagation", "mmr_select", "ivfpq_topk", "random_walks",
-    "kcenter_seeds", "bfs_distances")
+    "kcenter_seeds", "bfs_distances",
+    // X-148/X-149: kcore_peel's per-round joins shrink with the
+    // cascade but its edge list is 3·n by synthesis; phash_neardup is
+    // the multimodal member of the banded near-dup family — the same
+    // bounded-candidate claim as minhash_lsh, measured on image hashes
+    "kcore_peel", "phash_neardup")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, TextAnalysis}
@@ -54,6 +56,70 @@ object DedupQueries extends QueryModule {
 
   private val jaccardSql =
     "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
+
+  /** Winnowing parameters (X-150/X-151): K-gram size, window width W,
+    * position bits in the (hash, rightmost-pos) integer encoding, and
+    * the boilerplate df-cap for the overlap join. Shared with the
+    * oracle fragments below — change in one place only. */
+  private val WinK = 4
+  private val WinW = 5
+  private val WinPosBits = 30
+  private val WinDfCap = 16
+
+  /** Selected winnowing fingerprints: (doc_id, fpos, fp), distinct.
+    * One per sliding window of W consecutive K-gram hashes — the
+    * window's minimum hash, ties to the rightmost position (robust
+    * winnowing). Encoded pick: min over h·2^posBits + (2^posBits−1−pos)
+    * — exact integer arithmetic both engines reproduce bit-identically. */
+  private def winnowSel(s: SparkSession, d: String): DataFrame = {
+    val posMax = (1L << WinPosBits) - 1
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(TextAnalysis.norm(col("text"))))
+      .withColumn("n_grams",
+        greatest(size(col("toks")) - (WinK - 1), lit(0)).cast("long"))
+      .select(col("doc_id"), col("n_grams"),
+        posexplode(TextAnalysis.ngrams(col("toks"), WinK)).as(Seq("pos", "gram")))
+      // hash on the exploded rows, not inside a higher-order transform
+      // (keeps the md5 in whole-stage codegen — the X-11 finding)
+      .select(col("doc_id"), col("n_grams"), col("pos").cast("long").as("pos"),
+        TextAnalysis.tokenHash(col("gram")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinW - 1), Window.currentRow)
+    grams
+      .withColumn("comb", col("h") * (posMax + 1) + (lit(posMax) - col("pos")))
+      .withColumn("m", min(col("comb")).over(w))
+      // full windows end at pos ≥ W−1; a doc with fewer than W grams
+      // contributes its single partial window at the last position
+      .filter(col("pos") >= WinW - 1 || col("pos") === col("n_grams") - 1)
+      .select(col("doc_id"),
+        (lit(posMax) - col("m").bitwiseAND(lit(posMax))).as("fpos"),
+        shiftright(col("m"), WinPosBits).as("fp"))
+      .distinct()
+  }
+
+  /** Oracle mirror of [[winnowSel]]: CTEs `wt → wg → wc → wm → wsel`,
+    * spliced into both X-150/X-151 oracles so they cannot drift. */
+  private val winnowSql =
+    s"""wt AS (SELECT doc_id,
+       |         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+       |       FROM documents),
+       |wg AS (SELECT doc_id, CAST(len(toks) - ${WinK - 1} AS BIGINT) AS n_grams,
+       |         CAST(i AS BIGINT) AS pos,
+       |         CAST('0x' || substr(md5(array_to_string(
+       |           toks[CAST(i + 1 AS INTEGER):CAST(i + $WinK AS INTEGER)], ' ')), 1, 14)
+       |           AS BIGINT) % 1000000007 AS h
+       |       FROM wt, LATERAL unnest(range(0, greatest(len(toks) - ${WinK - 1}, 0))) r(i)),
+       |wc AS (SELECT doc_id, n_grams, pos,
+       |         h * ${1L << WinPosBits} + (${(1L << WinPosBits) - 1} - pos) AS comb
+       |       FROM wg),
+       |wm AS (SELECT doc_id, n_grams, pos,
+       |         min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS m
+       |       FROM wc),
+       |wsel AS (SELECT DISTINCT doc_id,
+       |           CAST(${(1L << WinPosBits) - 1} - (m % ${1L << WinPosBits}) AS BIGINT) AS fpos,
+       |           CAST(m // ${1L << WinPosBits} AS BIGINT) AS fp
+       |         FROM wm WHERE pos >= ${WinW - 1} OR pos = n_grams - 1)""".stripMargin
 
   def defs: Map[String, Q] = Map(
     // Exact dedup: one hash-partitioned groupBy on the content hash.
@@ -324,6 +390,53 @@ object DedupQueries extends QueryModule {
         .filter(col("hamming") <= 1)
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
+    }),
+
+    // Winnowing fingerprints (X-150, Schleimer–Wilkerson–Aiken 2003 —
+    // the MOSS local fingerprinting scheme): hash every K=4-gram,
+    // slide a W=5 window over the per-doc hash sequence, select each
+    // window's minimal hash with ties to the RIGHTMOST occurrence
+    // (robust winnowing, §4). Guarantee: any token run of ≥ W+K−1 = 8
+    // tokens shared between two documents yields at least one shared
+    // fingerprint, while storing only ~2/(W+1) of the grams — the
+    // position-robust substring-granularity member of the fingerprint
+    // family (X-10 is whole-doc order-sensitive; substring_dup_spans
+    // is fixed-window exact). The (min h, rightmost pos) pick rides
+    // ONE window-min over the integer encoding h·2³⁰ + (2³⁰−1−pos)
+    // (h < 2³⁰ from the mod-1e9+7 hash; pos < 2³⁰ covers gigatoken
+    // docs) — minimizing it minimizes h then maximizes pos, and both
+    // engines decode with two exact integer ops. Scale shape: one
+    // shuffle on doc_id for the per-doc ordered window (docs are
+    // bounded-length, so per-partition work is bounded), sink sort
+    // only; the short-doc branch (fewer than W grams → one partial
+    // window at the last position) keeps every ≥K-token doc
+    // represented, exactly as the paper's definition degrades.
+    "winnow_fingerprints" -> ((s, d) =>
+      winnowSel(s, d).orderBy("doc_id", "fpos")),
+
+    // Winnowed-fingerprint overlap pairs (X-151, the MOSS similarity
+    // report): documents sharing ≥ 2 selected fingerprints, scored by
+    // the shared count. Candidates come from an equi-join on the
+    // fingerprint hash — never all-pairs — with the df-cap discipline
+    // (hashes selected by > 16 docs are boilerplate and excluded, the
+    // substring_dup_spans rule), so per-hash pair fan-out is bounded
+    // by DfCap²/2 and total candidates by Σ df² ≤ DfCap·Σdf ∝ corpus.
+    // The selected-fingerprint frame is materialized ONCE and feeds
+    // the df count and both join sides.
+    "winnow_overlap" -> ((s, d) => {
+      val minShared = 2
+      val sel = Dedup.materialize(
+        winnowSel(s, d).select("doc_id", "fp").distinct())
+      val keep = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= WinDfCap)
+        .select("fp")
+      sel.join(keep, "fp").as("x")
+        .join(sel.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .orderBy("a_id", "b_id")
     }),
 
     // Cluster-size loss weighting (X-70, "soft dedup"): instead of
@@ -663,6 +776,26 @@ object DedupQueries extends QueryModule {
         |            THEN CAST(COALESCE(dup.n_dup_windows, 0) AS DOUBLE) / b.n_windows
         |            ELSE 0.0 END AS dup_frac
         |FROM b LEFT JOIN dup USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // Same K-gram hashes, same h·2³⁰+(2³⁰−1−pos) encoded window-min,
+    // same partial-window rule for short docs.
+    "winnow_fingerprints" ->
+      s"""WITH $winnowSql
+         |SELECT doc_id, fpos, fp FROM wsel ORDER BY doc_id, fpos""".stripMargin,
+
+    // Distinct (doc, fp) sets, df-capped probe, shared-count ≥ 2 —
+    // mirrors the Spark side's capped equi-join literally.
+    "winnow_overlap" ->
+      s"""WITH $winnowSql,
+         |ws2 AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |wdf AS (SELECT fp FROM ws2 GROUP BY fp
+         |        HAVING count(*) BETWEEN 2 AND $WinDfCap)
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |       CAST(count(*) AS BIGINT) AS shared
+         |FROM ws2 x JOIN wdf USING (fp) JOIN ws2 y USING (fp)
+         |WHERE x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "minhash_lsh" -> {
       val sigCols = (0 until MinHashK).map { i =>

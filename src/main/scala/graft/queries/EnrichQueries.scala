@@ -82,6 +82,53 @@ object EnrichQueries extends QueryModule {
         .orderBy("media_id", "frame_no")
     }),
 
+    // Perceptual-hash near-duplicate pairs over image payloads (X-149)
+    // — the MULTIMODAL member of the near-dup family (text had X-7/8/9;
+    // media only had stats + frame sampling): the aHash recipe every
+    // image-dedup pipeline runs (average hash, Krawetz 2011; the same
+    // family as pHash/dHash), banded LSH-style exactly like
+    // simhash_neardup. 60 "pixels" derive from md5 of aligned 4-char
+    // payload chunks (the deterministic text-as-payload stand-in — a
+    // real decoder swaps in behind Multimodal.Decoder and ONLY the
+    // pixel extraction changes; hashing, banding, and verify are
+    // decoder-agnostic); bit i of the 60-bit hash = pixel_i above the
+    // image mean, compared in exact integer arithmetic (px·60 > Σpx).
+    // 4 bands of 15 bits: Hamming ≤ 3 flips at most 3 bands
+    // (pigeonhole), so every qualifying pair collides on ≥ 1 band —
+    // candidates come from an equi-join on (band_id, band_val), never
+    // all-pairs, with EXACT recall at the threshold; survivors verify
+    // with one bit_count(xor). Band width is the chance-collision dial
+    // (~n²/2¹⁵ per band), same geometry as simhash_neardup.
+    "phash_neardup" -> ((s, d) => {
+      val imgs = Multimodal.syntheticMedia(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("content").cast("string").as("payload"))
+      val withH = imgs
+        .withColumn("px", transform(sequence(lit(0), lit(59)), i =>
+          conv(substring(md5(col("payload").substr(i * 4 + 1, lit(4))), 1, 7),
+            16, 10).cast("long")))
+        .withColumn("tot", aggregate(col("px"), lit(0L), (a, v) => a + v))
+        .withColumn("bits", transform(col("px"), p =>
+          when(p * 60 > col("tot"), lit(1L)).otherwise(lit(0L))))
+        .withColumn("ahash",
+          aggregate(reverse(col("bits")), lit(0L), (h, b) => h * 2 + b))
+      val stacked = withH.select(col("media_id"), col("ahash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ahash"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_id", "band_val")))
+      stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+          col("x.ahash").as("h1"), col("y.ahash").as("h2"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Multimodal metadata aggregation: binary payload sizes by kind
     // (the content bytes themselves are exercised in MultimodalSpec).
     "media_stats" -> ((s, d) =>
@@ -167,6 +214,33 @@ object EnrichQueries extends QueryModule {
           |       CAST(frame_no * 32 + 1 AS INTEGER) AS off,
           |       md5(substr(payload, frame_no * 32 + 1, 32)) AS frame_h
           |FROM s ORDER BY media_id, frame_no""".stripMargin,
+
+      // Same md5-chunk pixels, exact integer mean comparison, LSB-first
+      // bit packing, 4×15 banding, and bit_count verify as the Spark
+      // side; bit_count is cast to INTEGER to match Spark's int.
+      "phash_neardup" ->
+        """WITH imgs AS (SELECT doc_id AS media_id, text AS payload
+          |              FROM documents WHERE doc_id % 3 = 0),
+          |p AS (SELECT media_id,
+          |        list_transform(range(0, 60), i ->
+          |          CAST('0x' || substr(md5(substr(payload, CAST(i*4+1 AS INTEGER), 4)), 1, 7) AS BIGINT)) AS px
+          |      FROM imgs),
+          |h AS (SELECT media_id, px, list_sum(px) AS tot FROM p),
+          |a AS (SELECT media_id,
+          |        CAST(list_sum(list_transform(range(0, 60), i ->
+          |          CASE WHEN px[CAST(i+1 AS INTEGER)] * 60 > tot
+          |               THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)) AS BIGINT) AS ahash
+          |      FROM h),
+          |s AS (SELECT media_id, ahash, CAST(b AS INTEGER) AS band_id,
+          |             (ahash >> CAST(b*15 AS INTEGER)) & 32767 AS band_val
+          |      FROM a, range(0, 4) t(b)),
+          |c AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+          |             x.ahash AS h1, y.ahash AS h2
+          |      FROM s x JOIN s y
+          |      ON x.band_id = y.band_id AND x.band_val = y.band_val
+          |       AND x.media_id < y.media_id)
+          |SELECT a_id, b_id, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+          |FROM c WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY a_id, b_id""".stripMargin,
 
       "media_stats" ->
         """WITH m AS (

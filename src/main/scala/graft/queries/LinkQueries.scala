@@ -274,6 +274,61 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // k-core peeling layers (X-148, Batagelj & Zaveršnik 2003's
+    // peeling process / the "onion decomposition" of Hébert-Dufresne
+    // et al. 2016) over the same synthesized link graph — the
+    // DEGENERACY member of the graph family (connectivity X-32,
+    // centrality X-52/X-111, density X-82/X-141, traversal X-144,
+    // shortest path X-146): each round simultaneously removes every
+    // node whose degree in the SURVIVING subgraph is < K, and a
+    // node's label is the round it was peeled (null = survives all
+    // rounds, i.e. sits in the K-core). K=5 on this graph drives a
+    // genuine multi-round cascade (500 → 428 → 347 → 227 → 85 → 9 →
+    // 0 at sf0.001) — removals lower neighbors' degrees, which is
+    // the point of peeling vs a one-shot degree filter. Six unrolled
+    // rounds; deterministic whether or not the peel has converged
+    // (the layer index is well-defined per round). Scale shape: the
+    // LPA simple-graph view, materialized pre-partitioned on the
+    // probe key; per round TWO alive-set equi-joins against it + one
+    // count aggregate + one null-safe split, the alive frame
+    // materialized (it feeds both joins AND the split); every join
+    // shrinks with the cascade.
+    "kcore_peel" -> ((s, d) => {
+      val K = 5
+      val docs = Tables.documents(s, d).select("doc_id")
+      val und = graft.operators.Dedup.materialize(
+        linkEdgesRaw(s, d).filter(col("src") =!= col("dst"))
+          .select(explode(array(
+            struct(col("src").as("a"), col("dst").as("b")),
+            struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
+          .repartition(col("a")))
+      def round(aliveIn: DataFrame, r: Int): (DataFrame, DataFrame) = {
+        val alive = graft.operators.Dedup.materialize(aliveIn)
+        val deg = und
+          .join(alive.select(col("node").as("na")), col("a") === col("na"))
+          .join(alive.select(col("node").as("nb")), col("b") === col("nb"))
+          .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        val wd = alive.join(deg, alive("node") === deg("a"), "left_outer")
+          .select(alive("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+        (wd.filter(col("deg") >= K).select("node"),
+          wd.filter(col("deg") < K)
+            .select(col("node"), lit(r).as("peel_round")))
+      }
+      val a0 = docs.select(col("doc_id").as("node"))
+      val (aliveN, peels) = (1 to 6).foldLeft((a0, Seq.empty[DataFrame])) {
+        case ((alive, acc), r) =>
+          val (nxt, peeled) = round(alive, r)
+          (nxt, acc :+ peeled)
+      }
+      val labeled = peels.reduce(_ unionByName _)
+        .unionByName(aliveN.select(col("node"),
+          lit(null).cast("int").as("peel_round")))
+      labeled.select(col("node").as("doc_id"), col("peel_round"))
+        .orderBy("doc_id")
+    }),
+
     // Multi-source BFS distance labeling (X-146) over the same
     // synthesized link graph — the SHORTEST-PATH member of the graph
     // family (connectivity X-32, centrality X-52/X-111, density
@@ -1002,6 +1057,45 @@ object LinkQueries extends QueryModule {
          |sz AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
          |SELECT l2.doc_id, l2.label, sz.community_size
          |FROM l2 JOIN sz USING (label) ORDER BY l2.doc_id""".stripMargin
+    },
+
+    // Same simple-graph view as label_propagation; six unrolled peel
+    // rounds, each recomputing degrees within the surviving set and
+    // splitting on deg >= 5, mirroring the Spark side literally.
+    "kcore_peel" -> {
+      def roundSql(prev: String, i: Int) =
+        s"""w$i AS (SELECT p.node, COALESCE(d.deg, 0) AS deg
+           |      FROM $prev p LEFT JOIN (
+           |        SELECT u.a AS node, count(*) AS deg FROM und u
+           |        JOIN $prev x ON u.a = x.node
+           |        JOIN $prev y ON u.b = y.node GROUP BY u.a) d
+           |      ON p.node = d.node),
+           |pl$i AS (SELECT node, $i AS peel_round FROM w$i WHERE deg < 5),
+           |a$i AS (SELECT node FROM w$i WHERE deg >= 5)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+         |        FROM docs CROSS JOIN st, range(1, 4) t(j)
+         |        WHERE doc_id % 7 <> 0),
+         |pairs AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |          FROM raw WHERE src <> dst),
+         |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |a0 AS (SELECT doc_id AS node FROM docs),
+         |${roundSql("a0", 1)},
+         |${roundSql("a1", 2)},
+         |${roundSql("a2", 3)},
+         |${roundSql("a3", 4)},
+         |${roundSql("a4", 5)},
+         |${roundSql("a5", 6)},
+         |lab AS (SELECT node, peel_round FROM pl1
+         |        UNION ALL SELECT node, peel_round FROM pl2
+         |        UNION ALL SELECT node, peel_round FROM pl3
+         |        UNION ALL SELECT node, peel_round FROM pl4
+         |        UNION ALL SELECT node, peel_round FROM pl5
+         |        UNION ALL SELECT node, peel_round FROM pl6
+         |        UNION ALL SELECT node, CAST(NULL AS INTEGER) FROM a6)
+         |SELECT node AS doc_id, CAST(peel_round AS INTEGER) AS peel_round
+         |FROM lab ORDER BY doc_id""".stripMargin
     },
 
     // Same edge synthesis as link_pagerank (raw, duplicates harmless

@@ -270,6 +270,28 @@ object TextQueries extends QueryModule {
         .select(col("lang"), col("rk"), col("doc_id"), col("pri"))
         .orderBy("lang", "rk")),
 
+    // Weighted without-replacement sampling (X-147) by sequential
+    // Poisson / order sampling (Ohlsson 1998; the πps member of the
+    // Efraimidis–Spirakis order-sampling family): priority = u/w with
+    // u a deterministic per-row md5 draw, keep the k smallest — docs
+    // with twice the weight are ~twice as likely in, the quality- or
+    // length-proportional selection every curation mixer needs beside
+    // the uniform samplers (X-30/X-77). Priority arithmetic is exact
+    // BIGINT fixed point (u·10⁶ div w; u < HashMod so no overflow),
+    // never float division — the hash-compare discipline. Scale
+    // shape: one narrow map then a global bottom-k = Spark's
+    // TakeOrderedAndProject (per-partition top-k, k·partitions merge)
+    // — no global sort, no shuffle of the corpus.
+    "weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", greatest(col("n_chars").cast("long"), lit(1L)))
+        .withColumn("u",
+          tokenHash(concat(lit("graft-wr"), col("doc_id").cast("string"))))
+        .withColumn("pri_fx", expr("CAST(u * 1000000L DIV w AS BIGINT)"))
+        .select(col("doc_id"), col("lang"), col("w"), col("pri_fx"))
+        .orderBy(col("pri_fx"), col("doc_id"))
+        .limit(20)),
+
     // Corpus-level term frequency, top 20 tokens.
     "token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1253,6 +1275,16 @@ object TextQueries extends QueryModule {
         |      FROM p)
         |SELECT lang, rk, doc_id, pri FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
+
+    // Same md5 draw, same exact u·10⁶ // w fixed-point priority, same
+    // bottom-20 by (priority, doc_id).
+    "weighted_sample" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |             CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+        |             CAST('0x' || substr(md5('graft-wr' || doc_id), 1, 14) AS BIGINT) % 1000000007 AS u
+        |           FROM documents)
+        |SELECT doc_id, lang, w, CAST(u * 1000000 // w AS BIGINT) AS pri_fx
+        |FROM p ORDER BY pri_fx, doc_id LIMIT 20""".stripMargin,
 
     "corpus_mix" ->
       """WITH w AS (

@@ -131,7 +131,7 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
-  test("graph/retrieval ops (X-141..X-146) flow through an empty corpus") {
+  test("graph/retrieval/selection ops (X-141..X-149) flow through an empty corpus") {
     // zero nodes → zero communities / walks / distances; zero vectors
     // → the greedy loops (MMR, farthest-point) and both trained
     // indexes (coarse Lloyd, PQ codebook) run on empty seed frames
@@ -149,6 +149,16 @@ class EdgeCasesSpec extends SparkSpec {
     SparkEntry.queries("ivfpq_topk")(spark, emptyCorpusDir)
       .count() shouldEqual 0
     SparkEntry.queries("kcenter_seeds")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("kcore_peel")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("phash_neardup")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("weighted_sample")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("winnow_fingerprints")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("winnow_overlap")(spark, emptyCorpusDir)
       .count() shouldEqual 0
   }
 

@@ -332,6 +332,35 @@ class IterativeOpsSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("kcore_peel matches a plain-Scala simultaneous peel") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val pairs = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(_.swap))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    var alive = docIds.toSet
+    var round = Map.empty[Long, Int]
+    for (r <- 1 to 6) {
+      val peeled = alive.filter(v =>
+        adj.getOrElse(v, Set.empty).count(alive) < 5)
+      round ++= peeled.map(_ -> r)
+      alive --= peeled
+    }
+    val got = SparkEntry.queries("kcore_peel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    got.length shouldEqual n
+    got.foreach { case (d, pr) => pr shouldEqual round.get(d) }
+    // the cascade is real: every round 1..6 peels someone (a one-shot
+    // degree filter would stop after round 1), and the 5-core of this
+    // graph is empty — every node carries a peel round
+    (1 to 6).foreach(r => assert(round.values.exists(_ == r), s"round $r empty"))
+    assert(alive.isEmpty)
+  }
+
   test("bfs_distances matches a plain-Scala level-synchronous BFS") {
     val docIds = Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).sorted

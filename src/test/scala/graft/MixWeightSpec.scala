@@ -46,6 +46,28 @@ class MixWeightSpec extends SparkSpec {
     assert(got.length > docs.length / 2 && got.length < docs.length * 5 / 2)
   }
 
+  test("weighted_sample matches the naive order-sampling bottom-20 and skews toward weight") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val prios = docs.map { case (id, lang, nc) =>
+      val w = math.max(nc, 1L)
+      val u = java.lang.Long.parseLong(md5hex(s"graft-wr$id").take(14), 16) % 1000000007L
+      (id, lang, w, u * 1000000L / w)
+    }
+    val expected = prios.sortBy(t => (t._4, t._1)).take(20).toSeq
+    val got = SparkEntry.queries("weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual expected
+    // πps actually biases the draw: the mean weight of the sample
+    // exceeds the corpus mean (u/w ranks long docs first), and every
+    // weight is positive (the greatest(…,1) floor)
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    val corpusMean = prios.map(_._3).sum.toDouble / prios.length
+    assert(sampleMean > corpusMean)
+    assert(got.forall(_._3 >= 1))
+  }
+
   test("shard_manifest matches naive per-shard digests and covers every doc exactly once") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text").collect()

@@ -22,6 +22,67 @@ class TrainingOpsSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
+  test("winnow_fingerprints matches a plain-Scala robust winnow and guarantees 8-token runs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(14), 16) % 1000000007L
+    val K = 4; val W = 5; val PosMax = (1L << 30) - 1
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val expected = docs.flatMap { case (id, toks) =>
+      val grams = toks.sliding(K).filter(_.size == K).map(_.mkString(" ")).toVector
+      val hs = grams.map(h)
+      // robust winnowing: per window of W hashes, min hash with the
+      // RIGHTMOST position; docs shorter than W grams use one partial
+      // window over everything
+      val ends =
+        if (hs.isEmpty) Seq.empty
+        else if (hs.size < W) Seq(hs.size - 1)
+        else (W - 1) until hs.size
+      ends.map { e =>
+        val win = (math.max(0, e - W + 1) to e).map(p => (hs(p), p))
+        val mn = win.map(_._1).min
+        val pos = win.filter(_._1 == mn).map(_._2).max
+        (id, pos.toLong, mn)
+      }.distinct
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = q("winnow_fingerprints").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    // the winnowing guarantee on real data: every pair of docs sharing
+    // a run of >= W+K-1 = 8 consecutive tokens shares a fingerprint
+    val fpsByDoc = got.groupBy(_._1)
+      .map { case (d, v) => d -> v.map(_._3).toSet }
+    val runs = docs.flatMap { case (id, toks) =>
+      toks.sliding(W + K - 1).filter(_.size == W + K - 1)
+        .map(r => r.mkString(" ") -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).distinct).filter(_.size >= 2)
+    runs.foreach { ds =>
+      for (a <- ds; b <- ds if a < b)
+        assert(fpsByDoc(a).intersect(fpsByDoc(b)).nonEmpty,
+          s"docs $a/$b share an 8-token run but no fingerprint")
+    }
+  }
+
+  test("winnow_overlap matches the naive shared-fingerprint pair count") {
+    val fps = q("winnow_fingerprints").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .distinct.groupBy(_._2).map { case (fp, v) => fp -> v.map(_._1).sorted }
+    val kept = fps.filter { case (_, ds) => ds.size >= 2 && ds.size <= 16 }
+    val expected = kept.toSeq.flatMap { case (_, ds) =>
+      for (i <- ds.indices; j <- (i + 1) until ds.size) yield (ds(i), ds(j))
+    }.groupBy(identity).map { case (p, v) => (p._1, p._2, v.size.toLong) }
+      .filter(_._3 >= 2).toSeq.sortBy(t => (t._1, t._2))
+    val got = q("winnow_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    assert(got.nonEmpty) // the corpus genuinely shares phrases
+  }
+
   test("chi2_tokens matches a naive contingency-table computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"),

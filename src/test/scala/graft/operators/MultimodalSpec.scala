@@ -86,6 +86,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("phash_neardup equals brute-force all-pairs aHash Hamming <= 3 (exact recall)") {
+    // the banded equi-join is an OPTIMIZATION, not an approximation:
+    // Hamming <= 3 flips at most 3 of the 4 bands, so every qualifying
+    // pair shares a band — the registered query must equal the naive
+    // quadratic scan exactly
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        val px = Array.tabulate(60) { i =>
+          val from = math.min(i * 4, t.length)
+          val chunk = t.substring(from, math.min(from + 4, t.length))
+          java.lang.Long.parseLong(md5hex(chunk).take(7), 16)
+        }
+        val tot = px.sum
+        val ahash = px.zipWithIndex
+          .map { case (p, i) => if (p * 60 > tot) 1L << i else 0L }.sum
+        id -> ahash
+      }.sortBy(_._1)
+    val expected = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      h = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) if h <= 3
+    } yield (hashes(i)._1, hashes(j)._1, h)).sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("phash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.toSeq shouldEqual expected
+    // the fixture exercises both ends: an identical-prefix pair
+    // (hamming 0) and a genuinely NEAR pair (0 < hamming <= 3)
+    assert(got.exists(_._3 == 0))
+    assert(got.exists(t => t._3 > 0 && t._3 <= 3))
+  }
+
   test("extraction is partition-local (no shuffle) and preserves all rows") {
     val ds = media(100)
     val feats = extractFeatures(ds, dim = 4, batchSize = 7)
