@@ -229,6 +229,56 @@ object DedupQueries extends QueryModule {
         .orderBy("d_new", "d_idx")
     }),
 
+    // Measured LSH candidate recall (X-153) — the dedup-family analog
+    // of ann_recall (the "recall counted FROM truth" discipline): how
+    // much of the EXACT Jaccard-≥0.5 truth set does the 4×4 minhash
+    // banding actually surface as candidates, reported per similarity
+    // decile so the S-curve is visible (theory at 4 bands × 4 rows:
+    // P(catch) = 1−(1−j⁴)⁴ ≈ 0.22 at j=0.5, 0.94 at j=0.8, 1 at
+    // j=1.0 — the quantified trade behind minhash_lsh's ≥0.8
+    // threshold). The corpus's planted dups all sit ≥ 0.8, so every
+    // 5th doc additionally gets a deterministic PREFIX-TRUNCATED
+    // variant (id + 10⁹; keep ⌈n·f/10⌉ tokens, f cycling 5..9 by
+    // doc_id/5) — prefix truncation puts the (orig, variant) pair at
+    // 3-shingle Jaccard ≈ f/10, populating every decile so the curve
+    // measures genuine misses, not just the saturated tail. Truth
+    // comes from the AllPairs prefix filter at t=0.5; candidates from
+    // the same banding minhash_lsh registers; the decile is the EXACT
+    // integer (10·common) div union, never a float floor. One shingle
+    // materialization feeds both arms.
+    "lsh_recall" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val variants = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("toks", TextAnalysis.tokens(TextAnalysis.norm(col("text"))))
+        .withColumn("m", greatest(lit(3L),
+          expr("CAST(size(toks) * ((doc_id DIV 5) % 5 + 5) DIV 10 AS BIGINT)")))
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          array_join(slice(col("toks"), lit(1), col("m").cast("int")), " ").as("text"))
+      val sh = materialize(shingled(base.unionByName(variants))
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
+      val truth = jaccardPairsSized(sh, t = 0.5)
+        .select(col("d1"), col("d2"),
+          expr("CAST(common * 10 DIV (n1 + n2 - common) AS BIGINT)").as("bucket"))
+      val sig = minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s")))
+      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+      val stacked = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_key")))
+      val cand = stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      truth.join(cand, Seq("d1", "d2"), "left_outer")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .orderBy("bucket")
+    }),
+
     // Multi-pass sorted-neighborhood blocking (X-107): the third
     // classic record-linkage candidate generator beside LSH banding
     // (X-8) and inverted-index AllPairs (X-7) — sort on a blocking key,
@@ -863,6 +913,65 @@ object DedupQueries extends QueryModule {
          |JOIN shh b ON p.d_idx = b.doc_id
          |WHERE $jaccardSql >= 0.5
          |ORDER BY p.d_new, p.d_idx""".stripMargin
+    },
+
+    // Truth = the ngram_jaccard direct join at ≥ 0.5 with its size
+    // band; candidates = minhash_lsh's signature/band derivation; the
+    // decile is the same exact (10·common) // union integer. The
+    // corpus CTE adds the prefix-truncated variants; shSql is
+    // retargeted at it by string substitution so the shingle recipe
+    // stays the ONE shared fragment (it cannot drift — the replace
+    // only changes the source table name).
+    "lsh_recall" -> {
+      val sigCols = (0 until MinHashK).map { i =>
+        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+      }.mkString(",\n       ")
+      val bandCols = (0 until 4).map { b =>
+        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+        .mkString("\n      UNION ALL ")
+      val shOnCorpus = shSql.replace("FROM documents)", "FROM corpus)")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |         array_to_string(toks[1:CAST(greatest(3,
+         |           len(toks) * ((doc_id // 5) % 5 + 5) // 10) AS INTEGER)], ' ')
+         |  FROM (SELECT doc_id,
+         |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE doc_id % 5 = 0),
+         |$shOnCorpus,
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |      GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2,
+         |            CAST(common * 10 // (n1 + n2 - common) AS BIGINT) AS bucket
+         |          FROM p
+         |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |FROM shh),
+         |bands AS (SELECT doc_id,
+         |       $bandCols
+         |FROM sig),
+         |stacked AS (
+         |      $stacked),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id)
+         |SELECT t.bucket, CAST(count(*) AS BIGINT) AS n_truth,
+         |       CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // Clusters as in dedup_clusters; the split draw mirrors

@@ -329,6 +329,98 @@ object LinkQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Anchor-text aggregation per target page (X-154) — the classic
+    // web-graph ranking signal (Brin & Page 1998 §2.2: anchors
+    // describe the TARGET better than its own body; every crawl/
+    // search pipeline aggregates them): each non-sink doc emits 3
+    // anchored links to hash-derived targets (the linkEdgesRaw
+    // recipe, keeping j for the 6-cycle anchor rotation); the target
+    // URL derives from the TARGET doc's identity via one equi-join —
+    // distinct target docs sharing (source, lang, tgt%5) collapse to
+    // one page, so the per-URL aggregation is real fan-in, not 1:1.
+    // Per page: incoming-link count, distinct linking sources,
+    // distinct anchor texts, and the majority anchor (ties to the
+    // lexicographically smallest — deterministic). Scale shape: the
+    // per-(url, anchor) counts materialized ONCE feeding the top-1
+    // window, the anchor-distinct count, and (via the url key) the
+    // join-back; the window partitions on the data-bound url key —
+    // never a global sort; countDistinct(src) rides the same url
+    // shuffle (partial aggregation keeps the map side bounded).
+    "anchor_text_agg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val links = docs.select(col("doc_id").as("src")).crossJoin(broadcast(stats))
+        .filter(col("src") % 7 =!= 0)
+        .select(col("src"), explode(array((1 to 3).map(j =>
+          struct(((col("src") * 31 + j * 97) % col("n")).as("tgt"),
+            ((col("src") + j) % 6).cast("int").as("a6"))): _*)).as("e"))
+        .select(col("src"), col("e.tgt").as("tgt"),
+          element_at(array(CapstoneAnchors.map(lit): _*), col("e.a6") + 1).as("anchor"))
+      val urls = links.join(docs.withColumnRenamed("doc_id", "tgt"), Seq("tgt"))
+        .select(col("src"), col("anchor"),
+          concat(lit("https://www."), col("source"), lit(".example.com/"),
+            col("lang"), lit("/p"), (col("tgt") % 5).cast("string")).as("url"))
+      val pa = graft.operators.Dedup.materialize(
+        urls.groupBy("url", "anchor").agg(count(lit(1)).as("n_a")))
+      val tot = urls.groupBy("url").agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_sources"))
+      val top = pa.withColumn("rk", row_number().over(
+          Window.partitionBy("url").orderBy(col("n_a").desc, col("anchor"))))
+        .filter(col("rk") === 1)
+        .select(col("url"), col("anchor").as("top_anchor"),
+          col("n_a").as("top_anchor_n"))
+      val na = pa.groupBy("url").agg(count(lit(1)).as("n_anchors"))
+      tot.join(top, Seq("url")).join(na, Seq("url"))
+        .select("url", "n_links", "n_sources", "n_anchors",
+          "top_anchor", "top_anchor_n")
+        .orderBy("url")
+    }),
+
+    // Link prediction by common neighbors + resource allocation
+    // (X-152, Liben-Nowell & Kleinberg 2003; RA index Zhou–Lü–Zhang
+    // 2009) over the same simple-graph view — the LINK-PREDICTION
+    // member of the graph family: for every non-adjacent pair within
+    // two hops, cn = |N(a)∩N(b)| and ra = Σ_{z∈N(a)∩N(b)} 1/deg(z).
+    // RA beats Adamic–Adar here because 1/deg is EXACT in fixed point
+    // (10⁶ div deg, summed as BIGINT — the hash-compare discipline;
+    // 1/ln(deg) is not). Candidates enumerate over the MIDDLE node z
+    // (pairs of z's neighbors), so the work is Σ deg(z)²/2 — bounded
+    // by the DegCap=64 gate that drops hub middles, the standard
+    // two-hop blow-up control (a web-scale hub would otherwise emit
+    // deg² pairs; its evidence is weak anyway: 1/deg ≈ 0). Existing
+    // edges leave via one left-anti join on the undirected pair view;
+    // cn ≥ 2 keeps the report non-trivial. Scale shape: the
+    // materialized pre-partitioned edge view feeds degree count,
+    // candidate self-join (equi-join on z), and the anti join — one
+    // build, three bounded consumers.
+    "link_prediction" -> ((s, d) => {
+      val DegCap = 64
+      val und = graft.operators.Dedup.materialize(
+        linkEdgesRaw(s, d).filter(col("src") =!= col("dst"))
+          .select(explode(array(
+            struct(col("src").as("a"), col("dst").as("b")),
+            struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
+          .repartition(col("a")))
+      val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+      val mids = und.join(deg, col("a") === col("z"))
+        .filter(col("deg") <= DegCap)
+        .select(col("z"), col("b").as("nb"),
+          expr("CAST(1000000 DIV deg AS BIGINT)").as("ra_part"))
+      val scored = mids.as("x").join(mids.as("y"),
+          col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+        .select(col("x.nb").as("a"), col("y.nb").as("b"), col("x.ra_part"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"), sum(col("ra_part")).as("ra_fx"))
+      scored
+        .join(und.filter(col("a") < col("b")), Seq("a", "b"), "left_anti")
+        .filter(col("cn") >= 2)
+        .select("a", "b", "cn", "ra_fx")
+        .orderBy("a", "b")
+    }),
+
     // Multi-source BFS distance labeling (X-146) over the same
     // synthesized link graph — the SHORTEST-PATH member of the graph
     // family (connectivity X-32, centrality X-52/X-111, density
@@ -1097,6 +1189,65 @@ object LinkQueries extends QueryModule {
          |SELECT node AS doc_id, CAST(peel_round AS INTEGER) AS peel_round
          |FROM lab ORDER BY doc_id""".stripMargin
     },
+
+    // Same 3-links-per-non-sink synthesis with the 6-cycle anchors,
+    // target-join URL construction, majority-anchor window, and
+    // distinct-source counts mirroring the Spark side literally.
+    "anchor_text_agg" -> {
+      val anchorCase = s"CASE a6 ${CapstoneAnchors.zipWithIndex
+        .map { case (a, i) => s"WHEN $i THEN '$a'" }.mkString(" ")} END"
+      s"""WITH docs AS (SELECT doc_id, source, lang FROM documents),
+         |st AS (SELECT count(*) AS n FROM docs),
+         |lk AS (SELECT d.doc_id AS src, (d.doc_id * 31 + j * 97) % n AS tgt,
+         |              CAST((d.doc_id + j) % 6 AS INTEGER) AS a6
+         |       FROM docs d CROSS JOIN st, range(1, 4) t(j)
+         |       WHERE d.doc_id % 7 <> 0),
+         |ur AS (SELECT l.src, $anchorCase AS anchor,
+         |              'https://www.' || t.source || '.example.com/' || t.lang ||
+         |                '/p' || CAST(l.tgt % 5 AS VARCHAR) AS url
+         |       FROM lk l JOIN docs t ON l.tgt = t.doc_id),
+         |pa AS (SELECT url, anchor, CAST(count(*) AS BIGINT) AS n_a
+         |       FROM ur GROUP BY 1, 2),
+         |tot AS (SELECT url, CAST(count(*) AS BIGINT) AS n_links,
+         |               CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+         |        FROM ur GROUP BY 1),
+         |tp AS (SELECT url, anchor AS top_anchor, n_a AS top_anchor_n,
+         |              row_number() OVER (PARTITION BY url
+         |                ORDER BY n_a DESC, anchor) AS rk
+         |       FROM pa),
+         |na AS (SELECT url, CAST(count(*) AS BIGINT) AS n_anchors
+         |       FROM pa GROUP BY 1)
+         |SELECT t.url, t.n_links, t.n_sources, na.n_anchors,
+         |       tp.top_anchor, tp.top_anchor_n
+         |FROM tot t JOIN tp ON t.url = tp.url AND tp.rk = 1
+         |JOIN na ON t.url = na.url
+         |ORDER BY t.url""".stripMargin
+    },
+
+    // Same simple-graph view; middle-node pair enumeration with the
+    // DegCap=64 hub gate, exact 10⁶ // deg fixed-point RA parts, and
+    // the NOT EXISTS anti join mirroring the Spark side literally.
+    "link_prediction" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |st AS (SELECT count(*) AS n FROM docs),
+        |raw AS (SELECT doc_id AS src, (doc_id * 31 + j * 97) % n AS dst
+        |        FROM docs CROSS JOIN st, range(1, 4) t(j)
+        |        WHERE doc_id % 7 <> 0),
+        |prs AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |und AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+        |deg AS (SELECT a AS z, count(*) AS deg FROM und GROUP BY 1),
+        |mids AS (SELECT u.a AS z, u.b AS nb,
+        |                CAST(1000000 // d.deg AS BIGINT) AS ra_part
+        |         FROM und u JOIN deg d ON u.a = d.z WHERE d.deg <= 64),
+        |sc AS (SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS cn,
+        |              CAST(sum(x.ra_part) AS BIGINT) AS ra_fx
+        |       FROM mids x JOIN mids y ON x.z = y.z AND x.nb < y.nb
+        |       GROUP BY 1, 2)
+        |SELECT a, b, cn, ra_fx FROM sc
+        |WHERE cn >= 2
+        |  AND NOT EXISTS (SELECT 1 FROM prs p WHERE p.a = sc.a AND p.b = sc.b)
+        |ORDER BY a, b""".stripMargin,
 
     // Same edge synthesis as link_pagerank (raw, duplicates harmless
     // under min); three unrolled relaxation rounds and the unreached-

@@ -131,7 +131,7 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
-  test("graph/retrieval/selection ops (X-141..X-149) flow through an empty corpus") {
+  test("graph/retrieval/selection ops (X-141..X-154) flow through an empty corpus") {
     // zero nodes → zero communities / walks / distances; zero vectors
     // → the greedy loops (MMR, farthest-point) and both trained
     // indexes (coarse Lloyd, PQ codebook) run on empty seed frames
@@ -159,6 +159,12 @@ class EdgeCasesSpec extends SparkSpec {
     SparkEntry.queries("winnow_fingerprints")(spark, emptyCorpusDir)
       .count() shouldEqual 0
     SparkEntry.queries("winnow_overlap")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("link_prediction")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("lsh_recall")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
+    SparkEntry.queries("anchor_text_agg")(spark, emptyCorpusDir)
       .count() shouldEqual 0
   }
 

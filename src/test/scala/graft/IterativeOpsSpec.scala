@@ -332,6 +332,74 @@ class IterativeOpsSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("link_prediction matches a plain-Scala common-neighbors/RA reference") {
+    val docIds = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = docIds.length.toLong
+    val pairs = docIds.filter(_ % 7 != 0)
+      .flatMap(d => (1 to 3).map(j => d -> ((d * 31 + j * 97) % n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(_.swap))
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // enumerate over the middle node exactly like the query (deg cap
+    // 64 is vacuous on this graph — every degree is far below it)
+    val expected = adj.toSeq.flatMap { case (z, nbrs) =>
+      val srt = nbrs.toSeq.sorted
+      for (i <- srt.indices; j <- (i + 1) until srt.size)
+        yield ((srt(i), srt(j)), 1000000L / deg(z))
+    }.groupMapReduce(_._1)(t => (1L, t._2)) { case ((c1, r1), (c2, r2)) =>
+      (c1 + c2, r1 + r2)
+    }.filter { case (p, (cn, _)) => cn >= 2 && !pairs.contains(p) }
+      .toSeq.map { case ((a, b), (cn, ra)) => (a, b, cn, ra) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("link_prediction")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual expected
+    assert(got.nonEmpty)
+    // no predicted pair is an existing edge, and RA evidence is
+    // bounded by cn (each common neighbor contributes ≤ 10⁶/2 — its
+    // degree is ≥ 2 by construction of a middle node)
+    got.foreach { case (a, b, cn, ra) =>
+      assert(!pairs.contains((a, b)))
+      assert(ra <= cn * 500000L)
+    }
+  }
+
+  test("anchor_text_agg matches a plain-Scala per-page anchor rollup") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = docs.length.toLong
+    val byId = docs.map(d => d._1 -> d).toMap
+    val anchors = Seq("About the Company", "Leadership and Management",
+      "Investor Relations Overview", "Products Catalog",
+      "Contact Support", "Corporate Profile")
+    val links = docs.map(_._1).filter(_ % 7 != 0).flatMap { src =>
+      (1 to 3).map { j =>
+        val tgt = (src * 31 + j * 97) % n
+        val (_, source, lang) = byId(tgt)
+        val url = s"https://www.$source.example.com/$lang/p${tgt % 5}"
+        (src, url, anchors(((src + j) % 6).toInt))
+      }
+    }
+    val expected = links.groupBy(_._2).map { case (url, ls) =>
+      val perAnchor = ls.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+      val (topA, topN) = perAnchor.minBy { case (a, c) => (-c, a) }
+      (url, ls.size.toLong, ls.map(_._1).distinct.size.toLong,
+        perAnchor.size.toLong, topA, topN)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("anchor_text_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSeq
+    got shouldEqual expected
+    // the rollup is real fan-in: some page collects multiple distinct
+    // anchors, and every emitted link is accounted for exactly once
+    assert(got.exists(_._4 > 1))
+    got.map(_._2).sum shouldEqual 3L * docs.count(_._1 % 7 != 0)
+  }
+
   test("kcore_peel matches a plain-Scala simultaneous peel") {
     val docIds = Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).sorted

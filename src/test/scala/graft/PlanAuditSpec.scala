@@ -187,6 +187,7 @@ class PlanAuditSpec extends SparkSpec {
       "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
       "abc_analysis" -> 5,         // customer + nation dims and the 1-row total (whose lineage re-embeds both dim hints)
       "next_token_topk" -> 2,      // 20-row context frame (k-bounded via the Rank pre-prune), its hint re-embedded through the per-context totals lineage (the totals join itself stays a shuffle join)
+      "anchor_text_agg" -> 1,      // the 1-row corpus-count frame (the linkEdgesRaw synthesis shape)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

@@ -68,6 +68,65 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh_recall matches a plain-Scala minhash-vs-truth recall curve") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(14), 16) % 1000000007L
+    val Mod = 1000000007L
+    val A = (0 until 16).map(i => (2L * i + 1) * 104729L % Mod)
+    val B = (0 until 16).map(i => (i + 1) * 7919L % Mod)
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toVector)
+    // base corpus + the deterministic prefix-truncated variants
+    val corpus = base ++ base.filter(_._1 % 5 == 0).map { case (id, toks) =>
+      val f = (id / 5) % 5 + 5
+      val m = math.max(3L, toks.size * f / 10).toInt
+      (id + 1000000000L) -> toks.take(m)
+    }
+    val shingles = corpus.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    // truth: exact 3-shingle Jaccard >= 0.5 with its integer decile
+    val truth = (for {
+      i <- shingles.indices; j <- (i + 1) until shingles.length
+      // order the PAIR by doc id (array order is collect order)
+      ((d1, s1), (d2, s2)) =
+        if (shingles(i)._1 < shingles(j)._1) (shingles(i), shingles(j))
+        else (shingles(j), shingles(i))
+      common = (s1 intersect s2).size; union = s1.size + s2.size - common
+      if common * 2 >= union
+    } yield ((d1, d2), common.toLong * 10 / union)).toMap
+    // candidates: 16-hash signatures, 4 bands x 4 rows
+    val sigs = shingles.map { case (id, ss) =>
+      val hs = ss.toSeq.map(h)
+      id -> (0 until 16).map(i => hs.map(x => (A(i) * x + B(i)) % Mod).min)
+    }
+    val buckets = sigs.flatMap { case (id, sig) =>
+      (0 until 4).map(b =>
+        (b, (0 until 4).map(r => sig(b * 4 + r)).mkString("-")) -> id)
+    }.groupMap(_._1)(_._2)
+    val cand = buckets.values.flatMap { ids =>
+      val srt = ids.distinct.sorted
+      for (i <- srt.indices; j <- (i + 1) until srt.size) yield (srt(i), srt(j))
+    }.toSet
+    val expected = truth.toSeq.groupBy(_._2).map { case (bucket, ps) =>
+      (bucket, ps.size.toLong, ps.count(p => cand(p._1)).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = q("lsh_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldEqual expected
+    // the curve measures something: genuine misses at the 0.5 decile,
+    // saturation at the top (j >= 0.9 pairs are all caught)
+    val byBucket = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byBucket(5L)._2 < byBucket(5L)._1)
+    assert(byBucket(9L)._2 == byBucket(9L)._1)
+    assert(got.map(_._2).sum > got.map(_._3).sum)
+  }
+
   test("winnow_overlap matches the naive shared-fingerprint pair count") {
     val fps = q("winnow_fingerprints").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
