@@ -72,7 +72,12 @@ object ScaleBench {
     // cascade but its edge list is 3·n by synthesis; phash_neardup is
     // the multimodal member of the banded near-dup family — the same
     // bounded-candidate claim as minhash_lsh, measured on image hashes
-    "kcore_peel", "phash_neardup")
+    "kcore_peel", "phash_neardup",
+    // X-150..X-154: winnow_overlap's df-capped fingerprint probe and
+    // lsh_recall's truth+candidate arms carry the same Σdf² bound;
+    // link_prediction's middle-node enumeration is Σdeg² (deg-capped);
+    // anchor_text_agg is two hash aggregates + one window on url
+    "winnow_overlap", "lsh_recall", "link_prediction", "anchor_text_agg")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {

@@ -98,20 +98,31 @@ object EnrichQueries extends QueryModule {
     // candidates come from an equi-join on (band_id, band_val), never
     // all-pairs, with EXACT recall at the threshold; survivors verify
     // with one bit_count(xor). Band width is the chance-collision dial
-    // (~n²/2¹⁵ per band), same geometry as simhash_neardup.
+    // (~n²/2¹⁵ per band), same geometry as simhash_neardup. Pixels are
+    // hashed on EXPLODED (media, chunk) rows, not inside a px-array
+    // higher-order transform — the X-11 finding: HOF lambdas run
+    // interpreted and CollapseProject re-evaluates the chained
+    // px/tot/bits arrays per reference (measured 8.6 s → sub-second at
+    // sf0.1); the exploded form keeps md5 in whole-stage codegen, the
+    // image mean rides one media-keyed window, and the bit-pack is one
+    // hash aggregate.
     "phash_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val imgs = Multimodal.syntheticMedia(Tables.documents(s, d))
         .filter(col("kind") === "image")
         .select(col("media_id"), col("content").cast("string").as("payload"))
-      val withH = imgs
-        .withColumn("px", transform(sequence(lit(0), lit(59)), i =>
-          conv(substring(md5(col("payload").substr(i * 4 + 1, lit(4))), 1, 7),
-            16, 10).cast("long")))
-        .withColumn("tot", aggregate(col("px"), lit(0L), (a, v) => a + v))
-        .withColumn("bits", transform(col("px"), p =>
-          when(p * 60 > col("tot"), lit(1L)).otherwise(lit(0L))))
-        .withColumn("ahash",
-          aggregate(reverse(col("bits")), lit(0L), (h, b) => h * 2 + b))
+      val px = imgs
+        .select(col("media_id"),
+          explode(sequence(lit(0), lit(59))).as("i"), col("payload"))
+        .select(col("media_id"), col("i"),
+          conv(substring(md5(col("payload").substr(col("i") * 4 + 1, lit(4))),
+            1, 7), 16, 10).cast("long").as("p"))
+      val withH = px
+        .withColumn("tot", sum(col("p")).over(Window.partitionBy("media_id")))
+        .groupBy("media_id")
+        .agg(sum(when(col("p") * 60 > col("tot"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(lit(0L))).as("ahash"))
       val stacked = withH.select(col("media_id"), col("ahash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ahash"), b * 15).bitwiseAND(lit(32767L))): _*))

@@ -475,6 +475,69 @@ object TextQueries extends QueryModule {
     // corpus stats are one row.
     "bm25_score" -> ((s, d) => bm25Frame(s, d).orderBy("doc_id")),
 
+    // Sparse TF-cosine near-dup pairs (X-155) — the VECTOR-SPACE
+    // similarity member beside the set member (ngram_jaccard), the
+    // sketch member (simhash), and the dense member (knn_cosine):
+    // exact cosine over FULL term-frequency vectors, candidates from
+    // the rare-SHINGLE inverted index (3-shingles, 2 ≤ df ≤ 8 —
+    // shingles, not tokens, because the discriminative unit must
+    // outgrow the vocabulary: this corpus has 31 distinct tokens, so
+    // by sf0.1 every TOKEN has df ≥ 250 and a token-level rare index
+    // is empty, while the 27k-shingle space keeps per-pair evidence
+    // rare; real web corpora hit the same wall with stopwords. The
+    // bound is Σdf² ≤ DfCap·Σdf ∝ corpus — measured 457k candidate
+    // rows over 5 000 docs). The candidate rule is the documented
+    // recall contract: a reported pair shares ≥ 1 rare shingle, which
+    // ≥0.95-cosine pairs do (their shared phrasing IS the rare end).
+    // The verify arm scores candidates on the COMPLETE token vectors
+    // (dot via one (doc, tok) equi-join back to the full tf frame,
+    // norms over all tokens). The threshold is 0.95 — on a 31-token
+    // vocabulary ALL prose looks alike in TF space (measured median
+    // candidate cosine ≈ 0.70 at sf0.1), so near-dup semantics live
+    // at the top of the range: 0.95 isolates exactly the planted
+    // near-dup mass (~251 pairs at sf0.1, the winnow/minhash
+    // ballpark). Arithmetic is EXACT integer end to end: BIGINT dot
+    // and squared norms; cos ≥ 0.95 tested as cos²·10⁶ = dot²·10⁶
+    // div (|a|²·|b|²) ≥ 902 500 — no sqrt, no float (the
+    // hash-compare discipline). The materialized tf frame feeds the
+    // dot join-back and the norms; the shingle frame feeds the df
+    // filter and both candidate-join sides.
+    "tf_cosine_pairs" -> ((s, d) => {
+      val DfCap = 8
+      val tf = Dedup.materialize(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(tokens(norm(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+      val sh = Dedup.materialize(
+        Dedup.shingled(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("ss")).as("sh")))
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= DfCap)
+        .select("sh")
+      val rare = sh.join(keep, "sh")
+      val cand = rare.as("x").join(rare.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val dots = cand
+        .join(tf.select(col("doc_id").as("d1"), col("tok"), col("tf").as("tfa")), Seq("d1"))
+        .join(tf.select(col("doc_id").as("d2"), col("tok"), col("tf").as("tfb")),
+          Seq("d2", "tok"))
+        .groupBy("d1", "d2")
+        .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("n2").as("na2")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb2")), "d2")
+        .withColumn("cos2_fx",
+          expr("CAST(dot * dot * 1000000 DIV (na2 * nb2) AS BIGINT)"))
+        .filter(col("cos2_fx") >= 902500L)
+        .select("d1", "d2", "dot", "cos2_fx")
+        .orderBy("d1", "d2")
+    }),
+
     // Chi-squared discriminative vocabulary per language (X-83): the
     // feature-selection pass behind fastText-style domain/quality
     // classifiers (CCNet's filtering recipe) — which tokens most
@@ -1506,6 +1569,41 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_terms, score_fx,
          |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same rare-shingle candidate rule (the dedup family's shSql-shaped
+    // shingle derivation), full-vector BIGINT dot/norms, and the exact
+    // cos²·10⁶ integer test mirroring the Spark side.
+    "tf_cosine_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |shx AS (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |        FROM (SELECT doc_id,
+        |                string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |              FROM documents)),
+        |keep AS (SELECT sh FROM shx GROUP BY sh
+        |         HAVING count(*) BETWEEN 2 AND 8),
+        |rare AS (SELECT s.doc_id, s.sh FROM shx s JOIN keep USING (sh)),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |         FROM rare x JOIN rare y
+        |           ON x.sh = y.sh AND x.doc_id < y.doc_id),
+        |dots AS (SELECT c.d1, c.d2, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |         FROM cand c
+        |         JOIN tf a ON c.d1 = a.doc_id
+        |         JOIN tf b ON c.d2 = b.doc_id AND a.tok = b.tok
+        |         GROUP BY 1, 2),
+        |nr AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |       FROM tf GROUP BY 1)
+        |SELECT d1, d2, dot,
+        |       CAST(dot * dot * 1000000 // (a.n2 * b.n2) AS BIGINT) AS cos2_fx
+        |FROM dots JOIN nr a ON d1 = a.doc_id JOIN nr b ON d2 = b.doc_id
+        |WHERE dot * dot * 1000000 // (a.n2 * b.n2) >= 902500
+        |ORDER BY d1, d2""".stripMargin,
 
     // Same df band, sort, gap derivation, and rolling-hash fold.
     "build_postings" ->

@@ -166,6 +166,8 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
     SparkEntry.queries("anchor_text_agg")(spark, emptyCorpusDir)
       .count() shouldEqual 0
+    SparkEntry.queries("tf_cosine_pairs")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
   }
 
   test("bm25_score: only docs carrying a query term appear; scores are positive") {

@@ -68,6 +68,43 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("tf_cosine_pairs matches a plain-Scala df-capped cosine scan") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq
+          .filter(_.nonEmpty))
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupMapReduce(identity)(_ => 1L)(_ + _)
+    }
+    val shByDoc = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val shDf = shByDoc.values.flatten
+      .groupMapReduce(identity)(_ => 1)(_ + _)
+    val keep = shDf.filter { case (_, c) => c >= 2 && c <= 8 }.keySet
+    val n2 = tf.map { case (id, m) => id -> m.values.map(v => v * v).sum }.toMap
+    // candidates share >= 1 rare shingle; the score is FULL-vector
+    // token-TF cosine
+    val expected = (for {
+      i <- tf.indices; j <- (i + 1) until tf.length
+      ((d1, m1), (d2, m2)) =
+        if (tf(i)._1 < tf(j)._1) (tf(i), tf(j))
+        else (tf(j), tf(i))
+      if shByDoc(d1).exists(s => keep(s) && shByDoc(d2)(s))
+      dot = m1.keysIterator.filter(m2.contains).map(k => m1(k) * m2(k)).sum
+      cos2 = dot * dot * 1000000L / (n2(d1) * n2(d2))
+      if cos2 >= 902500L
+    } yield (d1, d2, dot, cos2)).sortBy(t => (t._1, t._2))
+    val got = q("tf_cosine_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldEqual expected
+    // the threshold separates: planted near-dup pairs clear it and
+    // everything reported is a genuine ≥0.95 cosine (cos² ≤ 10⁶ too)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, c2) => assert(c2 >= 902500L && c2 <= 1000000L) }
+  }
+
   test("lsh_recall matches a plain-Scala minhash-vs-truth recall curve") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
