@@ -196,7 +196,11 @@ object LinkQueries extends QueryModule {
         val scores = graft.operators.Dedup.materialize(scoresIn)
         val m = scores.agg(max(col(c)).as("mx"))
         scores.crossJoin(broadcast(m))
-          .select(col("doc_id"), expr(s"($c * ${F}L) div mx").as(c))
+          // mx = 0 on an edgeless graph (every score 0) — ANSI mode
+          // makes the div a hard DIVIDE_BY_ZERO crash, so the zero
+          // fixed point is spelled out (oracle carries the same CASE)
+          .select(col("doc_id"),
+            expr(s"CASE WHEN mx = 0 THEN 0L ELSE ($c * ${F}L) div mx END").as(c))
       }
       def round(aPrev: DataFrame): (DataFrame, DataFrame) = {
         val a = graft.operators.Dedup.materialize(aPrev)
@@ -1058,13 +1062,15 @@ object LinkQueries extends QueryModule {
            |       FROM edges e JOIN $prevA p ON e.dst = p.doc_id GROUP BY e.src),
            |h${i}f AS (SELECT d.doc_id, COALESCE(h${i}r.h, 0) AS h
            |       FROM docs d LEFT JOIN h${i}r ON d.doc_id = h${i}r.src),
-           |h$i AS (SELECT doc_id, CAST((h * 1000000) // (SELECT max(h) FROM h${i}f) AS BIGINT) AS h
+           |h$i AS (SELECT doc_id, CAST(CASE WHEN (SELECT max(h) FROM h${i}f) = 0 THEN 0
+           |         ELSE (h * 1000000) // (SELECT max(h) FROM h${i}f) END AS BIGINT) AS h
            |       FROM h${i}f),
            |a${i}r AS (SELECT e.dst, CAST(sum(p.h) AS BIGINT) AS a
            |       FROM edges e JOIN h$i p ON e.src = p.doc_id GROUP BY e.dst),
            |a${i}f AS (SELECT d.doc_id, COALESCE(a${i}r.a, 0) AS a
            |       FROM docs d LEFT JOIN a${i}r ON d.doc_id = a${i}r.dst),
-           |a$i AS (SELECT doc_id, CAST((a * 1000000) // (SELECT max(a) FROM a${i}f) AS BIGINT) AS a
+           |a$i AS (SELECT doc_id, CAST(CASE WHEN (SELECT max(a) FROM a${i}f) = 0 THEN 0
+           |         ELSE (a * 1000000) // (SELECT max(a) FROM a${i}f) END AS BIGINT) AS a
            |       FROM a${i}f)""".stripMargin
       s"""WITH docs AS (SELECT doc_id FROM documents),
          |st AS (SELECT count(*) AS n FROM docs),

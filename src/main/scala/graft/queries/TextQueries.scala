@@ -502,6 +502,50 @@ object TextQueries extends QueryModule {
     // hash-compare discipline). The materialized tf frame feeds the
     // dot join-back and the norms; the shingle frame feeds the df
     // filter and both candidate-join sides.
+    // Per-source data card (X-156, the Datasheets-for-Datasets rollup —
+    // Gebru et al. 2021, arXiv:1803.09010 — every curated-corpus
+    // release ships one): the per-source summary a consumer reads
+    // before training — volume (docs, tokens, chars), language spread
+    // (distinct + majority with deterministic ties), quality (the
+    // X-137 Gopher gate pass count, spliced from the SAME gopherBase/
+    // gopherPreds the funnel uses so the two can't drift), and exact-
+    // duplicate mass (docs minus distinct content hashes WITHIN the
+    // source). All integer-exact: the mean-chars column is a ×100
+    // fixed point, never a float division. Scale shape: ONE
+    // materialized per-doc base feeds the per-source aggregate and
+    // the per-(source, lang) majority window (partitioned on the
+    // data-bound source key); everything downstream is
+    // |sources|-bounded.
+    "source_datacard" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Dedup.materialize(
+        gopherBase(s, d)
+          .withColumn("pass",
+            gopherPreds.reduce(_ && _).cast("long"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n"),
+            col("n_chars"), md5(col("text")).as("th"), col("pass")))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pass")).as("quality_pass"),
+        (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dup"))
+        .withColumn("mean_chars_fx",
+          expr("CAST(sum_chars * 100 DIV n_docs AS BIGINT)"))
+      val top = base.groupBy("source", "lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_l").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n_l").as("top_lang_n"))
+      agg.join(top, Seq("source"))
+        .select("source", "n_docs", "n_langs", "total_tokens", "sum_chars",
+          "mean_chars_fx", "quality_pass", "n_exact_dup",
+          "top_lang", "top_lang_n")
+        .orderBy("source")
+    }),
+
     "tf_cosine_pairs" -> ((s, d) => {
       val DfCap = 8
       val tf = Dedup.materialize(
@@ -1244,6 +1288,7 @@ object TextQueries extends QueryModule {
     Tables.documents(s, d)
       .withColumn("toks", tokens(norm(col("text"))))
       .select(col("doc_id"), col("lang"), col("text"),
+        col("source"), col("n_chars"),
         size(col("toks")).cast("long").as("n"),
         size(array_distinct(col("toks"))).cast("long").as("nd"),
         aggregate(transform(col("toks"), t => length(t).cast("long")),
@@ -1569,6 +1614,34 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_terms, score_fx,
          |       CAST(score_fx AS DOUBLE) / 1000000000 AS bm25
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Splices the SAME gopherBase/gopherPreds fragments as the X-137
+    // funnel; the majority-lang window and the ×100 fixed-point mean
+    // mirror the Spark side literally.
+    "source_datacard" ->
+      s"""WITH $gopherBaseSql,
+         |b AS (SELECT doc_id, source, lang, n, n_chars, md5(text) AS th,
+         |             CASE WHEN ${gopherPredsSql.mkString(" AND ")}
+         |                  THEN 1 ELSE 0 END AS pass
+         |      FROM gb),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |              CAST(sum(n) AS BIGINT) AS total_tokens,
+         |              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |              CAST(sum(pass) AS BIGINT) AS quality_pass,
+         |              CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_exact_dup
+         |       FROM b GROUP BY 1),
+         |tl AS (SELECT source, lang AS top_lang,
+         |              CAST(count(*) AS BIGINT) AS top_lang_n,
+         |              row_number() OVER (PARTITION BY source
+         |                ORDER BY count(*) DESC, lang) AS rk
+         |       FROM b GROUP BY source, lang)
+         |SELECT ag.source, ag.n_docs, ag.n_langs, ag.total_tokens,
+         |       ag.sum_chars,
+         |       CAST(ag.sum_chars * 100 // ag.n_docs AS BIGINT) AS mean_chars_fx,
+         |       ag.quality_pass, ag.n_exact_dup, tl.top_lang, tl.top_lang_n
+         |FROM ag JOIN tl ON ag.source = tl.source AND tl.rk = 1
+         |ORDER BY ag.source""".stripMargin,
 
     // Same rare-shingle candidate rule (the dedup family's shSql-shaped
     // shingle derivation), full-vector BIGINT dot/norms, and the exact
@@ -1970,13 +2043,13 @@ object TextQueries extends QueryModule {
 
   /** X-137 SQL mirror of [[gopherBase]] (CTE `gb`). */
   private lazy val gopherBaseSql =
-    s"""gb AS (SELECT doc_id, lang, text,
+    s"""gb AS (SELECT doc_id, lang, text, source, n_chars,
        |         CAST(len(toks) AS BIGINT) AS n,
        |         CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
        |         CAST(list_aggregate(list_transform(toks,
        |           x -> CAST(len(x) AS BIGINT)), 'sum') AS BIGINT) AS totlen,
        |         ${occSql(GopherStopwords)} AS stop_hits
-       |       FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents))""".stripMargin
+       |       FROM (SELECT doc_id, lang, text, source, n_chars, $toksSql AS toks FROM documents))""".stripMargin
 
   /** X-137 SQL mirror of [[gopherPreds]], same order. */
   private val gopherPredsSql = Seq(

@@ -168,6 +168,8 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
     SparkEntry.queries("tf_cosine_pairs")(spark, emptyCorpusDir)
       .count() shouldEqual 0
+    SparkEntry.queries("source_datacard")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
   }
 
   test("bm25_score: only docs carrying a query term appear; scores are positive") {

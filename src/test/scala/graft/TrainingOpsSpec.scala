@@ -68,6 +68,46 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("source_datacard matches a plain-Scala per-source rollup") {
+    def md5hexS(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = graft.operators.TextAnalysis.LangProfiles
+      .flatMap(_._2).distinct
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val rows = docs.map { case (_, src, lang, text, nc) =>
+      val toks = text.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      val n = toks.size.toLong
+      val nd = toks.distinct.size.toLong
+      val totlen = toks.map(_.length.toLong).sum
+      val hits = toks.count(stop.contains)
+      val pass = n >= 20 && n <= 80 &&
+        totlen >= n * 3 && totlen <= n * 5 &&
+        nd * 10 >= n * 3 && hits >= 2
+      (src, lang, n, nc, md5hexS(text), if (pass) 1L else 0L)
+    }
+    val expected = rows.groupBy(_._1).map { case (src, rs) =>
+      val perLang = rs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (topL, topN) = perLang.minBy { case (l, c) => (-c, l) }
+      (src, rs.size.toLong, perLang.size.toLong, rs.map(_._3).sum,
+        rs.map(_._4).sum, rs.map(_._4).sum * 100 / rs.size,
+        rs.map(_._6).sum, rs.size.toLong - rs.map(_._5).distinct.size,
+        topL, topN)
+    }.toSeq.sortBy(_._1)
+    val got = q("source_datacard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getString(8), r.getLong(9))).toSeq
+    got shouldEqual expected
+    // a data card over this corpus is non-trivial in every column:
+    // quality gate passes some-but-not-all docs somewhere, and the
+    // gopher stopword list keeps the gate honest
+    assert(got.exists(t => t._7 > 0 && t._7 < t._2))
+  }
+
   test("tf_cosine_pairs matches a plain-Scala df-capped cosine scan") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
