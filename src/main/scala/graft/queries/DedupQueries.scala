@@ -229,6 +229,55 @@ object DedupQueries extends QueryModule {
         .orderBy("d_new", "d_idx")
     }),
 
+    // Incremental cluster assignment (X-157) — the production posture
+    // AFTER minhash_incremental's pair detection: a new batch (doc_id %
+    // 10 == 0, the X-87 convention) is assigned to STANDING cluster
+    // labels (CC over the index side only), so continuous ingest never
+    // re-clusters the corpus. Each new doc takes the cluster of its
+    // best match at exact Jaccard ≥ 0.5 (ties: higher jac, then lower
+    // label, then lower index doc — fully deterministic); unmatched
+    // docs seed their own cluster (label = own id, matched = 0).
+    // Scale shape: ONE AllPairs-prefix-filtered pair derivation
+    // (exact, frequency-bounded) is materialized and consumed twice —
+    // index×index pairs drive the CC, new×index pairs the probes; the
+    // best-match window partitions on the data-bound new-doc key. At
+    // deployment the index-side labels are a persisted artifact and
+    // only the probe side runs per batch (the minhash_incremental
+    // argument, one level up the stack).
+    "dedup_assign" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sized = materialize(shingled(Tables.documents(s, d))
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
+      val pairs = materialize(jaccardPairsSized(sized, t = 0.5)
+        .select(col("d1"), col("d2"), col("jac")))
+      def isNew(c: org.apache.spark.sql.Column) = c % 10 === 0
+      val labels = connectedComponents(
+        pairs.filter(!isNew(col("d1")) && !isNew(col("d2")))
+          .select("d1", "d2"))
+      val probes = pairs
+        .filter(isNew(col("d1")) =!= isNew(col("d2")))
+        .select(
+          when(isNew(col("d1")), col("d1")).otherwise(col("d2")).as("doc_id"),
+          when(isNew(col("d1")), col("d2")).otherwise(col("d1")).as("d_idx"),
+          col("jac"))
+      val withLabel = probes.join(
+          labels.select(col("node").as("d_idx"), col("label")),
+          Seq("d_idx"), "left_outer")
+        .select(col("doc_id"), col("d_idx"), col("jac"),
+          coalesce(col("label"), col("d_idx")).as("cand_label"))
+      val best = withLabel.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("jac").desc, col("cand_label"), col("d_idx"))))
+        .filter(col("rk") === 1)
+      sized.filter(isNew(col("doc_id"))).select("doc_id")
+        .join(best, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cand_label"), col("doc_id")).as("cluster"),
+          when(col("d_idx").isNotNull, lit(1)).otherwise(lit(0)).as("matched"),
+          col("jac"))
+        .orderBy("doc_id")
+    }),
+
     // Measured LSH candidate recall (X-153) — the dedup-family analog
     // of ann_recall (the "recall counted FROM truth" discipline): how
     // much of the EXACT Jaccard-≥0.5 truth set does the 4×4 minhash
@@ -914,6 +963,50 @@ object DedupQueries extends QueryModule {
          |WHERE $jaccardSql >= 0.5
          |ORDER BY p.d_new, p.d_idx""".stripMargin
     },
+
+    // Same direct-join pair derivation as ngram_jaccard (jac kept),
+    // split into index-side CC (the dedup_clusters recursive min-label
+    // idiom, restricted to index docs) and new-side probes; the
+    // best-match window and own-id fallback mirror the Spark side.
+    "dedup_assign" ->
+      s"""WITH RECURSIVE $shSql,
+         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+         |             max(a.n) AS n1, max(b.n) AS n2
+         |      FROM e a JOIN e b
+         |        ON a.s = b.s AND a.doc_id < b.doc_id
+         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |      GROUP BY 1, 2),
+         |prs AS (SELECT d1, d2,
+         |          CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jac
+         |        FROM p
+         |        WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+         |ip AS (SELECT d1, d2 FROM prs WHERE d1 % 10 <> 0 AND d2 % 10 <> 0),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM ip
+         |          UNION ALL SELECT d2, d1 FROM ip),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src),
+         |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+         |probes AS (SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS doc_id,
+         |                  CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS d_idx, jac
+         |           FROM prs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)),
+         |wl AS (SELECT pr.doc_id, pr.d_idx, pr.jac,
+         |              COALESCE(l.label, pr.d_idx) AS cand_label
+         |       FROM probes pr LEFT JOIN lab l ON pr.d_idx = l.node),
+         |best AS (SELECT doc_id, d_idx, jac, cand_label,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY jac DESC, cand_label, d_idx) AS rk
+         |         FROM wl),
+         |nd AS (SELECT doc_id FROM sh WHERE doc_id % 10 = 0)
+         |SELECT nd.doc_id,
+         |       CAST(COALESCE(b.cand_label, nd.doc_id) AS BIGINT) AS cluster,
+         |       CAST(CASE WHEN b.d_idx IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS matched,
+         |       b.jac
+         |FROM nd LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+         |ORDER BY nd.doc_id""".stripMargin,
 
     // Truth = the ngram_jaccard direct join at ≥ 0.5 with its size
     // band; candidates = minhash_lsh's signature/band derivation; the

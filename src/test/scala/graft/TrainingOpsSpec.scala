@@ -68,6 +68,56 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_assign matches a plain-Scala union-find assignment") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val sh = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val pairs = for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      ((d1, s1), (d2, s2)) =
+        if (sh(i)._1 < sh(j)._1) (sh(i), sh(j)) else (sh(j), sh(i))
+      common = (s1 intersect s2).size
+      jac = common.toDouble / (s1.size + s2.size - common)
+      if jac >= 0.5
+    } yield (d1, d2, jac)
+    // union-find over index-index pairs, min-id component labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.filter(p => p._1 % 10 != 0 && p._2 % 10 != 0).foreach {
+      case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = (x: Long) => find(x)
+    val best = pairs.filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map { case (a, b, jac) =>
+        if (a % 10 == 0) (a, b, jac) else (b, a, jac) }
+      .groupBy(_._1).view.mapValues { ps =>
+        ps.map { case (_, di, jac) => (jac, label(di), di) }
+          .minBy { case (jac, cl, di) => (-jac, cl, di) }
+      }.toMap
+    val expected = sh.map(_._1).filter(_ % 10 == 0).sorted.map { id =>
+      best.get(id) match {
+        case Some((jac, cl, _)) => (id, cl, 1, Some(jac))
+        case None               => (id, id, 0, None)
+      }
+    }.toSeq
+    val got = q("dedup_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    got shouldEqual expected
+    // the assignment is real: some new docs join standing clusters,
+    // some seed their own
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
+  }
+
   test("source_datacard matches a plain-Scala per-source rollup") {
     def md5hexS(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
