@@ -77,7 +77,11 @@ object ScaleBench {
     // lsh_recall's truth+candidate arms carry the same Σdf² bound;
     // link_prediction's middle-node enumeration is Σdeg² (deg-capped);
     // anchor_text_agg is two hash aggregates + one window on url
-    "winnow_overlap", "lsh_recall", "link_prediction", "anchor_text_agg")
+    "winnow_overlap", "lsh_recall", "link_prediction", "anchor_text_agg",
+    // X-155..X-157: tf_cosine_pairs' rare-shingle candidates + full-
+    // vector verify; source_datacard is two aggregates + one window;
+    // dedup_assign = one AllPairs derivation consumed by CC + probes
+    "tf_cosine_pairs", "source_datacard", "dedup_assign")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
