@@ -229,6 +229,37 @@ object DedupQueries extends QueryModule {
         .orderBy("d_new", "d_idx")
     }),
 
+    // Per-document n-gram novelty (X-158) — the unique-shingle ratio
+    // every curation pipeline scores beside dedup (high novelty =
+    // content found nowhere else in the corpus; near-zero = template/
+    // boilerplate mass even when no single pair crosses a dup
+    // threshold — the corpus-level complement of the pairwise family):
+    // per doc, its distinct-3-shingle count, how many of those occur
+    // in NO other doc (corpus df = 1), and the ×10⁶ fixed-point ratio
+    // (exact integer division; shingle-less docs report 0/0 with a
+    // null ratio, never a divide-by-zero). Scale shape: one shingle
+    // explode materialized, one df hash aggregate, one join-back
+    // (Σdf rows — linear, no cap needed since the aggregation is
+    // per-DOC, not per-pair), one left join to keep every doc.
+    "ngram_novelty" -> ((s, d) => {
+      val sh = materialize(shingled(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ss")).as("sh")))
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val per = sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+        .withColumn("novelty_fx",
+          expr("CAST(n_unique * 1000000 DIV n_sh AS BIGINT)"))
+      Tables.documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          col("novelty_fx"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental cluster assignment (X-157) — the production posture
     // AFTER minhash_incremental's pair detection: a new batch (doc_id %
     // 10 == 0, the X-87 convention) is assigned to STANDING cluster
@@ -963,6 +994,23 @@ object DedupQueries extends QueryModule {
          |WHERE $jaccardSql >= 0.5
          |ORDER BY p.d_new, p.d_idx""".stripMargin
     },
+
+    // Same shSql shingles; df = 1 membership and the ×10⁶ integer
+    // ratio mirror the Spark side; the left join keeps shingle-less
+    // docs with a null ratio.
+    "ngram_novelty" ->
+      s"""WITH $shSql,
+         |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |d AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |        FROM ex JOIN d USING (s) GROUP BY 1)
+         |SELECT doc.doc_id,
+         |       CAST(COALESCE(per.n_sh, 0) AS BIGINT) AS n_sh,
+         |       CAST(COALESCE(per.n_unique, 0) AS BIGINT) AS n_unique,
+         |       CAST(per.n_unique * 1000000 // per.n_sh AS BIGINT) AS novelty_fx
+         |FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin,
 
     // Same direct-join pair derivation as ngram_jaccard (jac kept),
     // split into index-side CC (the dedup_clusters recursive min-label

@@ -172,6 +172,8 @@ class EdgeCasesSpec extends SparkSpec {
       .count() shouldEqual 0
     SparkEntry.queries("dedup_assign")(spark, emptyCorpusDir)
       .count() shouldEqual 0
+    SparkEntry.queries("ngram_novelty")(spark, emptyCorpusDir)
+      .count() shouldEqual 0
   }
 
   test("bm25_score: only docs carrying a query term appear; scores are positive") {

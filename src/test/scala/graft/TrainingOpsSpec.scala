@@ -68,6 +68,32 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram_novelty matches a plain-Scala unique-shingle ratio") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val sh = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val df = sh.flatMap(_._2).groupMapReduce(identity)(_ => 1)(_ + _)
+    val expected = sh.sortBy(_._1).map { case (id, ss) =>
+      val n = ss.size.toLong
+      val u = ss.count(df(_) == 1).toLong
+      (id, n, u, if (n > 0) Some(u * 1000000L / n) else None)
+    }.toSeq
+    val got = q("ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    got shouldEqual expected
+    // the signal separates on this corpus: zero-novelty docs exist
+    // (exact/near dups — every shingle shared) alongside docs where a
+    // majority of shingles are corpus-unique (the 31-token vocabulary
+    // keeps the ceiling well under 1.0; max ≈ 0.71 at sf0.001)
+    assert(got.exists(_._4.contains(0L)))
+    assert(got.exists(_._4.exists(_ > 500000L)))
+  }
+
   test("dedup_assign matches a plain-Scala union-find assignment") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
