@@ -285,13 +285,21 @@ object LinkQueries extends QueryModule {
     // centrality X-52/X-111, density X-82/X-141, traversal X-144,
     // shortest path X-146): each round simultaneously removes every
     // node whose degree in the SURVIVING subgraph is < K, and a
-    // node's label is the round it was peeled (null = survives all
-    // rounds, i.e. sits in the K-core). K=5 on this graph drives a
-    // genuine multi-round cascade (500 → 428 → 347 → 227 → 85 → 9 →
-    // 0 at sf0.001) — removals lower neighbors' degrees, which is
-    // the point of peeling vs a one-shot degree filter. Six unrolled
-    // rounds; deterministic whether or not the peel has converged
-    // (the layer index is well-defined per round). Scale shape: the
+    // node's label is the round it was peeled. null means "not
+    // peeled within the 6 unrolled rounds" — NOT unconditionally
+    // "K-core member": on a larger or differently-shaped graph the
+    // cascade can still be running after 6 rounds. The per-row
+    // `converged` flag certifies the peel finished (round 6 peeled
+    // nobody — the alive set is stable — OR nobody survived, both
+    // read off the materialized label frame); when true, null =
+    // K-core member; when false, null = survived an unfinished
+    // peel, and consumers must not read core membership into it.
+    // On this corpus round 6 peels the last 9 nodes and nobody
+    // survives, so converged = true. K=5 on this graph
+    // drives a genuine multi-round cascade (500 → 428 → 347 → 227 →
+    // 85 → 9 → 0 at sf0.001) — removals lower neighbors' degrees,
+    // which is the point of peeling vs a one-shot degree filter. Six
+    // unrolled rounds, deterministic per round. Scale shape: the
     // LPA simple-graph view, materialized pre-partitioned on the
     // probe key; per round TWO alive-set equi-joins against it + one
     // count aggregate + one null-safe split, the alive frame
@@ -326,10 +334,18 @@ object LinkQueries extends QueryModule {
           val (nxt, peeled) = round(alive, r)
           (nxt, acc :+ peeled)
       }
-      val labeled = peels.reduce(_ unionByName _)
-        .unionByName(aliveN.select(col("node"),
-          lit(null).cast("int").as("peel_round")))
-      labeled.select(col("node").as("doc_id"), col("peel_round"))
+      val labeled = graft.operators.Dedup.materialize(
+        peels.reduce(_ unionByName _)
+          .unionByName(aliveN.select(col("node"),
+            lit(null).cast("int").as("peel_round"))))
+      // 1-row convergence probe over the materialized frame: the
+      // alive set is stable (round 6 peeled nobody) or empty ⇒ a
+      // hypothetical round 7 would peel nobody ⇒ the peel finished
+      val conv = labeled.agg(
+        (count(when(col("peel_round") === 6, lit(1))) === 0 ||
+          count(when(col("peel_round").isNull, lit(1))) === 0).as("converged"))
+      labeled.crossJoin(broadcast(conv))
+        .select(col("node").as("doc_id"), col("peel_round"), col("converged"))
         .orderBy("doc_id")
     }),
 
@@ -345,11 +361,13 @@ object LinkQueries extends QueryModule {
     // Per page: incoming-link count, distinct linking sources,
     // distinct anchor texts, and the majority anchor (ties to the
     // lexicographically smallest — deterministic). Scale shape: the
-    // per-(url, anchor) counts materialized ONCE feeding the top-1
-    // window, the anchor-distinct count, and (via the url key) the
-    // join-back; the window partitions on the data-bound url key —
-    // never a global sort; countDistinct(src) rides the same url
-    // shuffle (partial aggregation keeps the map side bounded).
+    // link-synthesis + target-join lineage collapses ONCE into a
+    // materialized per-(url, src, anchor) rollup; every downstream
+    // frame (per-anchor counts, totals + distinct sources, top-1
+    // window, anchor-distinct count) is a cheap aggregate over that
+    // checkpointed frame, so the heavy lineage executes exactly
+    // once; the window partitions on the data-bound url key — never
+    // a global sort (partial aggregation keeps the map side bounded).
     "anchor_text_agg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"))
@@ -365,9 +383,10 @@ object LinkQueries extends QueryModule {
         .select(col("src"), col("anchor"),
           concat(lit("https://www."), col("source"), lit(".example.com/"),
             col("lang"), lit("/p"), (col("tgt") % 5).cast("string")).as("url"))
-      val pa = graft.operators.Dedup.materialize(
-        urls.groupBy("url", "anchor").agg(count(lit(1)).as("n_a")))
-      val tot = urls.groupBy("url").agg(count(lit(1)).as("n_links"),
+      val usa = graft.operators.Dedup.materialize(
+        urls.groupBy("url", "src", "anchor").agg(count(lit(1)).as("n")))
+      val pa = usa.groupBy("url", "anchor").agg(sum(col("n")).as("n_a"))
+      val tot = usa.groupBy("url").agg(sum(col("n")).as("n_links"),
         countDistinct(col("src")).as("n_sources"))
       val top = pa.withColumn("rk", row_number().over(
           Window.partitionBy("url").orderBy(col("n_a").desc, col("anchor"))))
@@ -1191,9 +1210,12 @@ object LinkQueries extends QueryModule {
          |        UNION ALL SELECT node, peel_round FROM pl4
          |        UNION ALL SELECT node, peel_round FROM pl5
          |        UNION ALL SELECT node, peel_round FROM pl6
-         |        UNION ALL SELECT node, CAST(NULL AS INTEGER) FROM a6)
-         |SELECT node AS doc_id, CAST(peel_round AS INTEGER) AS peel_round
-         |FROM lab ORDER BY doc_id""".stripMargin
+         |        UNION ALL SELECT node, CAST(NULL AS INTEGER) FROM a6),
+         |cv AS (SELECT count(*) FILTER (WHERE peel_round = 6) = 0
+         |              OR count(*) FILTER (WHERE peel_round IS NULL) = 0 AS converged
+         |       FROM lab)
+         |SELECT node AS doc_id, CAST(peel_round AS INTEGER) AS peel_round, converged
+         |FROM lab CROSS JOIN cv ORDER BY doc_id""".stripMargin
     },
 
     // Same 3-links-per-non-sink synthesis with the 6-cycle anchors,

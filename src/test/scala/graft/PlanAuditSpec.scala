@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   // of the checkpointed RDD — auditing it would inspect nothing (and
   // execute the whole pipeline). Their join structure is audited via
   // the building block below instead.
-  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts", "dedup_method_matrix")
+  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts", "dedup_method_matrix", "dedup_family")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -187,7 +187,10 @@ class PlanAuditSpec extends SparkSpec {
       "lateness_audit" -> 2,       // ≤ P per-partition prefix-max offsets + the 3-row literal bounds frame
       "abc_analysis" -> 5,         // customer + nation dims and the 1-row total (whose lineage re-embeds both dim hints)
       "next_token_topk" -> 2,      // 20-row context frame (k-bounded via the Rank pre-prune), its hint re-embedded through the per-context totals lineage (the totals join itself stays a shuffle join)
-      "anchor_text_agg" -> 1,      // the 1-row corpus-count frame (the linkEdgesRaw synthesis shape)
+      // anchor_text_agg carries NO visible hint since round 9: its 1-row
+      // corpus-count hint sits behind the (url, src, anchor) rollup
+      // materialization that single-executes the link-synthesis lineage
+      "kcore_peel" -> 1,           // the 1-row convergence probe over the MATERIALIZED label frame
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
