@@ -57,6 +57,33 @@ object DedupQueries extends QueryModule {
   private val jaccardSql =
     "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
 
+  /** Standing-index labels for the continuous-ingest pair (X-157/X-160):
+    * AllPairs exact pairs over ALL docs (e→p→prs), restricted to
+    * index×index edges (ip), closed into min-label components (cc→lab).
+    * ONE copy spliced into both the dedup_assign and ingest_pipeline
+    * oracles so the two standing-label mirrors cannot drift. */
+  private val assignIdxCcSql =
+    """e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+      |             max(a.n) AS n1, max(b.n) AS n2
+      |      FROM e a JOIN e b
+      |        ON a.s = b.s AND a.doc_id < b.doc_id
+      |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+      |      GROUP BY 1, 2),
+      |prs AS (SELECT d1, d2,
+      |          CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jac
+      |        FROM p
+      |        WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
+      |ip AS (SELECT d1, d2 FROM prs WHERE d1 % 10 <> 0 AND d2 % 10 <> 0),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM ip
+      |          UNION ALL SELECT d2, d1 FROM ip),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |cc AS (
+      |  SELECT node, node AS label FROM nodes
+      |  UNION
+      |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src),
+      |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)""".stripMargin
+
   /** Winnowing parameters (X-150/X-151): K-gram size, window width W,
     * position bits in the (hash, rightmost-pos) integer encoding, and
     * the boilerplate df-cap for the overlap join. Shared with the
@@ -927,11 +954,107 @@ object DedupQueries extends QueryModule {
         .orderBy(col("kind"), coalesce(col("id"), lit(-1L)),
           coalesce(col("m1"), lit("")), coalesce(col("m2"), lit("")))
     }),
+
+    // Continuous-ingest capstone (X-160): X-87 minhash-banded probe +
+    // X-157 standing-cluster assignment + X-108 shard manifest composed
+    // into ONE registered incremental-batch pipeline — new batch
+    // (doc_id % 10 == 0) probes the standing index via the asymmetric
+    // band join, exact-verifies candidates at Jaccard ≥ 0.5, takes the
+    // best standing label (X-157's deterministic rule, own-id seed for
+    // unmatched), and emits the per-(lang, shard) manifest the export
+    // job appends: doc/matched counts, token totals, XOR fingerprint +
+    // mod-2^56 sum checksum (both X-108 digests), the assignment-
+    // pinning cluster_sum, and the doc-id range. Every stage lives in
+    // operators.Ingest, shared verbatim with the foreachBatch streaming
+    // mirror (IngestPipelineSpec) whose micro-batch replay merges to
+    // this exact output — every manifest column is mergeable by
+    // construction. Scale shape: index artifacts (shingles, band
+    // stack, CC labels) built once (persisted at deployment); per
+    // batch, probe-side-only shuffle; candidates bounded by banding;
+    // the manifest is |langs|·|shards| rows.
+    "ingest_pipeline" -> ((s, d) => {
+      import graft.operators.Ingest
+      val docsAll = Tables.documents(s, d)
+      val sh = materialize(shingled(docsAll))
+      val idxSh = sh.filter(!Ingest.isNew(col("doc_id")))
+      val batchSh = sh.filter(Ingest.isNew(col("doc_id")))
+      val idxStack = Ingest.bandStack(idxSh)
+      val idxLabels = connectedComponents(
+        jaccardPairsSized(
+          idxSh.select(col("doc_id"), col("ss"), size(col("ss")).as("n")),
+          t = 0.5).select("d1", "d2"))
+      val asg = Ingest.probeAssign(batchSh, idxSh, idxStack, idxLabels)
+      val meta = Ingest.manifestMeta(docsAll.filter(Ingest.isNew(col("doc_id"))))
+      Ingest.manifest(meta.join(asg, Seq("doc_id")))
+        .orderBy("lang", "shard")
+    }),
   )
 
   def oracle: Map[String, String] =
     baseOracle + ("dedup_method_matrix" -> matrixOracle,
-      "dedup_family" -> familyOracle)
+      "dedup_family" -> familyOracle,
+      "ingest_pipeline" -> ingestOracle)
+
+  /** X-160's oracle splices the SIBLING fragments: shared shingles
+    * (shSql), the standing index labels (assignIdxCcSql — the same
+    * fragment dedup_assign's oracle uses), minhash_incremental's
+    * sig/band/stacked recipe with its asymmetric probe join, X-157's
+    * best-match rule, and X-108's manifest digests. */
+  private lazy val ingestOracle = {
+    val sigCols = (0 until MinHashK).map { i =>
+      s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+    }.mkString(",\n       ")
+    val bandCols = (0 until 4).map { b =>
+      s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+    }.mkString(",\n       ")
+    val stacked = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+      .mkString("\n      UNION ALL ")
+    s"""WITH RECURSIVE $shSql,
+       |$assignIdxCcSql,
+       |sig AS (SELECT doc_id,
+       |       $sigCols
+       |FROM shh),
+       |bands AS (SELECT doc_id,
+       |       $bandCols
+       |FROM sig),
+       |stacked AS (
+       |      $stacked),
+       |mp AS (
+       |  SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_idx
+       |  FROM stacked x JOIN stacked y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+       |pb AS (SELECT p.d_new, p.d_idx, $jaccardSql AS jac
+       |       FROM mp p
+       |       JOIN shh a ON p.d_new = a.doc_id
+       |       JOIN shh b ON p.d_idx = b.doc_id
+       |       WHERE $jaccardSql >= 0.5),
+       |wl AS (SELECT pb.d_new, pb.d_idx, pb.jac,
+       |              COALESCE(l.label, pb.d_idx) AS cand_label
+       |       FROM pb LEFT JOIN lab l ON pb.d_idx = l.node),
+       |best AS (SELECT d_new, cand_label,
+       |                row_number() OVER (PARTITION BY d_new
+       |                  ORDER BY jac DESC, cand_label, d_idx) AS rk
+       |         FROM wl),
+       |nd AS (SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5('graft-shard' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 4 AS shard,
+       |         CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS dh,
+       |         len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_toks
+       |       FROM documents WHERE doc_id % 10 = 0),
+       |asg AS (SELECT nd.*, COALESCE(b.cand_label, nd.doc_id) AS cluster,
+       |               CASE WHEN b.cand_label IS NOT NULL THEN 1 ELSE 0 END AS matched
+       |        FROM nd LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+       |          ON nd.doc_id = b.d_new)
+       |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(matched) AS BIGINT) AS n_matched,
+       |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |       CAST(bit_xor(dh) AS BIGINT) AS fingerprint,
+       |       CAST(sum(dh) % 72057594037927936 AS BIGINT) AS checksum,
+       |       CAST(sum(cluster) AS BIGINT) AS cluster_sum,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** X-159's oracle embeds the SIBLING oracles verbatim as CTE bodies —
     * the doc section IS dedup_artifacts' statement, the assign section
@@ -1198,31 +1321,12 @@ object DedupQueries extends QueryModule {
          |ORDER BY doc.doc_id""".stripMargin,
 
     // Same direct-join pair derivation as ngram_jaccard (jac kept),
-    // split into index-side CC (the dedup_clusters recursive min-label
-    // idiom, restricted to index docs) and new-side probes; the
-    // best-match window and own-id fallback mirror the Spark side.
+    // standing labels from the SHARED assignIdxCcSql fragment (index-
+    // side CC), new-side probes from the same prs; the best-match
+    // window and own-id fallback mirror the Spark side.
     "dedup_assign" ->
       s"""WITH RECURSIVE $shSql,
-         |e AS (SELECT doc_id, CAST(len(ss) AS INTEGER) AS n, unnest(ss) AS s FROM sh),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
-         |             max(a.n) AS n1, max(b.n) AS n2
-         |      FROM e a JOIN e b
-         |        ON a.s = b.s AND a.doc_id < b.doc_id
-         |       AND a.n * 2 >= b.n AND b.n * 2 >= a.n
-         |      GROUP BY 1, 2),
-         |prs AS (SELECT d1, d2,
-         |          CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jac
-         |        FROM p
-         |        WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
-         |ip AS (SELECT d1, d2 FROM prs WHERE d1 % 10 <> 0 AND d2 % 10 <> 0),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM ip
-         |          UNION ALL SELECT d2, d1 FROM ip),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |cc AS (
-         |  SELECT node, node AS label FROM nodes
-         |  UNION
-         |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src),
-         |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+         |$assignIdxCcSql,
          |probes AS (SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS doc_id,
          |                  CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS d_idx, jac
          |           FROM prs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)),
