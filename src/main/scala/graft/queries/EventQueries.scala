@@ -114,6 +114,44 @@ object EventQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // X-27 batch replay: the stream-stream interval join EXECUTED AS
+    // REGISTERED STREAMING CODE — EventStream.purchaseClickJoin (dual
+    // watermarks + the BETWEEN interval condition) runs verbatim on
+    // batch frames (watermarks are a no-op in batch, the plan is the
+    // same Catalyst join), emitting every (purchase, click) pair for
+    // the same user with the click in the preceding hour. This is the
+    // X-58 discipline applied to X-27: the oracle pins the streaming
+    // operator's join semantics, while EventStreamSpec pins its
+    // state-eviction behavior under real micro-batches. Scale shape:
+    // equi-join on user_id (ONE shuffle), interval predicate as the
+    // join residual; at stream scale the watermark bounds state — the
+    // reason the operator exists.
+    "interval_join_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.streaming.EventStream.purchaseClickJoin(purchases, clicks)
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+          col("p_ts"), col("c_ts"))
+        .orderBy("p_id", "c_id")
+    }),
+
+    // X-24 batch replay: the mapGroupsWithState per-user state machine
+    // (StatefulOps.userStates — running count, 30-min-gap session
+    // count, exact cents, latest type) run on the batch events frame:
+    // in batch mode each key's full slice folds through the SAME
+    // transition function the streaming form carries in the state
+    // store, so this oracle pins the transition semantics and
+    // StatefulOpsSpec pins micro-batch ≡ batch through real streaming
+    // execution. One user_id shuffle, O(1) state per user.
+    "user_state_machine" -> ((s, d) =>
+      graft.streaming.StatefulOps.userStates(Tables.events(s, d))
+        .orderBy("user_id")),
+
     // Trailing-window rate anomalies (X-89): flag hours whose event
     // count sits more than 3σ above the trailing 24-hour baseline,
     // per event type — the alerting rule every ingestion monitor
@@ -673,6 +711,37 @@ object EventQueries extends QueryModule {
         |       CAST(c.nearest AS BIGINT) AS nearest_gap_us
         |FROM p LEFT JOIN c ON p.event_id = c.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    // The streaming interval join's exact batch semantics: same-user
+    // (purchase, click) pairs with the click in [p_ts − 1h, p_ts].
+    "interval_join_replay" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |       p.user_id, p.ts AS p_ts, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // The state machine's fold unrolled relationally: sessions open on
+    // the first event or a strictly->30-min gap over the
+    // (ts, event_id) order; cents via the engine-wide DECIMAL(12,2)
+    // mirror; latest type by the same order, descending.
+    "user_state_machine" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rdesc
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN pts IS NULL
+        |                       OR date_diff('millisecond', pts, ts) > 1800000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents,
+        |       max(CASE WHEN rdesc = 1 THEN event_type END) AS last_type
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same grid + trailing frame; HUGEINT carries Σn² and the squared
     // z-test terms DECIMAL(38,0) holds on the Spark side.
