@@ -68,6 +68,42 @@ object Multimodal {
       }
     }
   }
+
+  /** The decoder-AGNOSTIC aHash near-dup stages (X-149): given a
+    * 60-pixel frame (media_id, i ∈ 0..59, p = pixel value), compute
+    * each image's 60-bit average hash (bit i = pixel above the exact
+    * integer image mean, px·60 > Σpx), band it 4×15, and emit
+    * candidate pairs from the (band_id, band_val) equi-join verified
+    * at Hamming ≤ 3 — pigeonhole-exact recall (≤ 3 flips touch ≤ 3 of
+    * the 4 bands, so every qualifying pair still collides somewhere).
+    * Shared verbatim by the registered `phash_neardup` (md5 stand-in
+    * pixels, the oracle path) and the real-decoder pipeline
+    * (ImageIoDecoder pixels, MultimodalSpec) — swapping the codec
+    * changes ONLY the pixel frame, which is the Decoder-seam claim
+    * made executable. */
+  def aHashPairs(px: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = px
+      .withColumn("tot", sum(col("p")).over(Window.partitionBy("media_id")))
+      .groupBy("media_id")
+      .agg(sum(when(col("p") * 60 > col("tot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+        .otherwise(lit(0L))).as("ahash"))
+    val stacked = withH.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_id", "band_val")))
+    stacked.as("x").join(stacked.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+        col("x.ahash").as("h1"), col("y.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
 }
 
 /** The config gate for decode, mirroring [[Enrichers.fromConf]]: the
@@ -81,6 +117,47 @@ object Decoders {
   case object StubDecoder extends Multimodal.Decoder {
     def decode(bytes: Array[Byte], dim: Int): Array[Float] =
       Multimodal.decodeStub(bytes, dim)
+  }
+
+  /** The first REAL decoder: pure-JDK `javax.imageio` (PNG/BMP/GIF —
+    * the formats the JDK ships readers for, zero native deps). Decodes
+    * the payload to pixels and area-averages them onto a ⌈√dim⌉-square
+    * grid read row-major (dim=60 → the aHash pipeline's 8×8 grid minus
+    * the last 4 cells), integer-luma gray (299·R + 587·G + 114·B)/1000
+    * — all-integer arithmetic, so the pixel values are bit-stable
+    * across JVMs. [[grayPixels]] exposes the exact 0..255 integers for
+    * the aHash path; [[decode]] scales them to [0,1] for the feature
+    * path. Throws on undecodable bytes (a media pipeline routes those
+    * to a quarantine column — the WebFetch swallow-and-skip posture —
+    * rather than hashing garbage). */
+  class ImageIoDecoder extends Multimodal.Decoder {
+    def grayPixels(bytes: Array[Byte], dim: Int): Array[Long] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      Array.tabulate(dim) { k =>
+        val (r, c) = (k / g, k % g)
+        val (y0, y1) = (r * h / g, math.max((r + 1) * h / g, r * h / g + 1))
+        val (x0, x1) = (c * w / g, math.max((c + 1) * w / g, c * w / g + 1))
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        if (n == 0) 0L else sum / n
+      }
+    }
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+      grayPixels(bytes, dim).map(_ / 255.0f)
   }
 
   def fromConf(spark: SparkSession): Multimodal.Decoder =

@@ -107,7 +107,6 @@ object EnrichQueries extends QueryModule {
     // image mean rides one media-keyed window, and the bit-pack is one
     // hash aggregate.
     "phash_neardup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val imgs = Multimodal.syntheticMedia(Tables.documents(s, d))
         .filter(col("kind") === "image")
         .select(col("media_id"), col("content").cast("string").as("payload"))
@@ -117,26 +116,10 @@ object EnrichQueries extends QueryModule {
         .select(col("media_id"), col("i"),
           conv(substring(md5(col("payload").substr(col("i") * 4 + 1, lit(4))),
             1, 7), 16, 10).cast("long").as("p"))
-      val withH = px
-        .withColumn("tot", sum(col("p")).over(Window.partitionBy("media_id")))
-        .groupBy("media_id")
-        .agg(sum(when(col("p") * 60 > col("tot"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
-          .otherwise(lit(0L))).as("ahash"))
-      val stacked = withH.select(col("media_id"), col("ahash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("ahash"), b * 15).bitwiseAND(lit(32767L))): _*))
-          .as(Seq("band_id", "band_val")))
-      stacked.as("x").join(stacked.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
-          col("x.ahash").as("h1"), col("y.ahash").as("h2"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-        .filter(col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming")
+      // hash/band/verify stages live in Multimodal.aHashPairs, shared
+      // with the real-decoder (javax.imageio) pipeline MultimodalSpec
+      // drives — only the pixel frame above is decoder-specific
+      Multimodal.aHashPairs(px)
         .orderBy("a_id", "b_id")
     }),
 

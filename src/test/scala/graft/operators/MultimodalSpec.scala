@@ -123,6 +123,81 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(t => t._3 > 0 && t._3 <= 3))
   }
 
+  test("real PNG decode (javax.imageio) drives the SAME aHash pipeline as the registered query") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // deterministic in-memory PNGs, 64×64, high-contrast 8-px blocks so
+    // aHash bits sit robustly off the mean
+    def png(pattern: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, pattern(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val (white, black) = (0xffffff, 0x000000)
+    val base = png((x, _) => if (x < 32) white else black)
+    val copy = png((x, _) => if (x < 32) white else black) // identical pixels
+    // one extra 8×8 cell flipped to white → a genuinely NEAR image
+    val near = png((x, y) => if (x < 32 || (x < 40 && y < 8)) white else black)
+    val far = png((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) white else black)
+    val dec = new Decoders.ImageIoDecoder
+    // the decoder really decodes: base's left half is pure white, right
+    // half pure black on the 8×8 grid (integer luma, exact)
+    val basePx = dec.grayPixels(base, 60)
+    basePx.length shouldEqual 60
+    basePx.zipWithIndex.foreach { case (p, k) =>
+      p shouldEqual (if (k % 8 < 4) 255L else 0L)
+    }
+    val media = Seq(0L -> base, 1L -> copy, 2L -> near, 3L -> far)
+    // REAL pixels in, then everything downstream is the registered
+    // query's own code (Multimodal.aHashPairs) — the Decoder-seam
+    // claim executed, not argued
+    val px = media.flatMap { case (id, bytes) =>
+      dec.grayPixels(bytes, 60).zipWithIndex.map { case (p, i) => (id, i, p) }
+    }.toDF("media_id", "i", "p")
+    val got = aHashPairs(px).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    // brute force over the same real-pixel hashes (banding is exact at ≤ 3)
+    def ahashOf(a: Array[Long]): Long = {
+      val tot = a.sum
+      a.zipWithIndex.map { case (p, i) => if (p * 60 > tot) 1L << i else 0L }.sum
+    }
+    val hs = media.map { case (id, b) => id -> ahashOf(dec.grayPixels(b, 60)) }
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if h <= 3
+    } yield (hs(i)._1, hs(j)._1, h)).sortBy(t => (t._1, t._2))
+    got.toSeq shouldEqual expected
+    got should contain((0L, 1L, 0))      // identical PNGs → hamming 0
+    assert(got.exists(t => t._1 == 0L && t._2 == 2L && t._3 > 0 && t._3 <= 3))
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L)) // far pairs with nobody
+  }
+
+  test("ImageIoDecoder plugs into extractFeatures through the config seam") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(shade: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Media(0L, "image", png(0), 16, 16, "png"),
+      Media(1L, "image", png(255), 16, 16, "png")).toDS()
+    withSQLConf("spark.graft.media.decoderClass" ->
+        classOf[Decoders.ImageIoDecoder].getName) {
+      val feats = extractFeatures(ds, dim = 4,
+          decoder = Decoders.fromConf(spark))
+        .orderBy("media_id").collect()
+      feats(0).features.toSeq shouldEqual Seq(0.0f, 0.0f, 0.0f, 0.0f)
+      feats(1).features.toSeq shouldEqual Seq(1.0f, 1.0f, 1.0f, 1.0f)
+    }
+  }
+
   test("extraction is partition-local (no shuffle) and preserves all rows") {
     val ds = media(100)
     val feats = extractFeatures(ds, dim = 4, batchSize = 7)
