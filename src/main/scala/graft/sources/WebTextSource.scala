@@ -26,12 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Fidelity boundary, stated honestly: the reference renders with a
   * real browser (JS execution, cookie-popup clicks — O-10, out of
-  * engine scope per SURVEY §2). This source speaks plain HTTP and
-  * approximates `inner_text` by structural tag stripping
+  * engine scope per SURVEY §2). By default this source speaks plain
+  * HTTP and approximates `inner_text` by structural tag stripping
   * ([[WebTextSource.innerText]]); pages that materialize their text
-  * with JavaScript will come back sparse. That is the same boundary
-  * every HTTP-level crawler accepts, and the seam to a rendering
-  * fetch service is one [[WebTextSource.Fetcher]] implementation.
+  * with JavaScript come back sparse. Since round 9 the boundary has a
+  * spec'd PROTOCOL, not just a seam: `.option("renderService", url)`
+  * routes every fetch through a rendering sidecar speaking
+  * [[WebTextSource.RenderServiceFetcher]]'s JSON contract (rendered
+  * text + anchors per URL), so deploying a browser pool closes the
+  * gap with zero engine changes — WebTextSourceSpec proves the
+  * protocol end-to-end against a deterministic loopback renderer.
   *
   * Error posture matches the reference's swallow-and-skip
   * (app.py:258-269): a transport failure yields a row with null
@@ -66,6 +70,72 @@ object WebTextSource {
     * and a deployment swap in a rendering fetch service. */
   trait Fetcher extends Serializable {
     def get(url: String, timeoutMs: Long): (Int, String)
+  }
+
+  /** A fetched page in RENDERED form: HTTP status, the body's inner
+    * text, and its (href, anchor) pairs — the unit the reference's
+    * browser fetch produces (app.py:121,141: `page.goto` →
+    * `inner_text("body")` → `locator("a")`). `text`/`links` are null
+    * for non-200 statuses. */
+  case class FetchedPage(status: Int, text: String,
+      links: Seq[(String, String)])
+
+  /** Page-level fetch seam — what the reader actually consumes. Two
+    * shipped impls: [[HttpPageFetcher]] (plain HTTP + structural
+    * approximation, the default) and [[RenderServiceFetcher]] (the
+    * sidecar render-service protocol, closing the JS-rendering
+    * fidelity boundary when a browser pool is deployed). Throw on
+    * transport failure → the reader's swallow-and-skip null row. */
+  trait PageFetcher extends Serializable {
+    def fetchPage(url: String, timeoutMs: Long): FetchedPage
+  }
+
+  /** Plain-HTTP page fetch: raw body → [[innerText]] + [[extractLinks]]
+    * (JS-materialized text comes back sparse — the documented
+    * HTTP-crawler boundary). */
+  object HttpPageFetcher extends PageFetcher {
+    def fetchPage(url: String, timeoutMs: Long): FetchedPage = {
+      val (code, body) = JdkFetcher.get(url, timeoutMs)
+      if (code == 200) FetchedPage(code, innerText(body), extractLinks(body))
+      else FetchedPage(code, null, null)
+    }
+  }
+
+  /** The render-service protocol: `GET <service>?url=<percent-encoded
+    * target>` must answer 200 with JSON
+    * `{"status": int, "text": str, "links": [{"href": str, "anchor": str}]}`
+    * — the inner text and anchors of the RENDERED DOM (JS executed),
+    * produced by a browser pool (Playwright/Chromium sidecar) the
+    * engine deliberately does not embed. This carries the reference's
+    * render semantics (app.py:121,141) across a process boundary: the
+    * engine stays JVM-pure and horizontally scalable, the renderer
+    * scales as its own service. A non-200 from the service, malformed
+    * JSON, or a missing field throws → the reader's swallow-and-skip
+    * error row, so a sick renderer degrades exactly like a dead host.
+    * WebTextSourceSpec drives this impl end-to-end against a
+    * deterministic loopback service. */
+  case class RenderServiceFetcher(serviceUrl: String) extends PageFetcher {
+    def fetchPage(url: String, timeoutMs: Long): FetchedPage = {
+      val enc = java.net.URLEncoder.encode(url, "UTF-8")
+      val sep = if (serviceUrl.contains("?")) "&" else "?"
+      val (code, body) = JdkFetcher.get(s"$serviceUrl${sep}url=$enc", timeoutMs)
+      if (code != 200)
+        throw new java.io.IOException(s"render service returned $code")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val status = Option(root.get("status")).map(_.asInt()).getOrElse(
+        throw new java.io.IOException("render response missing 'status'"))
+      if (status == 200) {
+        val links = Option(root.get("links")).map { arr =>
+          (0 until arr.size()).map { i =>
+            val n = arr.get(i)
+            (Option(n.get("href")).map(_.asText()).orNull,
+              Option(n.get("anchor")).map(_.asText()).orNull)
+          }.toSeq
+        }.getOrElse(Seq.empty)
+        FetchedPage(status,
+          Option(root.get("text")).map(_.asText()).getOrElse(""), links)
+      } else FetchedPage(status, null, null)
+    }
   }
 
   /** JDK built-in client via the engine-wide [[graft.Net]] seam (one
@@ -181,11 +251,17 @@ class WebTextTable extends Table with SupportsRead {
           "graft-web requires option 'urls' (delimiter-separated URL list; " +
             "option 'delimiter' defaults to ',')")),
       Option(options.get("numPartitions")).map(_.toInt).getOrElse(0),
-      Option(options.get("timeoutMs")).map(_.toLong).getOrElse(30000L))
+      Option(options.get("timeoutMs")).map(_.toLong).getOrElse(30000L),
+      // option 'renderService': base URL of a rendering fetch service
+      // (the RenderServiceFetcher protocol); absent → plain HTTP
+      Option(options.get("renderService"))
+        .map(WebTextSource.RenderServiceFetcher(_): WebTextSource.PageFetcher)
+        .getOrElse(WebTextSource.HttpPageFetcher))
   }
 }
 
-class WebTextScan(urls: Array[String], numPartitions: Int, timeoutMs: Long)
+class WebTextScan(urls: Array[String], numPartitions: Int, timeoutMs: Long,
+    fetcher: WebTextSource.PageFetcher)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = WebTextSource.Schema
@@ -205,17 +281,20 @@ class WebTextScan(urls: Array[String], numPartitions: Int, timeoutMs: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WebTextReaderFactory(timeoutMs)
+    new WebTextReaderFactory(timeoutMs, fetcher)
 }
 
 case class UrlsPartition(urls: Array[String]) extends InputPartition
 
-class WebTextReaderFactory(timeoutMs: Long) extends PartitionReaderFactory {
+class WebTextReaderFactory(timeoutMs: Long,
+    fetcher: WebTextSource.PageFetcher) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WebTextReader(partition.asInstanceOf[UrlsPartition].urls, timeoutMs)
+    new WebTextReader(partition.asInstanceOf[UrlsPartition].urls, timeoutMs,
+      fetcher)
 }
 
-class WebTextReader(urls: Array[String], timeoutMs: Long)
+class WebTextReader(urls: Array[String], timeoutMs: Long,
+    fetcher: WebTextSource.PageFetcher = WebTextSource.HttpPageFetcher)
     extends PartitionReader[InternalRow] {
   private var i = -1
   private var row: InternalRow = _
@@ -233,15 +312,15 @@ class WebTextReader(urls: Array[String], timeoutMs: Long)
     // fails it — the error row itself would MatchError
     val fetched: (Any, Any, Any) =
       try {
-        val (code, body) = WebTextSource.JdkFetcher.get(url, timeoutMs)
-        if (code == 200)
-          (code,
-            UTF8String.fromString(WebTextSource.innerText(body)),
-            new GenericArrayData(WebTextSource.extractLinks(body).map {
+        val page = fetcher.fetchPage(url, timeoutMs)
+        if (page.text != null)
+          (page.status,
+            UTF8String.fromString(page.text),
+            new GenericArrayData(page.links.map {
               case (href, anchor) => InternalRow(
                 UTF8String.fromString(href), UTF8String.fromString(anchor))
             }.toArray[Any]))
-        else (code, null, null)
+        else (page.status, null, null)
       } catch {
         // task cancellation arrives as Thread.interrupt() →
         // InterruptedException out of HttpClient.send; swallowing it

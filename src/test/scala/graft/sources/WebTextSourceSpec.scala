@@ -42,6 +42,37 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/page", (ex: HttpExchange) => respond(ex, 200, page))
     server.createContext("/gone", (ex: HttpExchange) => respond(ex, 404, "nope"))
+    // a page whose whole visible DOM is JS-materialized: raw HTML holds
+    // no text and no anchors
+    server.createContext("/js", (ex: HttpExchange) => respond(ex, 200,
+      """<html><body><div id="app"></div>
+        |<script>
+        |  var h = ['<h1>Welcome to Acme</h1><p>Rendered by JS</p>',
+        |           '<', 'a href="/js-added">JS Link<', '/a>'].join('');
+        |  document.getElementById('app').innerHTML = h;
+        |</script></body></html>""".stripMargin))
+    // the deterministic loopback RENDERER: answers the
+    // RenderServiceFetcher JSON contract with what a browser pool
+    // would produce for the requested target (keyed on the url param)
+    server.createContext("/render", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val target = q.split("&").collectFirst {
+        case kv if kv.startsWith("url=") =>
+          java.net.URLDecoder.decode(kv.drop(4), "UTF-8")
+      }.getOrElse("")
+      val json =
+        if (target.endsWith("/js"))
+          """{"status": 200,
+            |  "text": "Welcome to Acme\nRendered by JS",
+            |  "links": [{"href": "/js-added", "anchor": "JS Link"}]}""".stripMargin
+        else if (target.endsWith("/gone")) """{"status": 404}"""
+        else """{"status": 200, "text": "", "links": []}"""
+      respond(ex, 200, json)
+    })
+    server.createContext("/render-500",
+      (ex: HttpExchange) => respond(ex, 500, "renderer down"))
+    server.createContext("/render-garbage",
+      (ex: HttpExchange) => respond(ex, 200, "this is not json {"))
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -117,6 +148,52 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         explode(col("links")).as("link"))
       .select(col("url"), col("link.href"), col("link.anchor"))
     df.count() shouldEqual 2L
+  }
+
+  test("render-service protocol end-to-end: JS-materialized text arrives through the seam") {
+    // /js materializes ALL its visible text and one anchor via
+    // JavaScript — the plain-HTTP path structurally CANNOT see them
+    val plain = spark.read.format("graft-web")
+      .option("urls", s"$base/js").option("timeoutMs", "5000")
+      .load().collect().head
+    plain.getInt(1) shouldEqual 200
+    plain.getString(2) should not include "Rendered by JS"
+    plain.getSeq[Row](3) shouldBe empty
+
+    // the same URL through the render-service protocol: the loopback
+    // renderer answers RenderServiceFetcher's JSON contract with the
+    // rendered DOM's text + anchors (what a Playwright sidecar would
+    // produce for app.py:121,141 semantics)
+    val rendered = spark.read.format("graft-web")
+      .option("urls", s"$base/js").option("timeoutMs", "5000")
+      .option("renderService", s"$base/render")
+      .load().collect().head
+    rendered.getInt(1) shouldEqual 200
+    rendered.getString(2) should include("Rendered by JS")
+    rendered.getString(2) should include("Welcome to Acme")
+    rendered.getSeq[Row](3).map(r => (r.getString(0), r.getString(1))) shouldEqual
+      Seq(("/js-added", "JS Link"))
+
+    // renderer reports the TARGET's status (a rendered 404 is a 404)
+    val rendered404 = spark.read.format("graft-web")
+      .option("urls", s"$base/gone").option("timeoutMs", "5000")
+      .option("renderService", s"$base/render")
+      .load().collect().head
+    rendered404.getInt(1) shouldEqual 404
+    assert(rendered404.isNullAt(2) && rendered404.isNullAt(3))
+  }
+
+  test("a sick render service degrades like a dead host: swallow-and-skip null row") {
+    // /render-broken answers 500 / malformed JSON — both are transport
+    // failures at the seam, never task failures
+    for (path <- Seq("render-500", "render-garbage")) {
+      val row = spark.read.format("graft-web")
+        .option("urls", s"$base/page").option("timeoutMs", "5000")
+        .option("renderService", s"$base/$path")
+        .load().collect().head
+      assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3),
+        s"$path must yield the error row")
+    }
   }
 
   test("escaped entities decode once, like browser inner_text (&amp;lt; stays &lt;)") {
