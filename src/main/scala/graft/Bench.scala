@@ -64,12 +64,41 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Plan-vs-execute split (round-9 item #4): job wall-clock intervals
+    // from the scheduler listener; per timed run, exec = union length of
+    // the job intervals inside the run's window, plan = wall − exec
+    // (driver-side analysis/optimization, codegen, AND the sanctioned
+    // eager-construction gates, which run scans through their OWN jobs —
+    // those jobs count as exec, so "plan" here is pure driver think
+    // time). Enabled only when SPARK_GRAFT_PLAN_SPLIT names an output
+    // path (the driver never sets it — its two stdout lines are
+    // unchanged).
+    val splitPath = sys.env.get("SPARK_GRAFT_PLAN_SPLIT")
+    val jobSpans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    if (splitPath.isDefined)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val open = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            open.put(e.jobId, e.time)
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = open.remove(e.jobId)
+            if (s != null) jobSpans.add((s.longValue, e.time))
+          }
+        })
+
+    // (sec, windowStartMs, windowEndMs) — the window bounds feed the
+    // plan/execute attribution when the split is enabled
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis())
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0
+        (-1.0, w0, System.currentTimeMillis())
       }
     }
 
@@ -78,7 +107,7 @@ object Bench {
     // report the per-query minimum.
     val pass1 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
     val pass2 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+    val results = pass1.zip(pass2).map { case ((name, (a, _, _)), (_, (b, _, _))) =>
       val v =
         if (a < 0 && b < 0) -1.0
         else if (a < 0) b
@@ -86,8 +115,48 @@ object Bench {
         else math.min(a, b)
       (name, v)
     }
-    pass1.zip(pass2).foreach { case ((name, a), (_, b)) =>
+    pass1.zip(pass2).foreach { case ((name, (a, _, _)), (_, (b, _, _))) =>
       System.err.println(f"[bench] $name%-28s pass1=$a%8.3f pass2=$b%8.3f")
+    }
+
+    // Attribute exec/plan per query from the MIN pass's window: merged
+    // union of job intervals clipped to the window (AQE overlaps jobs,
+    // so a plain sum would double-count).
+    splitPath.foreach { path =>
+      Thread.sleep(1500) // let the listener bus drain the last postings
+      val spans = {
+        val it = jobSpans.iterator(); val b = Seq.newBuilder[(Long, Long)]
+        while (it.hasNext) b += it.next(); b.result().sortBy(_._1)
+      }
+      def execMs(w0: Long, w1: Long): Long = {
+        val clipped = spans
+          .map { case (s, e) => (math.max(s, w0), math.min(e, w1)) }
+          .filter { case (s, e) => e > s }
+        var total = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+        clipped.foreach { case (s, e) =>
+          if (s > curE) { total += math.max(0L, curE - curS); curS = s; curE = e }
+          else curE = math.max(curE, e)
+        }
+        total + math.max(0L, curE - curS)
+      }
+      def fmt3(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val lines = pass1.zip(pass2).collect {
+        case ((name, (a, a0, a1)), (_, (b, b0, b1))) if a >= 0 || b >= 0 =>
+          val (wall, w0, w1) =
+            if (b < 0 || (a >= 0 && a <= b)) (a, a0, a1) else (b, b0, b1)
+          val ex = execMs(w0, w1) / 1e3
+          name -> (wall, math.min(ex, wall), wall - math.min(ex, wall))
+      }
+      val body = lines.map { case (n, (w, e, p)) =>
+        s""""$n":{"wall":${fmt3(w)},"exec":${fmt3(e)},"plan":${fmt3(p)}}"""
+      }.mkString("{", ",", "}")
+      val (tw, te, tp) = lines.foldLeft((0.0, 0.0, 0.0)) {
+        case ((w, e, p), (_, (w1, e1, p1))) => (w + w1, e + e1, p + p1)
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"total":{"wall":${fmt3(tw)},"exec":${fmt3(te)},"plan":${fmt3(tp)}},"queries":$body}\n""")
+      System.err.println(f"[bench] plan-split: wall=$tw%.1f exec=$te%.1f plan=$tp%.1f -> $path")
     }
     System.err.println(
       "[bench] methodology: noop-format write (full materialization incl. final " +

@@ -81,7 +81,33 @@ object ScaleBench {
     // X-155..X-157: tf_cosine_pairs' rare-shingle candidates + full-
     // vector verify; source_datacard is two aggregates + one window;
     // dedup_assign = one AllPairs derivation consumed by CC + probes
-    "tf_cosine_pairs", "source_datacard", "dedup_assign")
+    "tf_cosine_pairs", "source_datacard", "dedup_assign",
+    // round-9 completion of the TOP-20-most-expensive bench cohort
+    // (verdict item #2): the dedup composition family (each = the
+    // measured-linear pairs+CC lineage + per-artifact joins),
+    // training_subset (quality gates ∘ CC keep-list), link_hits
+    // (broadcast-iterate over the 3·n synthesized edge list),
+    // ann_recall (truth arm = bounded brute force over the fixed
+    // query load; candidate arms = the bucketed indexes),
+    // semantic_dedup (two Lloyd rounds + banded within-cluster pairs)
+    "dedup_method_matrix", "dedup_artifacts", "dedup_weight",
+    "leakage_split", "training_subset", "link_hits",
+    "ann_recall", "semantic_dedup",
+    // the relational members of the top-20, riding the key-shifted
+    // customer/orders/lineitem replicas over the FIXED part catalog
+    // (more orders against the same parts — the realistic growth
+    // axis; per-part frequency grows linearly, like shingle df):
+    // order_value_mad = two-phase exact quantiles over o_totalprice;
+    // join_size_estimate = per-star-edge sketch×stats estimates;
+    // bloom_semi_prune = bitmap build over the part side + probed
+    // lineitem scan; copurchase_pairs = the df-capped within-order
+    // part pair explode
+    "order_value_mad", "join_size_estimate", "bloom_semi_prune",
+    "copurchase_pairs",
+    // the round-9 capstones: dedup_family (ONE persisted pair+CC
+    // artifact feeding artifacts/assign/matrix) and ingest_pipeline
+    // (standing-index probe, batch-side-only shuffle)
+    "dedup_family", "ingest_pipeline")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
@@ -103,6 +129,19 @@ object ScaleBench {
         concat(slice(col("embedding"), i + 1, dim - i),
           slice(col("embedding"), 1, i)).as("embedding"),
         col("label"))
+
+  /** Key-shifted replica of a relational table: the named BIGINT key
+    * columns move up by i·stride (FK edges that must stay joinable
+    * shift together: o_custkey with c_custkey, l_orderkey with
+    * o_orderkey); every other column — including l_partkey/l_suppkey —
+    * stays, so the part/supplier catalog is FIXED and per-part row
+    * frequency grows linearly with the corpus, the same growth law as
+    * shingle df in the crawl replicas. */
+  private def keyShifted(base: DataFrame, i: Int, stride: Long,
+      keys: Seq[String]): DataFrame =
+    if (i == 0) base
+    else keys.foldLeft(base)((df, k) =>
+      df.withColumn(k, col(k) + lit(i * stride)))
 
   /** Replica i of the base corpus (i = 0 is the base itself). */
   private def replica(base: DataFrame, i: Int, stride: Long): DataFrame =
@@ -164,23 +203,48 @@ object ScaleBench {
       math.max(md, mv) + 1
     }
     val dim = embBase.select(size(col("embedding"))).first().getInt(0)
+    // Separate stride for the relational key domains (order/cust keys
+    // run far past doc ids at sf0.1).
+    val relStride = {
+      val mo = Tables.table(spark, baseDir, "orders")
+        .agg(max(col("o_orderkey"))).first().getLong(0)
+      val mc = Tables.table(spark, baseDir, "customer")
+        .agg(max(col("c_custkey"))).first().getLong(0)
+      math.max(mo, mc) + 1
+    }
 
     // Materialize each scaled corpus once as parquet so every query at
     // a given scale reads the identical on-disk layout (and the
     // replication cost is off the clock).
     val dirs = scales.map { r =>
       val dir = s"$outBase/x$r"
-      val scaledDocs = (0 until r).map(replica(base, _, stride))
-        .reduce(_ unionByName _)
-      scaledDocs.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val scaledEmb = (0 until r).map(embReplica(embBase, _, stride, dim))
-        .reduce(_ unionByName _)
-      scaledEmb.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      def writeScaled(name: String, mk: Int => DataFrame): Unit =
+        (0 until r).map(mk).reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      writeScaled("documents", replica(base, _, stride))
+      writeScaled("embeddings", embReplica(embBase, _, stride, dim))
+      // relational growth axis: replicated fact/entity tables over the
+      // FIXED dim catalog
+      writeScaled("customer", keyShifted(
+        Tables.table(spark, baseDir, "customer"), _, relStride,
+        Seq("c_custkey")))
+      writeScaled("orders", keyShifted(
+        Tables.table(spark, baseDir, "orders"), _, relStride,
+        Seq("o_orderkey", "o_custkey")))
+      writeScaled("lineitem", keyShifted(
+        Tables.table(spark, baseDir, "lineitem"), _, relStride,
+        Seq("l_orderkey")))
+      // static dims copied verbatim so every registered query resolves
+      Seq("region", "nation", "supplier", "part", "events").foreach { t =>
+        Tables.table(spark, baseDir, t)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      System.err.println(s"[scale] built x$r: $n docs, $ne embeddings at $dir")
+      val nl = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      System.err.println(
+        s"[scale] built x$r: $n docs, $ne embeddings, $nl lineitems at $dir")
       r -> (dir, n)
     }.toMap
 
