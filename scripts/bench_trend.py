@@ -20,6 +20,40 @@ import sys
 THRESH = 1.5
 ABS_FLOOR = 0.1  # seconds
 
+# The two FROZEN cohorts whose totals BASELINE.md tracks across rounds:
+# headline-75 (the round-5 suite) and heavy-20 (the 20 most expensive
+# queries of BENCH_r8_final.json, adopted round 9). Reported whenever an
+# artifact contains per-query data for every member.
+HEADLINE_75 = set("""ann_lsh_bucket approx_distinct_tokens bigram_counts
+bm25_score brand_revenue brand_topk_agg buyers_and_errorprone
+buyers_not_errorprone cube_status_priority cust_no_orders customer_quartiles
+daily_type_pivot decontaminate dedup_clusters doc_fingerprint doc_lm_score
+embedding_neardup enrich_flatten events_by_type events_hourly exact_dedup
+extract_stats fuzzy_source_match grouping_sets_revenue ivf_topk json_flatten
+json_props_agg kmeans_centroids knn_cosine label_centroids lang_confusion
+lead_extract leadsight_pipeline link_pagerank link_scan link_topk media_stats
+median_order_value minhash_lsh monthly_revenue ngram_jaccard order_cohorts
+order_value_p90 ordered_projection pii_scrub present_format priority_semi
+prompt_render purchase_attribution q1_pricing_summary repetition_stats
+revenue_by_nation rolling_revenue_7d rollup_region_nation running_daily_ratio
+salted_user_value sequence_pack sequence_pack_global session_windows
+ship_year_stats simhash simhash_neardup stratified_sample substring_dup_spans
+text_quality tf_topk token_counts token_stats top_orders_per_customer
+training_subset truncate_preview url_host user_sessions user_value_by_nation
+value_moments""".split())
+HEAVY_20 = set("""dedup_method_matrix tf_cosine_pairs dedup_artifacts
+dedup_assign training_subset dedup_weight leakage_split lsh_recall
+dedup_clusters ngram_jaccard containment_dup ann_recall order_value_mad
+ivfpq_topk link_hits semantic_dedup join_size_estimate bloom_semi_prune
+kcore_peel copurchase_pairs""".split())
+
+
+def cohort_total(queries, cohort):
+    vals = [queries.get(n) for n in cohort]
+    if any(v is None or v < 0 for v in vals):
+        return None
+    return sum(vals)
+
 
 def _merge(lines):
     """Fold parseable bench-JSON lines into one record: the per-query
@@ -114,6 +148,11 @@ def main():
           f"({len(oq)} queries)")
     print(f"new: {os.path.basename(new_p)} total={new.get('value')}s "
           f"({len(nq)} queries)")
+    for label, cohort in (("headline-75", HEADLINE_75), ("heavy-20", HEAVY_20)):
+        a, b = cohort_total(oq, cohort), cohort_total(nq, cohort)
+        fa = f"{a:.1f}s" if a is not None else "n/a"
+        fb = f"{b:.1f}s" if b is not None else "n/a"
+        print(f"  cohort {label}: {fa} -> {fb}")
     for name in sorted(set(nq) - set(oq)):
         print(f"  NEW      {name}: {nq[name]:.3f}s")
     for name in sorted(set(oq) - set(nq)):
