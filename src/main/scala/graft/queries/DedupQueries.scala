@@ -32,6 +32,48 @@ object DedupQueries extends QueryModule {
       |         list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007) AS hs
       |  FROM sh)""".stripMargin
 
+  /** Non-overlapping "paragraph" width for X-161/X-162: the corpus has
+    * no newlines, so the paragraph unit is a fixed 15-token window (a
+    * production corpus splits on blank lines instead — only this
+    * chunker changes, the dedup/strip stages are unit-agnostic). */
+  private val ParaP = 15
+
+  /** Shared chunk lineage for paragraph_dedup / boilerplate_strip:
+    * doc → ⌈n/15⌉ non-overlapping chunks, each with its length and the
+    * md5 of its space-joined text. Pure generator + narrow map (no
+    * shuffle); the md5 of the joined string is bit-identical to the
+    * oracle's md5(array_to_string(...)). Null text coalesces to '' so
+    * every input row survives into the per-doc rollup. */
+  private def paraChunks(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        TextAnalysis.tokens(TextAnalysis.norm(coalesce(col("text"), lit("")))))
+      .withColumn("n_chunks",
+        (lit(1) + floor((greatest(size(col("toks")) - ParaP, lit(0)) + lit(ParaP - 1)) /
+          lit(ParaP.toDouble))).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("chunk", slice(col("toks"), col("chunk_id") * ParaP + 1, lit(ParaP)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("clen"),
+        md5(concat_ws(" ", col("chunk"))).as("h"))
+
+  /** SQL mirror of [[paraChunks]] — spliced into both X-161/X-162
+    * oracles so the two cannot drift from each other. */
+  private[queries] val paraSql =
+    """pt AS (SELECT doc_id,
+      |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+      |       FROM documents),
+      |pd AS (SELECT doc_id, toks,
+      |         CAST(1 + (greatest(len(toks) - 15, 0) + 14) // 15 AS INTEGER) AS n_chunks
+      |       FROM pt),
+      |pc AS (SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id
+      |       FROM pd),
+      |pch AS (SELECT doc_id, chunk_id,
+      |          CAST(len(toks[chunk_id*15+1 : chunk_id*15+15]) AS INTEGER) AS clen,
+      |          md5(array_to_string(toks[chunk_id*15+1 : chunk_id*15+15], ' ')) AS h
+      |        FROM pc)""".stripMargin
+
   /** Pair derivation (Jaccard ≥ 0.5, size-band prune) + recursive
     * min-label closure. Shared by the dedup_clusters oracle and
     * training_subset's (TextQueries); splice after [[shSql]] under a
@@ -988,6 +1030,61 @@ object DedupQueries extends QueryModule {
       Ingest.manifest(meta.join(asg, Seq("doc_id")))
         .orderBy("lang", "shard")
     }),
+
+    // X-161: CCNet-style paragraph-level exact dedup — the corpus-wide
+    // pass that keeps only the globally-FIRST occurrence of every
+    // paragraph (here: fixed 15-token chunk; see ParaP) and reports
+    // per-doc retention. Scale shape: chunk explode is a narrow
+    // generator over the scan; ONE hash-keyed groupBy finds the first
+    // (doc_id, chunk_id) per content hash (min is partial-aggregated
+    // map-side, so a million-occurrence boilerplate hash costs one
+    // long per task, never a window funnel); one equi-join back on the
+    // hash; one doc_id-keyed rollup. The (doc_id·10⁶ + chunk_id)
+    // ordinal is exact while chunk_id < 10⁶ (a 15-token chunker hits
+    // that only past 1.5·10⁷-token documents) and doc_id < 2⁶³/10⁶.
+    "paragraph_dedup" -> ((s, d) => {
+      val ch = paraChunks(Tables.documents(s, d))
+        .withColumn("ord", col("doc_id") * 1000000L + col("chunk_id"))
+      val first = ch.groupBy("h").agg(min(col("ord")).as("keep_ord"))
+      ch.join(first, "h")
+        .withColumn("kept", (col("ord") === col("keep_ord")).cast("int"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          sum(col("kept")).cast("int").as("kept_chunks"),
+          sum(col("clen")).cast("long").as("n_tokens"),
+          sum(col("clen") * col("kept")).cast("long").as("kept_tokens"))
+        // exact: kept·1000 ≤ 2⁵³ far beyond any doc length, so the
+        // double division floors identically in both engines
+        .withColumn("retained_pm",
+          floor(col("kept_tokens") * 1000 / col("n_tokens")))
+        .orderBy("doc_id")
+    }),
+
+    // X-162: template/boilerplate paragraph strip (the RefinedWeb/CCNet
+    // "repeated across documents" filter) — a chunk whose exact hash
+    // occurs in ≥ 3 DISTINCT documents is boilerplate and ALL its
+    // occurrences are stripped (vs X-161, which keeps the first). The
+    // production variant scopes recurrence per site/source; this
+    // corpus's sources are random slices (per-source recurrence is
+    // near-vacuous at sf0.01: 3 hashes), so the registered form uses
+    // corpus-wide recurrence — the stages are identical, only the
+    // grouping key gains `source`. Same scale shape as X-161:
+    // count(DISTINCT doc_id) is a two-phase (h, doc_id)→h aggregation,
+    // then one equi-join back and a doc_id rollup — no windows, no
+    // broadcast of the vocabulary-sized template frame.
+    "boilerplate_strip" -> ((s, d) => {
+      val ch = paraChunks(Tables.documents(s, d))
+      val tpl = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      ch.join(tpl, "h")
+        .withColumn("bp", (col("n_docs") >= 3).cast("int"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          sum(col("bp")).cast("int").as("bp_chunks"),
+          sum(col("clen")).cast("long").as("n_tokens"),
+          sum(col("clen") * (lit(1) - col("bp"))).cast("long").as("clean_tokens"))
+        .withColumn("is_clean", col("bp_chunks") === 0)
+        .orderBy("doc_id")
+    }),
   )
 
   def oracle: Map[String, String] =
@@ -1115,6 +1212,35 @@ object DedupQueries extends QueryModule {
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "paragraph_dedup" ->
+      s"""WITH $paraSql,
+         |first AS (SELECT h, min(doc_id * 1000000 + chunk_id) AS keep_ord
+         |          FROM pch GROUP BY h)
+         |SELECT c.doc_id,
+         |       CAST(count(*) AS INTEGER) AS n_chunks,
+         |       CAST(sum(CASE WHEN c.doc_id * 1000000 + c.chunk_id = f.keep_ord
+         |                     THEN 1 ELSE 0 END) AS INTEGER) AS kept_chunks,
+         |       CAST(sum(clen) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN c.doc_id * 1000000 + c.chunk_id = f.keep_ord
+         |                     THEN clen ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |       CAST(floor(CAST(sum(CASE WHEN c.doc_id * 1000000 + c.chunk_id = f.keep_ord
+         |                              THEN clen ELSE 0 END) AS DOUBLE) * 1000
+         |                  / sum(clen)) AS BIGINT) AS retained_pm
+         |FROM pch c JOIN first f USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "boilerplate_strip" ->
+      s"""WITH $paraSql,
+         |tpl AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM pch GROUP BY h)
+         |SELECT c.doc_id,
+         |       CAST(count(*) AS INTEGER) AS n_chunks,
+         |       CAST(sum(CASE WHEN t.n_docs >= 3 THEN 1 ELSE 0 END) AS INTEGER) AS bp_chunks,
+         |       CAST(sum(clen) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN t.n_docs >= 3 THEN 0 ELSE clen END) AS BIGINT) AS clean_tokens,
+         |       sum(CASE WHEN t.n_docs >= 3 THEN 1 ELSE 0 END) = 0 AS is_clean
+         |FROM pch c JOIN tpl t USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH $shSql,
