@@ -58,6 +58,10 @@ object ScaleBench {
     * `SPARK_GRAFT_SCALE_QUERIES` (csv) restricts a run to a subset —
     * unknown names fail fast rather than silently shrinking coverage. */
   private val Queries = Seq(
+    // X-161/X-162: sub-document dedup — the chunk explode is ~n/15
+    // rows and the template hash aggregate is vocabulary-bounded, so
+    // shuffle should track corpus size ~linearly
+    "paragraph_dedup", "boilerplate_strip",
     "ngram_jaccard", "containment_dup", "dedup_clusters", "minhash_lsh",
     "knn_cosine", "ann_lsh_bucket", "ivf_topk",
     "gopher_rules", "dsir_weights", "curation_pipeline",

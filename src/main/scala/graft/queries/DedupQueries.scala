@@ -284,8 +284,8 @@ object DedupQueries extends QueryModule {
       val stacked = banded.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
           .as(Seq("band_id", "band_key")))
-      val pairs = stacked.filter(col("doc_id") % 10 === 0).as("x")
-        .join(stacked.filter(col("doc_id") % 10 =!= 0).as("y"),
+      val pairs = stacked.filter(graft.operators.Ingest.isNew(col("doc_id"))).as("x")
+        .join(stacked.filter(!graft.operators.Ingest.isNew(col("doc_id"))).as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.band_key") === col("y.band_key"))
         .select(col("x.doc_id").as("d_new"), col("y.doc_id").as("d_idx"))
@@ -353,7 +353,7 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
       val pairs = materialize(jaccardPairsSized(sized, t = 0.5)
         .select(col("d1"), col("d2"), col("jac")))
-      def isNew(c: org.apache.spark.sql.Column) = c % 10 === 0
+      def isNew(c: org.apache.spark.sql.Column) = graft.operators.Ingest.isNew(c)
       val labels = connectedComponents(
         pairs.filter(!isNew(col("d1")) && !isNew(col("d2")))
           .select("d1", "d2"))
@@ -880,7 +880,7 @@ object DedupQueries extends QueryModule {
     // capstone cannot drift from the standalone definitions it embeds.
     "dedup_family" -> ((s, d) => {
       import TextAnalysis.{norm, tokens, occurrences, qualityScore, LangProfiles, sampleBucket}
-      def isNew(c: org.apache.spark.sql.Column) = c % 10 === 0
+      def isNew(c: org.apache.spark.sql.Column) = graft.operators.Ingest.isNew(c)
       val artDir = System.getProperty("java.io.tmpdir") +
         "/graft_dedup_family_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
       // stage 1: ONE shingle + AllPairs + CC derivation, persisted

@@ -115,27 +115,44 @@ object WebTextSource {
     * WebTextSourceSpec drives this impl end-to-end against a
     * deterministic loopback service. */
   case class RenderServiceFetcher(serviceUrl: String) extends PageFetcher {
+    import RenderServiceFetcher.{Mapper, required}
     def fetchPage(url: String, timeoutMs: Long): FetchedPage = {
       val enc = java.net.URLEncoder.encode(url, "UTF-8")
       val sep = if (serviceUrl.contains("?")) "&" else "?"
       val (code, body) = JdkFetcher.get(s"$serviceUrl${sep}url=$enc", timeoutMs)
       if (code != 200)
         throw new java.io.IOException(s"render service returned $code")
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-      val status = Option(root.get("status")).map(_.asInt()).getOrElse(
-        throw new java.io.IOException("render response missing 'status'"))
+      val root = Mapper.readTree(body)
+      val status = required(root, "status").asInt()
       if (status == 200) {
-        val links = Option(root.get("links")).map { arr =>
-          (0 until arr.size()).map { i =>
-            val n = arr.get(i)
-            (Option(n.get("href")).map(_.asText()).orNull,
-              Option(n.get("anchor")).map(_.asText()).orNull)
-          }.toSeq
-        }.getOrElse(Seq.empty)
-        FetchedPage(status,
-          Option(root.get("text")).map(_.asText()).getOrElse(""), links)
+        // a rendered 200 MUST carry text + links — a renderer that
+        // answers {"text": null} failed to render and must surface as
+        // the error row, never as a page whose content is "" (or the
+        // literal string "null", NullNode.asText()'s trap)
+        val arr = required(root, "links")
+        val links = (0 until arr.size()).map { i =>
+          val n = arr.get(i)
+          def opt(f: String) = Option(n.get(f)).filter(!_.isNull).map(_.asText())
+          (opt("href").orNull, opt("anchor").orNull)
+        }.toSeq
+        FetchedPage(status, required(root, "text").asText(), links)
       } else FetchedPage(status, null, null)
     }
+  }
+
+  object RenderServiceFetcher {
+    /** One shared mapper per JVM: ObjectMapper construction builds the
+      * (de)serializer factories and caches that exist to be reused, and
+      * the instance is thread-safe after configuration — a per-URL
+      * allocation in the executor hot loop threw that reuse away. */
+    private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    /** The contract's "missing field throws": absent OR JSON-null both
+      * count as missing (Jackson hands back a NullNode, whose asText()
+      * is the literal string "null" and asInt() a silent 0). */
+    private def required(root: com.fasterxml.jackson.databind.JsonNode,
+        field: String): com.fasterxml.jackson.databind.JsonNode =
+      Option(root.get(field)).filter(!_.isNull).getOrElse(
+        throw new java.io.IOException(s"render response missing '$field'"))
   }
 
   /** JDK built-in client via the engine-wide [[graft.Net]] seam (one

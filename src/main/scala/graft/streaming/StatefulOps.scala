@@ -51,9 +51,20 @@ object StatefulOps {
         UserState(0L, 0L, Long.MinValue, 0L, Long.MinValue, ""))) { (st, e) =>
         val tms = e.ts.getTime
         val opens = st.nEvents == 0L || tms - st.lastTsMs > SessionGapMs
+        // the last_* fields follow max (ts, event_id), NOT arrival
+        // order: two equal-timestamp events split across micro-batches
+        // each satisfy the event-time-order contract, and the carried
+        // lastEventId exists precisely to break that tie the same way
+        // the batch replay (and the oracle's ORDER BY ts DESC,
+        // event_id DESC) does
+        val latest = tms > st.lastTsMs ||
+          (tms == st.lastTsMs && e.event_id > st.lastEventId)
         UserState(st.nEvents + 1,
           st.nSessions + (if (opens) 1L else 0L),
-          tms, st.valueCents + cents(e.value), e.event_id, e.event_type)
+          math.max(tms, st.lastTsMs),
+          st.valueCents + cents(e.value),
+          if (latest) e.event_id else st.lastEventId,
+          if (latest) e.event_type else st.lastType)
       }
 
   /** The keyed-state query over an event frame (batch or streaming

@@ -73,6 +73,14 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       (ex: HttpExchange) => respond(ex, 500, "renderer down"))
     server.createContext("/render-garbage",
       (ex: HttpExchange) => respond(ex, 200, "this is not json {"))
+    // a renderer that claims 200 but failed to render: JSON nulls where
+    // the contract requires text/links — must surface as the error
+    // row, never as a success row whose text is "" or "null"
+    server.createContext("/render-nulls",
+      (ex: HttpExchange) => respond(ex, 200,
+        """{"status": 200, "text": null, "links": null}"""))
+    server.createContext("/render-missing",
+      (ex: HttpExchange) => respond(ex, 200, """{"status": 200}"""))
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -184,9 +192,11 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("a sick render service degrades like a dead host: swallow-and-skip null row") {
-    // /render-broken answers 500 / malformed JSON — both are transport
-    // failures at the seam, never task failures
-    for (path <- Seq("render-500", "render-garbage")) {
+    // /render-* answer 500 / malformed JSON / JSON-null / missing
+    // required fields — all are transport failures at the seam, never
+    // task failures and never poisoned success rows (a {"text": null}
+    // response once came back as the literal 4-char text "null")
+    for (path <- Seq("render-500", "render-garbage", "render-nulls", "render-missing")) {
       val row = spark.read.format("graft-web")
         .option("urls", s"$base/page").option("timeoutMs", "5000")
         .option("renderService", s"$base/$path")

@@ -59,4 +59,22 @@ class StatefulOpsSpec extends SparkSpec {
       streamed shouldEqual batch
     } finally q.stop()
   }
+
+  test("equal-timestamp events split across micro-batches fold to the batch answer") {
+    // both orderings satisfy the event-time-order replay contract (the
+    // timestamps are EQUAL), so the carried lastEventId must break the
+    // tie the way the one-shot batch (and the oracle's ORDER BY ts
+    // DESC, event_id DESC) does: id 42 'purchase' is the last event
+    // even when id 41 'click' arrives in a later micro-batch
+    val ts = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+    val e42 = EvRow(42L, ts, 1L, "purchase", 1.0)
+    val e41 = EvRow(41L, ts, 1L, "click", 2.0)
+    val oneShot = StatefulOps.fold(None, Seq(e41, e42))
+    val split = StatefulOps.fold(Some(StatefulOps.fold(None, Seq(e42))), Seq(e41))
+    split shouldEqual oneShot
+    oneShot.lastType shouldEqual "purchase"
+    split.nEvents shouldEqual 2L
+    split.nSessions shouldEqual 1L  // gap 0 opens no second session
+    split.valueCents shouldEqual 300L
+  }
 }
