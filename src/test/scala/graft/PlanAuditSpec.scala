@@ -237,6 +237,18 @@ class PlanAuditSpec extends SparkSpec {
     offenders.toSet shouldEqual allowed
   }
 
+  test("sub-document dedup aggregates on the chunk hash — never a window over it") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // X-161/X-162 deliberately find first-occurrence / template chunks
+    // with a groupBy on the content hash (map-side partial agg absorbs
+    // a million-occurrence boilerplate hash) — a window partitioned on
+    // the hash would funnel exactly those hot groups through one task.
+    for (n <- Seq("paragraph_dedup", "boilerplate_strip")) {
+      SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+        .collect { case w: LogicalWindow => w } shouldBe empty
+    }
+  }
+
   test("no window partitions a raw base-table scan on a tiny report key") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LW}
     // A window partitioned SOLELY on a handful-of-values report
