@@ -126,8 +126,15 @@ object Dedup {
     * unrecoverable rather than recomputable. Local mode (no checkpoint
     * dir) keeps the fast executor-local path. */
   private[graft] def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint(eager=true) otherwise runs the lineage TWICE: the
+      // eager count job, then ReliableCheckpointRDD's write job
+      // recomputes every partition — exactly the duplicated cost this
+      // helper exists to cut. Cache first so the write job reads
+      // blocks, drop the cache once the files are authoritative.
+      df.persist()
+      try df.checkpoint(true) finally df.unpersist()
+    } else df.localCheckpoint(true)
 
   /** Connected components over an undirected pair frame (d1, d2):
     * resolves near-dup PAIRS into dedup CLUSTERS, labeling every member
@@ -247,6 +254,18 @@ object Dedup {
     jaccardPairsSized(if (materializeInput) materialize(sized0) else sized0, t)
   }
 
+  /** ⌈x·t⌉ with t as an EXACT decimal literal. The double form
+    * `ceil(x * lit(t))` can land one ulp ABOVE an exact integer
+    * product — fl(0.8) > 0.8, so fl(n·fl(0.8)) > n·0.8 for every n
+    * divisible by 5 — and a ceil there over-counts by one, silently
+    * SHORTENING a prefix (missed true pairs) or inflating an overlap
+    * requirement (over-pruned candidates). Double.toString(t) is the
+    * shortest decimal that round-trips, so thresholds written as
+    * decimals (0.5, 0.8) multiply exactly; a non-decimal t rounds a
+    * hair LOW, which only lengthens prefixes — the lossless side. */
+  private def ceilTimes(x: Column, t: Double): Column =
+    ceil(x * lit(new java.math.BigDecimal(java.lang.Double.toString(t)))).cast("int")
+
   /** [[jaccardPairs]] over a pre-built `(doc_id, ss, n)` frame — the
     * factoring that lets the training-subset capstone shingle once and
     * feed both its quality arm and this dedup arm from the same
@@ -259,7 +278,7 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .withColumn("plen",
-        (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
+        (col("n") - ceilTimes(col("n"), t)) + 1)
       .filter(col("rk") <= col("plen"))
       .select("doc_id", "n", "s", "rk")
     // Candidate pairs via the INVERTED-INDEX formulation of AllPairs:
@@ -294,8 +313,14 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("na"), col("b.n").as("nb"),
         struct(col("a.rk").as("i"), col("b.rk").as("j")).as("pos"))
-      .filter(col("na").cast("double") >= col("nb") * lit(t) &&
-        col("nb").cast("double") >= col("na") * lit(t))
+      // size band min/max ≥ t — the pair's best-case Jaccard (smaller
+      // set fully contained) compared in the SAME double division the
+      // verify filter uses: rounding-to-nearest is monotone, so this
+      // can never prune a pair the verify join would pass (the
+      // `na >= nb·fl(t)` form could, by the ulp documented at
+      // [[ceilTimes]])
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= t)
     // PPJoin positional filter (Xiao et al., WWW'08): ranks are
     // positions in the GLOBAL rarest-first order, so every shared
     // shingle other than the first common one ranks after it in BOTH
@@ -313,12 +338,21 @@ object Dedup {
     // corpus — the bound is pair-level tight but occurrence-level
     // loose — and the extra map-side expression cost exceeds the
     // shuffle rows saved.)
+    // The bound is applied as the best-case Jaccard it implies —
+    // ub/(na+nb−ub) ≥ t, the exact comparison the verify filter makes —
+    // rather than ub ≥ ceil(t·(na+nb)/(1+t)): the double ceil
+    // misrounds at exact-integer boundaries (t=0.8, na+nb=63 gives
+    // 28.000…004 → 29) and silently prunes true pairs with J exactly t.
+    // Division is monotone under round-to-nearest and ub ≥ overlap, so
+    // the ratio form never rejects a pair whose verified jac ≥ t.
     val cand = gen
       .groupBy("d1", "d2")
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
         min(col("pos")).as("fm"))
-      .filter(lit(1) + least(col("na") - col("fm.i"), col("nb") - col("fm.j")) >=
-        ceil((col("na") + col("nb")) * lit(t) / lit(1 + t)))
+      .withColumn("ub",
+        lit(1) + least(col("na") - col("fm.i"), col("nb") - col("fm.j")))
+      .filter(col("ub").cast("double") /
+        (col("na") + col("nb") - col("ub")).cast("double") >= t)
       .select("d1", "d2")
     cand
       .join(sized.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
@@ -371,7 +405,7 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
     val prefix = ranked
-      .filter(col("rk") <= (col("n") - ceil(col("n") * lit(t)).cast("int")) + 1)
+      .filter(col("rk") <= (col("n") - ceilTimes(col("n"), t)) + 1)
       .select(col("doc_id").as("pd"), col("n").as("pn"),
         col("s"), col("rk").as("pi"))
     val full = ranked.select(col("doc_id").as("fd"), col("n").as("fn"),
@@ -395,8 +429,13 @@ object Dedup {
       .groupBy("pd", "fd")
       .agg(first(col("pn")).as("pn"), first(col("fn")).as("fn"),
         min(struct(col("pi").as("i"), col("fj").as("j"))).as("fm"))
-      .filter(lit(1) + least(col("pn") - col("fm.i"), col("fn") - col("fm.j")) >=
-        ceil(col("pn") * lit(t)))
+      // bound as the best-case containment it implies (ub/pn ≥ t, the
+      // verify filter's own double compare — pn IS min(np, nf) by the
+      // orientation) instead of ub ≥ ceil(t·pn), whose double ceil
+      // misrounds for every pn divisible by 5 at t=0.8 (see ceilTimes)
+      .withColumn("ub",
+        lit(1) + least(col("pn") - col("fm.i"), col("fn") - col("fm.j")))
+      .filter(col("ub").cast("double") / col("pn").cast("double") >= t)
       .select(col("pd"), col("fd"))
     gen
       .join(sized.select(col("doc_id").as("pd"), col("ss").as("ssp"), col("n").as("np")), "pd")

@@ -81,9 +81,17 @@ object Quantile {
     * Callers that only want the PLAN (explain sweeps, plan audits)
     * pay those input scans; there is no lazy variant because the plan
     * SHAPE itself depends on the data. */
-  def selectRanks(df: DataFrame, group: String, valueCol: String,
+  def selectRanks(df0: DataFrame, group: String, valueCol: String,
       tiebreakCol: String, ranks: Column => Seq[Column]): DataFrame = {
     val v = col(valueCol)
+    // SQL percentile semantics: aggregates ignore NULLs, so null-valued
+    // rows are excluded from both the rank domain and the counts.
+    // (Leaving them in was silently WRONG, not merely a convention: the
+    // stats min/max skip nulls while count(*) included them, and a null
+    // bucket expression falls through `least` to the LAST bucket even
+    // though the rank order puts nulls FIRST — misaligning every
+    // cumulative count in a group that has any null value.)
+    val df = df0.filter(v.isNotNull)
 
     // Phase 1: per-group value range + count. Bounded by group
     // cardinality — broadcast by construction.
@@ -92,12 +100,19 @@ object Quantile {
 
     // Monotone equal-width bucket id; one-value groups collapse to
     // bucket 0, the top value is clamped into the last bucket.
+    // Bucketing subtracts in DOUBLE: long `v - __lo` overflows when a
+    // group's range exceeds Long.MaxValue (ANSI mode throws; legacy
+    // mode wraps into non-monotone garbage ranks). The double form
+    // loses low bits on wide domains but stays MONOTONE in v — the
+    // only property bucketing needs; selection stays exact because
+    // buckets merely partition the total order.
     def bucketed(base: DataFrame): DataFrame =
       base.join(broadcast(stats), group)
         .withColumn("__b",
           when(col("__hi") === col("__lo"), lit(0L))
             .otherwise(least(
-              floor((v - col("__lo")) * lit(Buckets.toDouble) / (col("__hi") - col("__lo"))),
+              floor((v.cast("double") - col("__lo").cast("double")) * lit(Buckets.toDouble) /
+                (col("__hi").cast("double") - col("__lo").cast("double"))),
               lit(Buckets - 1L)).cast("long")))
 
     // Phase 2: (group, bucket) histogram — parallel hash aggregate.
@@ -212,8 +227,11 @@ object Quantile {
           .filter(array_contains(col("__ts"), col("__grank")))
           .select(outCols: _*)
         val live = sub.filter(col("__hi2") =!= col("__lo2"))
+          // double subtraction for the same overflow/monotonicity
+          // reasons as the level-1 bucket expression
           .withColumn("__sb", least(
-            floor((v - col("__lo2")) * lit(Buckets.toDouble) / (col("__hi2") - col("__lo2"))),
+            floor((v.cast("double") - col("__lo2").cast("double")) * lit(Buckets.toDouble) /
+              (col("__hi2").cast("double") - col("__lo2").cast("double"))),
             lit(Buckets - 1L)).cast("long"))
         val hist2 = live.groupBy(gcols :+ col("__sb"): _*)
           .agg(count(lit(1)).as("__c2"),

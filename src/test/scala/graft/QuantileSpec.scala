@@ -61,6 +61,37 @@ class QuantileSpec extends SparkSpec {
     out.head.getLong(2) shouldEqual 10202L
   }
 
+  test("null values are excluded like SQL aggregates — ranks run over the non-null domain") {
+    // before the fix, stats min/max skipped nulls while count(*) kept
+    // them and the null bucket expression fell through `least` to the
+    // LAST bucket (rank order puts nulls FIRST) — every cumulative
+    // count in a null-bearing group was misaligned
+    val d = Seq(
+      ("n", Some(10.0), 1L), ("n", None, 2L), ("n", Some(20.0), 3L),
+      ("n", None, 4L), ("n", Some(30.0), 5L),
+      ("allnull", None, 6L), ("allnull", None, 7L)).toDF("g", "v", "k")
+    val got = Quantile.selectRanks(d, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2), Quantile.idiv(n + lit(2L), 2)))
+      .select("g", "k", "__n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 3 non-null values -> n = 3, median rank 2 -> v = 20 (k = 3);
+    // the all-null group has no quantiles at all (SQL NULL)
+    got shouldEqual Seq(("n", 3L, 3L))
+  }
+
+  test("long domains wider than Long.MaxValue bucket without overflow") {
+    // the group range 2·(Long.MaxValue/2) + 4 overflows a long
+    // subtraction (ANSI mode throws; legacy wraps non-monotone) — the
+    // double-cast bucket expression must still select the exact median
+    val big = Long.MaxValue / 2
+    val d = Seq(("w", -big - 2L, 1L), ("w", -big, 2L), ("w", 0L, 3L),
+      ("w", big, 4L), ("w", big + 2L, 5L)).toDF("g", "v", "k")
+    val got = Quantile.selectRanks(d, "g", "v", "k",
+        n => Seq(Quantile.idiv(n + lit(1L), 2)))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    got shouldEqual Seq(3L)
+  }
+
   test("ntile cutoffs + boundary compare reproduce Spark's ntile exactly") {
     // quartile via the broadcast-compare shape used by customer_quartiles
     val cuts = Quantile.selectRanks(df, "g", "v", "k", Quantile.ntileCutoffs(4))

@@ -82,6 +82,36 @@ class DedupSpec extends SparkSpec {
     pairs.toSeq shouldEqual Seq((1L, 2L, 16.0 / 18.0))
   }
 
+  test("jaccardPairs keeps a pair whose Jaccard is EXACTLY t (t=0.8 ceil-misround regression)") {
+    // J = 28/35 = 0.8 exactly and the first-match positional bound is
+    // exactly the minimum overlap (28): the double form
+    // ceil((na+nb)·0.8/1.8) = ceil(28.000000000000004) = 29 used to
+    // prune this pair BEFORE verification — a silently missing
+    // duplicate. The ratio-form filter compares 28/35 ≥ t instead.
+    val shared = (1 to 30).map(i => s"c$i")
+    val a = (Seq("x1", "x2") ++ shared).mkString(" ")           // 30 shingles, 2 unique
+    val b = (shared ++ (1 to 5).map(i => s"y$i")).mkString(" ") // 33 shingles, 5 unique
+    val pairs = jaccardPairs(df(1 -> a, 2 -> b), t = 0.8).collect()
+    pairs.length shouldEqual 1
+    pairs.head.getAs[Double]("jac") shouldEqual 0.8
+    pairs.head.getAs[Number]("common").intValue shouldEqual 28
+  }
+
+  test("containmentPairs keeps a C=0.8 pair whose first shared shingle sits AT the prefix boundary") {
+    // pn = 35 → the lossless prefix is 35 − ⌈0.8·35⌉ + 1 = 8, and this
+    // doc's 7 rarest shingles are its unique ones, so the first shared
+    // shingle sits exactly at rank 8. fl(35·fl(0.8)) = 28.000…004 used
+    // to shorten the prefix to 7 (and the positional bound misrounded
+    // the same way) — the pair silently vanished from the output.
+    val shared = (1 to 30).map(i => s"c$i")
+    val a = ((1 to 7).map(i => s"u$i") ++ shared).mkString(" ")  // 35 shingles, 7 unique
+    val b = (shared ++ (1 to 12).map(i => s"w$i")).mkString(" ") // 40 shingles, 12 unique
+    val pairs = containmentPairs(df(1 -> a, 2 -> b), t = 0.8).collect()
+    pairs.length shouldEqual 1
+    pairs.head.getAs[Double]("cont") shouldEqual 0.8
+    pairs.head.getAs[Number]("common").intValue shouldEqual 28
+  }
+
   test("jaccardPairs: materialized and declarative forms agree row-for-row") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
