@@ -17,6 +17,20 @@ import org.apache.spark.sql.types.StructType
   * sort before left rows at equal timestamps (inclusive `<=`), and
   * `tiebreak` makes the winner among equal right timestamps
   * deterministic (greatest wins).
+  *
+  * Contracts the caller owns:
+  *  - `tiebreak` must be UNIQUE and NON-NULL among a key's equal-ts
+  *    right rows (the registered callers pass event/order ids). Null
+  *    tiebreaks sort NULLS FIRST and duplicate ones tie the whole
+  *    window order, so the "winner" degrades to shuffle arrival order
+  *    — nondeterministic output, not an error.
+  *  - the window sorts each KEY's full left+right history in one task:
+  *    bounded per-entity history (users, orders) is the designed
+  *    domain. A pathologically hot key (one bot user with billions of
+  *    events) funnels that task; the remedy at that shape is per-key
+  *    time-slicing (rank inside time buckets, carry each bucket's last
+  *    right row forward — the Quantile.selectRanks composition), which
+  *    no registered query needs on its entity-keyed data.
   */
 object AsOf {
 

@@ -29,6 +29,12 @@ object Rank {
 
   def topKPerGroup(df: DataFrame, k: Int, group: Seq[String],
       order: Seq[Column], rkName: String = "rk"): DataFrame = {
+    // withColumn REPLACES a same-named column, so a caller frame already
+    // carrying the temp or output name would be silently consumed —
+    // fail loudly instead (re-ranking a previous call's output must
+    // rename or drop its rk first)
+    require(!df.columns.contains("__prk") && !df.columns.contains(rkName),
+      s"input already has a '__prk' or '$rkName' column")
     val gcols = group.map(col)
     val pre = Window.partitionBy(gcols :+ spark_partition_id(): _*).orderBy(order: _*)
     val fin = Window.partitionBy(gcols: _*).orderBy(order: _*)
@@ -53,11 +59,19 @@ object Rank {
     * in another (it was, in round 8's review). `order` must be total
     * (tiebreak on a unique key) for the ranking to be deterministic. */
   def globalRank(df: DataFrame, order: Seq[Column], rkName: String): DataFrame = {
+    require(Seq("__pid", "__lrn", "__off", rkName).forall(!df.columns.contains(_)),
+      s"input already has a '__pid'/'__lrn'/'__off'/'$rkName' column")
     val ranged = Dedup.materialize(
       df.repartitionByRange(order: _*)
         .withColumn("__pid", spark_partition_id().cast("long")))
+    // running SUM(1L), not row_number(): RowNumber's counter is 32-bit,
+    // so a range partition past 2^31 rows (reachable at the 100 TB
+    // posture this operator exists for) overflows BEFORE any cast —
+    // ANSI throws, legacy wraps into corrupt ranks. The long running
+    // count is the same single linear pass with 64-bit arithmetic.
     val local = ranged.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)).cast("long"))
+      sum(lit(1L)).over(Window.partitionBy("__pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // ≤ P rows — the unpartitioned prefix-sum window is bounded by the
     // partition count, never the data (the global_ids shape)
     val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

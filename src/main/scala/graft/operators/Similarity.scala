@@ -63,8 +63,12 @@ object Similarity {
 
   /** Sign-bit LSH bucket: bit i set when dimension i is non-negative —
     * random-hyperplane hashing with axis-aligned planes. `bits` controls
-    * the bucket count (2^bits). */
-  def signBucket(arr: Column, bits: Int): Column =
+    * the bucket count (2^bits), bounded to a long's sign-free bit range:
+    * past 63, `1L << i` wraps mod 64 and the arithmetic sum would carry
+    * aliased bits into unrelated positions — silently colliding buckets
+    * whose vectors disagree on the aliased dimension. */
+  def signBucket(arr: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     (0 until bits)
       // null-safe 0-based get(): a truncated/corrupt vector shorter
       // than `bits` hashes its missing dimensions to the 0 branch
@@ -72,4 +76,5 @@ object Similarity {
       // (matches the probe-side access in SimilarityQueries)
       .map(i => when(get(arr, lit(i)) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+  }
 }
