@@ -19,15 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * similarity scan needs. Semantics are identical to the HOF form
   * (pinned in DotProductFxSpec), so the DuckDB oracles are unchanged.
   *
-  * Null semantics: null if either array is null (BinaryExpression
-  * default); null elements are treated as 0 (quantized arrays are never
-  * null-valued; tolerating instead of throwing keeps the expression
-  * total). Arrays shorter than the other operand contribute only their
-  * common prefix — zip_with-with-multiplication semantics, since the
-  * missing side behaves as 0.
+  * Null semantics — EXACTLY the HOF form's, including on corrupt
+  * inputs: null if either array is null (BinaryExpression default),
+  * and null if the lengths differ or any element is null. zip_with
+  * pads the shorter side with null and a null product poisons the
+  * fold, so the HOF (and DuckDB's list arithmetic) returns NULL for
+  * both cases; an earlier version coerced them to a prefix/0 sum —
+  * a silent cross-engine divergence on the first corrupt row, where
+  * the engine-wide discipline (QuantizeFx) is to surface bad shape,
+  * never absorb it.
   */
 case class DotProductFx(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null is produced for mismatched/null-element inputs even when both
+  // child columns are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -45,11 +52,13 @@ case class DotProductFx(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -61,14 +70,17 @@ case class DotProductFx(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -46,7 +46,10 @@ case class QuantizeFx(child: Expression, scale: Double)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def isFloat: Boolean =
+  // lazy val, not def: constant for the expression's lifetime, and the
+  // interpreted eval loop reads it per ELEMENT (the codegen path
+  // already hoists it — the two paths now share the shape)
+  private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any): Any = {

@@ -19,8 +19,17 @@ class TopKAggregator(k: Int)
   private def best(xs: Seq[Scored]): Seq[Scored] =
     xs.sortBy(s => (-s.score, s.id)).take(k)
 
+  private def beats(a: Scored, w: Scored): Boolean =
+    a.score > w.score || (a.score == w.score && a.id < w.id)
+
   override def zero: Seq[Scored] = Seq.empty
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = best(b :+ a)
+  // the buffer is always sorted (zero/best are its only producers), so
+  // a warm buffer rejects a non-qualifying row with ONE comparison
+  // against its worst element — the KmvAggregator/BottomKSampleAggregator
+  // fast-path discipline; without it every row of a million-row group
+  // paid an O(k log k) re-sort + allocation
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.length == k && !beats(a, b.last)) b else best(b :+ a)
   override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = best(b1 ++ b2)
   override def finish(r: Seq[Scored]): Seq[Scored] = r
   override def bufferEncoder: Encoder[Seq[Scored]] =

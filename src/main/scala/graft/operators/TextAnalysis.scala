@@ -75,17 +75,34 @@ object TextAnalysis {
     // mPrev(i) = m(i-1): position i was consumed by the previous merge
     val mPrev = concat(array(lit(false)),
       slice(m, lit(1), greatest(size(m) - 1, lit(0))))
-    transform(
-      filter(arrays_zip(toks.as("t"), m.as("m"), mPrev.as("p")),
-        e => !e.getField("p")),
-      e => when(e.getField("m"), concat(a, lit("_"), b))
-        .otherwise(e.getField("t")))
+    // empty-array guard: arrays_zip pads the empty toks against the
+    // 1-element nextTok ([null]), so the unguarded form returned a
+    // 1-element [null] array for empty input — a null token that
+    // poisons every downstream hash and breaks the "a merge never
+    // grows the array" invariant
+    when(size(toks) === 0, toks).otherwise(
+      transform(
+        filter(arrays_zip(toks.as("t"), m.as("m"), mPrev.as("p")),
+          e => !e.getField("p")),
+        e => when(e.getField("m"), concat(a, lit("_"), b))
+          .otherwise(e.getField("t"))))
   }
 
   /** Deterministic hash-based sampling bucket in [0, 100): stable under
     * reruns and cluster layout, unlike rand() — the only sane way to
     * sample a 100 TB corpus reproducibly. Salt separates independent
-    * sampling decisions on the same keys. */
+    * sampling decisions on the same keys.
+    *
+    * Known bias, deliberately kept: the draw is 16-bit (4 hex chars)
+    * and 65536 % 100 ≠ 0, so buckets 0–35 are overweighted by 1/655
+    * (~0.15% relative). The 16-bit md5 draw is a corpus-wide
+    * convention mirrored verbatim in every oracle statement and every
+    * plain-Scala spec reference (splits, shards, HRW scores, delays);
+    * widening it to 14 hex chars (the [[tokenHash]] form, bias ~1e-15)
+    * is a three-layer lockstep change best made corpus-wide or not at
+    * all. Both engines and all specs agree bit-exactly on the current
+    * draw, so the bias skews no cross-engine check — it only makes a
+    * nominally-uniform demo draw 0.15% lumpy. */
   def sampleBucket(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
       .cast("long") % 100

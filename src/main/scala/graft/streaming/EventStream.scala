@@ -16,11 +16,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   */
 object EventStream {
 
-  /** R-1: the typed progress event frame (type/data/ts,
-    * server.py:69-75). Analytics events in testdata play this role. */
-  val eventColumns: Seq[String] =
-    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-
   /** R-3: update-mode per-type counters (the UI stat tiles A-1/A-2).
     * `approx_count_distinct` (HLL++) instead of exact distinct — exact
     * distinct isn't available under incremental state, and the sketch

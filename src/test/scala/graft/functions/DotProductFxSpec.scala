@@ -22,22 +22,42 @@ class DotProductFxSpec extends SparkSpec {
     df.filter(col("native") =!= col("hof")).count() shouldEqual 0
   }
 
-  test("null array → null; null elements count as zero") {
+  test("null array → null; a null ELEMENT is null exactly like the HOF form") {
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1L, 2L)), None: Option[Seq[Long]]),
-      (Some(Seq(Some(1L), None, Some(3L)).map(_.getOrElse(0L))), Some(Seq(4L, 5L, 6L)))
+      (Some(Seq(Option(1L), Option(2L))), None: Option[Seq[Option[Long]]]),
+      (Some(Seq(Option(1L), None, Option(3L))), Some(Seq(Option(4L), Option(5L), Option(6L))))
     ).toDF("a", "b")
-    val r = df.select(dot_fx(col("a"), col("b")).as("d")).collect()
+    val r = df.select(dot_fx(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    // zip_with's null product poisons the fold: both rows are NULL in
+    // BOTH forms — an earlier version coerced the null element to 0,
+    // silently diverging from the HOF/oracle semantics on corrupt rows
     r(0).isNullAt(0) shouldEqual true
-    r(1).getLong(0) shouldEqual (1 * 4 + 0 * 5 + 3 * 6)
+    r(1).isNullAt(0) shouldEqual true
+    r(1).isNullAt(1) shouldEqual true
   }
 
-  test("length mismatch uses the common prefix (zip_with-with-* semantics)") {
+  test("length mismatch is NULL exactly like the HOF form (zip_with pads with null)") {
     import spark.implicits._
     val r = Seq((Seq(2L, 3L, 9L), Seq(10L, 10L)))
-      .toDF("a", "b").select(dot_fx(col("a"), col("b"))).collect()
-    r.head.getLong(0) shouldEqual 50L
+      .toDF("a", "b")
+      .select(dot_fx(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof")).collect()
+    // an earlier version summed the common prefix (50) — a silent
+    // wrong answer on the first truncated vector
+    r.head.isNullAt(0) shouldEqual true
+    r.head.isNullAt(1) shouldEqual true
+  }
+
+  test("quantize_fx and dot_fx are callable from SQL (GraftExtensions registration)") {
+    import spark.implicits._
+    Seq((Seq(0.5f, 1.5f), Seq(0.25f, 0.75f))).toDF("a", "b")
+      .createOrReplaceTempView("dotfx_sql_probe")
+    val r = spark.sql(
+      """SELECT dot_fx(quantize_fx(a, 1000.0), quantize_fx(b, 1000.0)) AS d
+        |FROM dotfx_sql_probe""".stripMargin).collect()
+    r.head.getLong(0) shouldEqual (500L * 250L + 1500L * 750L)
   }
 
   test("survives interpreted (non-codegen) eval too") {

@@ -51,6 +51,16 @@ class TextAnalysisSpec extends SparkSpec {
     merge("x y z") shouldEqual Seq("x", "y", "z")        // no occurrence
   }
 
+  test("bpeMergeOnce on an empty token array stays empty") {
+    import spark.implicits._
+    // the unguarded arrays_zip form padded empty toks against the
+    // 1-element shifted array and returned [null]
+    val r = Seq(Seq.empty[String]).toDF("toks")
+      .select(bpeMergeOnce(col("toks"), lit("a"), lit("b")).as("out"))
+      .collect().head.getSeq[String](0)
+    r shouldEqual Seq.empty
+  }
+
   test("grade bands are right-open at thresholds") {
     import spark.implicits._
     val df = Seq(0.61, 0.6, 0.35, 0.349).toDF("s").select(grade(col("s")).as("g"))
