@@ -97,7 +97,14 @@ object Ingest {
   /** Per-(lang, shard) manifest over an assigned frame carrying
     * (doc_id, lang, shard, dh, n_toks, cluster, matched). Every
     * aggregate is mergeable — the property [[mergeManifests]] and the
-    * streaming spec rest on. */
+    * streaming spec rest on.
+    *
+    * cluster_sum is a CHECKSUM of the assignment (labels are doc ids),
+    * so it takes the same mod-2^56 decimal accumulation as `checksum`:
+    * a raw BIGINT sum of ~10^10 labels each up to ~10^10 overflows
+    * (ANSI throws; legacy wraps) exactly at the corpus sizes this
+    * pipeline exists for, and modular reduction keeps the column
+    * mergeable ((a+b) mod m = ((a mod m)+(b mod m)) mod m). */
   def manifest(assigned: DataFrame): DataFrame =
     assigned.groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -106,7 +113,8 @@ object Ingest {
         expr("bit_xor(dh)").as("fingerprint"),
         (sum(col("dh").cast("decimal(38,0)")) % lit(ChecksumMod))
           .cast("long").as("checksum"),
-        sum(col("cluster")).as("cluster_sum"),
+        (sum(col("cluster").cast("decimal(38,0)")) % lit(ChecksumMod))
+          .cast("long").as("cluster_sum"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 
   /** Merge manifest partials (the [[manifest]] schema): the
@@ -120,6 +128,7 @@ object Ingest {
         expr("bit_xor(fingerprint)").as("fingerprint"),
         (sum(col("checksum").cast("decimal(38,0)")) % lit(ChecksumMod))
           .cast("long").as("checksum"),
-        sum(col("cluster_sum")).as("cluster_sum"),
+        (sum(col("cluster_sum").cast("decimal(38,0)")) % lit(ChecksumMod))
+          .cast("long").as("cluster_sum"),
         min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"))
 }

@@ -1148,7 +1148,7 @@ object DedupQueries extends QueryModule {
        |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
        |       CAST(bit_xor(dh) AS BIGINT) AS fingerprint,
        |       CAST(sum(dh) % 72057594037927936 AS BIGINT) AS checksum,
-       |       CAST(sum(cluster) AS BIGINT) AS cluster_sum,
+       |       CAST(sum(cluster) % 72057594037927936 AS BIGINT) AS cluster_sum,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM asg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }

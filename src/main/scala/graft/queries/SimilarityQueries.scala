@@ -382,6 +382,111 @@ object SimilarityQueries extends QueryModule {
         .orderBy("method", "q_id")
     }),
 
+    // X-166: the IVF nprobe tuning curve — recall@k AND scan cost per
+    // probe width, measured on the same trained index. ann_recall
+    // compares index FAMILIES at fixed settings; this query measures
+    // the one dial an IVF deployment actually turns (nprobe ∈ {1,2,4}
+    // of 8 lists): per query, how many of the TRUE top-3 each width
+    // surfaces and how many candidates it had to score (n_cand — the
+    // serve-cost axis; recall alone would hide that nprobe=8 is just a
+    // linear scan). Index-build posture: the trained centroids, the
+    // corpus assignment, and the truth set are each MATERIALIZED once
+    // and consumed by all three arms (train-once/serve-many); per arm,
+    // the probe set is ≤ 10·nprobe rows broadcast against the
+    // materialized assignment — no arm rebuilds anything.
+    "ivf_nprobe_curve" -> ((s, d) => {
+      val b = base(s, d)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+      val assigned = graft.operators.Dedup.materialize(
+        nearestClusters(b.filter(col("vec_id") >= 10), c2, 1)
+          .select("vec_id", "cluster", "qe", "nq"))
+      val truth = graft.operators.Dedup.materialize(knnTopK(s, d, LshK))
+      def arm(nprobe: Int): DataFrame = {
+        val probes = nearestClusters(b.filter(col("vec_id") < 10), c2, nprobe)
+          .select(col("vec_id").as("q_id"), col("cluster"),
+            col("qe").as("q_qe"), col("nq").as("q_nq"))
+        val cand = assigned.join(broadcast(probes), "cluster")
+        val topk = graft.operators.Rank.topKPerGroup(
+            scored(cand), LshK, Seq("q_id"), Seq(col("cos").desc, col("vec_id")))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        // a probed cluster can be candidate-empty → no n_cand row; an
+        // unmatched query still has truth rows, so coalesce to 0
+        val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+        recallOf(truth, topk, s"ivf_p$nprobe")
+          .join(nCand, Seq("q_id"), "left_outer")
+          .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      }
+      arm(1).unionByName(arm(2)).unionByName(arm(4))
+        .select("method", "q_id", "n_true", "n_hit", "recall", "n_cand")
+        .orderBy("method", "q_id")
+    }),
+
+    // X-164: semi-hard negative mining (Schroff et al. 2015, FaceNet
+    // §3.2) — the contrastive-training data pass: per query, the most
+    // similar DIFFERENT-label candidates ("hard negatives"), excluding
+    // any negative at least as close as the query's nearest same-label
+    // positive (those are the likely-mislabeled / false-negative band
+    // that collapses contrastive training; the per-query pos_max bound
+    // is the paper's semi-hard margin, and it measurably binds on this
+    // corpus at every SF — 70–128 excluded pairs). Scale shape: the
+    // query set (10 rows) broadcasts against one corpus scan for
+    // scoring; pos_max is a 10-row aggregate of the same scan (second
+    // map-side pass, broadcast back); top-3 via the two-phase Rank
+    // pre-prune. No candidate×candidate product anywhere.
+    "hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+        .withColumn("nq", dotFx(col("qe"), col("qe")))
+      val qs = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qe").as("q_qe"), col("nq").as("q_nq")))
+      val sc = scored(e.filter(col("vec_id") >= 10).crossJoin(qs))
+      val posMax = sc.filter(col("label") === col("q_label"))
+        .groupBy("q_id").agg(max(col("cos")).as("pos_max"))
+      // a query label with no candidate positives has no false-negative
+      // band to exclude — every negative is admissible (null pos_max)
+      val negs = sc.filter(col("label") =!= col("q_label"))
+        .join(broadcast(posMax), Seq("q_id"), "left_outer")
+        .filter(col("pos_max").isNull || col("cos") < col("pos_max"))
+      graft.operators.Rank.topKPerGroup(negs, 3, Seq("q_id"),
+          Seq(col("cos").desc, col("vec_id")))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), col("rk"), col("cos"), col("pos_max"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // X-165: embedding-space outlier report — the noise-filtering
+    // complement of semantic_dedup (SemDeDup prunes the TOO-CLOSE;
+    // curation equally prunes the too-FAR: mislabeled scrapes, encoder
+    // failures, OOD content score as far-from-every-centroid). Assign
+    // the corpus against the SAME trained 2-Lloyd index (shared
+    // helpers), recompute each vector's exact cosine to its own
+    // centroid, and report the bottom-3 per cluster with the cluster's
+    // size and max (the in-cluster cohesion range). Index-build
+    // posture: centroids + assignment materialized once; the cosine
+    // recompute is a ≤8-row broadcast join over the materialized
+    // assignment; bottom-3 via the two-phase Rank pre-prune (a raw
+    // window keyed on ≤8 clusters would funnel n/8 rows per task).
+    "centroid_outliers" -> ((s, d) => {
+      val b = base(s, d)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+      val assigned = graft.operators.Dedup.materialize(
+        nearestClusters(b, c2, 1).select("vec_id", "cluster", "qe", "nq"))
+      val withCos = assigned.join(broadcast(c2), "cluster")
+        .withColumn("cos_c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
+      val sizes = withCos.groupBy("cluster")
+        .agg(count(lit(1)).as("n_cluster"), max(col("cos_c")).as("max_cos"))
+      graft.operators.Rank.topKPerGroup(withCos, 3, Seq("cluster"),
+          Seq(col("cos_c"), col("vec_id")))
+        .join(broadcast(sizes), "cluster")
+        .select("cluster", "vec_id", "cos_c", "rk", "n_cluster", "max_cos")
+        .orderBy("cluster", "rk")
+    }),
+
     // Embedding-cosine near-dup pairs, LSH-banded: candidates must
     // share at least one of NdBands independent NdBits-bit
     // random-hyperplane sign bands (equi-join on (band_id, band_key) —
@@ -1039,6 +1144,106 @@ object SimilarityQueries extends QueryModule {
          |  GROUP BY t.q_id)
          |ORDER BY method, q_id""".stripMargin
     },
+
+    // Truth + trained index rebuilt from the same CTE fragments as the
+    // ivf_topk/ann_recall oracles; one candidate CTE per probe width
+    // feeds both the top-k hits and the scanned-candidate count.
+    "ivf_nprobe_curve" -> {
+      def armSql(n: Int) =
+        s"""probes${n}_0 AS ${nearestSql("c2", "WHERE v.vec_id < 10", n)},
+           |cand$n AS (
+           |  SELECT p.vec_id AS q_id, a.vec_id AS neighbor_id,
+           |         CAST(${dotSql2("a.qe", "p.qe")} AS DOUBLE)
+           |           / sqrt(CAST(a.nq AS DOUBLE) * CAST(p.nq AS DOUBLE)) AS cos
+           |  FROM assigned a JOIN probes${n}_0 p USING (cluster)),
+           |r$n AS (SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |            ORDER BY cos DESC, neighbor_id) AS rk FROM cand$n),
+           |ivf$n AS (SELECT q_id, neighbor_id FROM r$n WHERE rk <= $LshK),
+           |cn$n AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+           |         FROM cand$n GROUP BY q_id)""".stripMargin
+      def armSel(n: Int) =
+        s"""SELECT m.method, m.q_id, m.n_true, m.n_hit,
+           |       CAST(m.n_hit AS DOUBLE) / CAST(m.n_true AS DOUBLE) AS recall,
+           |       COALESCE(c.n_cand, 0) AS n_cand
+           |FROM (
+           |  SELECT 'ivf_p$n' AS method, t.q_id, CAST(count(*) AS BIGINT) AS n_true,
+           |         CAST(count(v.neighbor_id) AS BIGINT) AS n_hit
+           |  FROM truth t LEFT JOIN ivf$n v
+           |    ON t.q_id = v.q_id AND t.neighbor_id = v.neighbor_id
+           |  GROUP BY t.q_id) m
+           |LEFT JOIN cn$n c ON m.q_id = c.q_id""".stripMargin
+      s"""WITH $baseSql,
+         |sc_t AS (SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |              $dotSql AS dot_fx, c.nq AS cn, qq.nq AS qn
+         |       FROM n c CROSS JOIN n qq
+         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |r_t AS (SELECT q_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |              ORDER BY CAST(dot_fx AS DOUBLE) / sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE)) DESC,
+         |              neighbor_id) AS rk
+         |      FROM sc_t),
+         |truth AS (SELECT q_id, neighbor_id FROM r_t WHERE rk <= $LshK),
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |assigned AS ${nearestSql("c2", "WHERE v.vec_id >= 10", 1)},
+         |${armSql(1)},
+         |${armSql(2)},
+         |${armSql(4)}
+         |${Seq(1, 2, 4).map(armSel).mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY method, q_id""".stripMargin
+    },
+
+    // Same base quantization plus the label column; pos_max is a max
+    // of bit-identical doubles, so the semi-hard filter compares the
+    // exact same values in both engines.
+    "hard_negatives" ->
+      s"""WITH q0 AS (SELECT vec_id, label, embedding,
+         |             list_transform(embedding,
+         |               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qe
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, label, qe,
+         |             CAST(list_sum(list_transform(range(1, len(qe) + 1),
+         |               i -> qe[i] * qe[i])) AS BIGINT) AS nq
+         |      FROM q0),
+         |sc AS (SELECT qq.vec_id AS q_id, qq.label AS q_label,
+         |              c.vec_id AS neighbor_id, c.label AS n_label,
+         |              CAST(${dotSql2("c.qe", "qq.qe")} AS DOUBLE)
+         |                / sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) AS cos
+         |       FROM n c CROSS JOIN n qq
+         |       WHERE c.vec_id >= 10 AND qq.vec_id < 10),
+         |pm AS (SELECT q_id, max(cos) AS pos_max FROM sc
+         |       WHERE n_label = q_label GROUP BY q_id),
+         |ng AS (SELECT s.q_id, s.q_label, s.neighbor_id, s.n_label, s.cos, pm.pos_max
+         |       FROM sc s LEFT JOIN pm ON s.q_id = pm.q_id
+         |       WHERE s.n_label <> s.q_label
+         |         AND (pm.pos_max IS NULL OR s.cos < pm.pos_max)),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |      FROM ng)
+         |SELECT q_id, q_label, neighbor_id, n_label, rk, cos, pos_max
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    // The ivf_topk trained index verbatim; per-vector cosine to its own
+    // centroid, ranked ascending within the cluster.
+    "centroid_outliers" ->
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |assigned AS ${nearestSql("c2", "", 1)},
+         |wc AS (SELECT a.vec_id, a.cluster,
+         |              CAST(${dotSql2("a.qe", "c.ce")} AS DOUBLE)
+         |                / sqrt(CAST(a.nq AS DOUBLE) * CAST(c.nc AS DOUBLE)) AS cos_c
+         |       FROM assigned a JOIN c2 c USING (cluster)),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster,
+         |              max(cos_c) AS max_cos
+         |       FROM wc GROUP BY cluster),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |            ORDER BY cos_c, vec_id) AS INTEGER) AS rk
+         |      FROM wc)
+         |SELECT r.cluster, r.vec_id, r.cos_c, r.rk, sz.n_cluster, sz.max_cos
+         |FROM r JOIN sz ON r.cluster = sz.cluster
+         |WHERE r.rk <= 3 ORDER BY r.cluster, r.rk""".stripMargin,
 
     "embedding_neardup" -> {
       val bandCols = (0 until NdBands).map { b =>

@@ -165,6 +165,33 @@ object TextQueries extends QueryModule {
           length(col("tx")).as("n_chars_norm"))
         .orderBy("doc_id")),
 
+    // X-163: context-length truncation planning — before packing a
+    // corpus into fixed-length training sequences, every pipeline asks
+    // "at context L, how many documents get cut and how much token
+    // mass is lost?" (the answer drives the context-length/packing
+    // policy; sequence_pack then EXECUTES the chosen policy). Per
+    // (lang, L ∈ {64, 256, 1024}): doc count, docs exceeding L, total
+    // vs kept (truncate-at-L) token mass, and the lost fraction in
+    // exact ppm. Scale shape: ONE narrow scan computes each doc's
+    // token count, a 3-row generator fans it out per L, and one
+    // (lang, L)-keyed aggregate collapses it — output is |langs|·3
+    // rows. The ppm ratio multiplies in DECIMAL(38,0) (the dsirScores
+    // headroom rule: lost·10⁶ overflows BIGINT past ~10¹³ corpus
+    // tokens — exactly the 100 TB regime).
+    "context_truncation" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(tokens(norm(col("text")))).cast("long").as("n_toks"))
+        .select(col("lang"), col("n_toks"),
+          explode(typedLit(Seq(64L, 256L, 1024L))).as("ctx"))
+        .groupBy("lang", "ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_toks") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(least(col("n_toks"), col("ctx"))).as("kept_tokens"))
+        .withColumn("lost_ppm", expr(
+          "CAST((CAST(total_tokens AS DECIMAL(38,0)) - kept_tokens) * 1000000 div total_tokens AS BIGINT)"))
+        .orderBy("lang", "ctx")),
+
     // Heuristic quality score + grade bands, per document.
     "text_quality" -> ((s, d) => {
       val base = Tables.documents(s, d)
@@ -1461,6 +1488,19 @@ object TextQueries extends QueryModule {
         |       CAST(len(list_distinct(string_split(tx, ' '))) AS INTEGER) AS n_distinct,
         |       CAST(length(tx) AS INTEGER) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "context_truncation" ->
+      s"""WITH t AS (SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |f AS (SELECT lang, n_toks, CAST(ctx AS BIGINT) AS ctx
+         |      FROM t, (VALUES (64), (256), (1024)) c(ctx)),
+         |a AS (SELECT lang, ctx, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN n_toks > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |             CAST(sum(least(n_toks, ctx)) AS BIGINT) AS kept_tokens
+         |      FROM f GROUP BY lang, ctx)
+         |SELECT lang, ctx, n_docs, n_truncated, total_tokens, kept_tokens,
+         |       CAST((CAST(total_tokens AS HUGEINT) - kept_tokens) * 1000000 // total_tokens AS BIGINT) AS lost_ppm
+         |FROM a ORDER BY lang, ctx""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -191,6 +191,9 @@ class PlanAuditSpec extends SparkSpec {
       // corpus-count hint sits behind the (url, src, anchor) rollup
       // materialization that single-executes the link-synthesis lineage
       "kcore_peel" -> 1,           // the 1-row convergence probe over the MATERIALIZED label frame
+      "hard_negatives" -> 3,       // the 10-query frame hinted in both scoring passes (pos_max + negatives) + the 10-row pos_max frame itself
+      "centroid_outliers" -> 3,    // ≤8-row MATERIALIZED centroid frame in the cosine recompute (visible in both its consumers: sizes + top-k) + the ≤8-row cluster-sizes frame (training/assignment hints sit behind the two materializations)
+      "ivf_nprobe_curve" -> 12,    // 3 probe arms × (≤8-row materialized centroids inside nearestClusters + the ≤10·nprobe probe set) × 2 consumers of the candidate frame (top-k + n_cand count) — every hinted frame bounded by seeds or the query load; truth/assignment hints sit behind their materializations
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)

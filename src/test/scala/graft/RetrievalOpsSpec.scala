@@ -160,4 +160,136 @@ class RetrievalOpsSpec extends SparkSpec {
     got.groupBy(_._1).values.foreach(rs => rs.map(_._3).distinct.length should be <= 2)
     got.foreach(r => r._5 should be >= 0L)
   }
+
+  /** The shared coarse quantizer (2 cosine-Lloyd rounds from the
+    * vec_id<8 seeds, floored-IEEE-mean update — kmeans_centroids'
+    * recipe), factored for the X-165/X-166 tests. */
+  private def trainCoarse(): (Map[Long, Array[Long]], Map[Long, Long]) = {
+    val ids = emb.keys.toSeq.sorted
+    def cosTo(v: Long, ce: Array[Long], nc: Long): Double =
+      dot(emb(v), ce).toDouble / math.sqrt(nq(v).toDouble * nc.toDouble)
+    def lloydRound(cents: Map[Long, Array[Long]]): Map[Long, Array[Long]] = {
+      val withN = cents.view.mapValues(ce => (ce, ce.map(x => x * x).sum)).toMap
+      val assigned = ids.map { v =>
+        v -> withN.toSeq.map { case (cl, (ce, nc)) => (cl, cosTo(v, ce, nc)) }
+          .minBy { case (cl, c) => (-c, cl) }._1
+      }
+      assigned.groupMap(_._2)(_._1).view.mapValues { members =>
+        Array.tabulate(64) { pos =>
+          val s = members.map(v => emb(v)(pos)).sum
+          math.floor(s.toDouble / members.size.toDouble).toLong
+        }
+      }.toMap
+    }
+    val seeds = ids.filter(_ < 8).map(v => v -> emb(v)).toMap
+    val coarse = lloydRound(lloydRound(seeds))
+    (coarse, coarse.view.mapValues(ce => ce.map(x => x * x).sum).toMap)
+  }
+
+  test("ivf_nprobe_curve matches a plain-Scala probe sweep and both axes are monotone") {
+    val ids = emb.keys.toSeq.sorted
+    val qids = ids.filter(_ < 10)
+    val cands = ids.filter(_ >= 10)
+    val (coarse, coarseN) = trainCoarse()
+    def cosTo(v: Long, cl: Long): Double =
+      dot(emb(v), coarse(cl)).toDouble / math.sqrt(nq(v).toDouble * coarseN(cl).toDouble)
+    def nearestCoarse(v: Long, k: Int): Seq[Long] =
+      coarse.keys.toSeq.map(cl => (cl, cosTo(v, cl)))
+        .sortBy { case (cl, c) => (-c, cl) }.take(k).map(_._1)
+    val assignedC = cands.map(v => v -> nearestCoarse(v, 1).head).toMap
+    val truth = qids.map { q =>
+      q -> cands.map(c => (c, cos(c, q)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val expect = (for (n <- Seq(1, 2, 4); q <- qids) yield {
+      val probed = nearestCoarse(q, n).toSet
+      val pool = cands.filter(c => probed.contains(assignedC(c)))
+      val top = pool.map(c => (c, cos(c, q)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+      val hits = (top & truth(q)).size.toLong
+      (s"ivf_p$n", q, 3L, hits, hits.toDouble / 3.0, pool.size.toLong)
+    }).sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("ivf_nprobe_curve")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    got shouldEqual expect
+    // the dial actually turns: per query, widening the probe set can
+    // only grow the scanned pool, and (identical tie-breaks on truth
+    // and arms) can never evict a true top-3 hit
+    val byQ = got.groupBy(_._2).values
+    byQ.foreach { rs =>
+      val o = rs.sortBy(r => r._1.drop(5).toInt) // p1, p2, p4
+      o.map(_._6).sliding(2).foreach { case Seq(a, b) => b should be >= a }
+      o.map(_._4).sliding(2).foreach { case Seq(a, b) => b should be >= a }
+    }
+    // and the trade is visible at this SF: nprobe=1 scans strictly
+    // less than nprobe=4 somewhere, while nprobe=4 reaches full recall
+    got.filter(_._1 == "ivf_p4").map(_._4).sum should be >
+      got.filter(_._1 == "ivf_p1").map(_._4).sum - 1 // p4 ≥ p1 overall
+    assert(got.exists(r => r._1 == "ivf_p1") && {
+      val p1 = got.filter(_._1 == "ivf_p1").map(_._6).sum
+      val p4 = got.filter(_._1 == "ivf_p4").map(_._6).sum
+      p1 < p4
+    })
+  }
+
+  test("hard_negatives matches plain-Scala semi-hard mining and the band binds") {
+    val labels: Map[Long, Int] = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ids = emb.keys.toSeq.sorted
+    val qids = ids.filter(_ < 10)
+    val cands = ids.filter(_ >= 10)
+    val expect = qids.flatMap { q =>
+      val posMax = cands.filter(c => labels(c) == labels(q))
+        .map(c => cos(c, q)).maxOption
+      val admissible = cands.filter(c => labels(c) != labels(q))
+        .filter(c => posMax.forall(pm => cos(c, q) < pm))
+      admissible.map(c => (c, cos(c, q))).sortBy { case (c, s) => (-s, c) }
+        .take(3).zipWithIndex.map { case ((c, s), i) =>
+          (q, labels(q), c, labels(c), i + 1, s, posMax.get)
+        }
+    }
+    val got = SparkEntry.queries("hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5), r.getDouble(6))).toSeq
+    got shouldEqual expect
+    // the semi-hard band (Schroff et al. §3.2) actually bit: without
+    // the pos_max exclusion at least one query's top-3 differs (the
+    // excluded negatives are by definition the highest-cosine ones)
+    val naive = qids.flatMap { q =>
+      cands.filter(c => labels(c) != labels(q))
+        .map(c => (c, cos(c, q))).sortBy { case (c, s) => (-s, c) }
+        .take(3).map { case (c, _) => (q, c) }
+    }.toSet
+    naive should not equal got.map(r => (r._1, r._3)).toSet
+    // every mined negative respects the margin
+    got.foreach(r => r._6 should be < r._7)
+  }
+
+  test("centroid_outliers matches a plain-Scala bottom-3-per-cluster report") {
+    val ids = emb.keys.toSeq.sorted
+    val (coarse, coarseN) = trainCoarse()
+    def cosTo(v: Long, cl: Long): Double =
+      dot(emb(v), coarse(cl)).toDouble / math.sqrt(nq(v).toDouble * coarseN(cl).toDouble)
+    val assigned = ids.map { v =>
+      v -> coarse.keys.toSeq.map(cl => (cl, cosTo(v, cl)))
+        .minBy { case (cl, c) => (-c, cl) }._1
+    }
+    val expect = assigned.groupMap(_._2)(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (cl, members) =>
+        val scoredM = members.map(v => (v, cosTo(v, cl)))
+        val mx = scoredM.map(_._2).max
+        scoredM.sortBy { case (v, c) => (c, v) }.take(3).zipWithIndex
+          .map { case ((v, c), i) =>
+            (cl, v, c, i + 1, members.size.toLong, mx)
+          }
+      }
+    val got = SparkEntry.queries("centroid_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    got shouldEqual expect
+    // outliers sit strictly inside the cluster's cohesion range
+    got.foreach(r => r._3 should be <= r._6)
+  }
 }

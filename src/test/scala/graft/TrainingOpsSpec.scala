@@ -22,6 +22,34 @@ class TrainingOpsSpec extends SparkSpec {
       .count() shouldEqual 0
   }
 
+  test("context_truncation matches a plain-Scala truncation ledger and the mass balances") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").length.toLong)
+    val expect = (for ((lang, rows) <- docs.groupBy(_._1); ctx <- Seq(64L, 256L, 1024L)) yield {
+      val toks = rows.map(_._2)
+      val total = toks.sum
+      val kept = toks.map(math.min(_, ctx)).sum
+      (lang, ctx, toks.length.toLong, toks.count(_ > ctx).toLong,
+        total, kept, (total - kept) * 1000000L / total)
+    }).toSeq.sortBy(r => (r._1, r._2))
+    val got = q("context_truncation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldEqual expect
+    // the ledger is coherent: lost mass shrinks as the context grows,
+    // and the longest context keeps strictly more than the shortest
+    got.groupBy(_._1).values.foreach { rs =>
+      val o = rs.sortBy(_._2)
+      o.map(_._7).sliding(2).foreach { case Seq(a, b) => b should be <= a }
+      o.map(_._6).sliding(2).foreach { case Seq(a, b) => b should be >= a }
+    }
+    // non-vacuous at this SF: some docs are cut at 64 and none survive
+    // uncut corpora-wide at the shortest context
+    assert(got.filter(_._2 == 64L).map(_._4).sum > 0L)
+  }
+
   test("winnow_fingerprints matches a plain-Scala robust winnow and guarantees 8-token runs") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
