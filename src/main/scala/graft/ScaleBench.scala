@@ -111,7 +111,15 @@ object ScaleBench {
     // the round-9 capstones: dedup_family (ONE persisted pair+CC
     // artifact feeding artifacts/assign/matrix) and ingest_pipeline
     // (standing-index probe, batch-side-only shuffle)
-    "dedup_family", "ingest_pipeline")
+    "dedup_family", "ingest_pipeline",
+    // X-163..X-166: context_truncation is one narrow scan + a 3-row
+    // fan-out (expect ~linear bytes); the three embedding ops keep the
+    // fixed 10-query load against a growing indexed corpus —
+    // hard_negatives is two broadcast-scored map passes + Rank,
+    // centroid_outliers / ivf_nprobe_curve ride the trained-index
+    // serve model (train+assign grows with the corpus, probes fixed)
+    "context_truncation", "hard_negatives", "centroid_outliers",
+    "ivf_nprobe_curve")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
