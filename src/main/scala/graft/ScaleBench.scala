@@ -119,7 +119,10 @@ object ScaleBench {
     // centroid_outliers / ivf_nprobe_curve ride the trained-index
     // serve model (train+assign grows with the corpus, probes fixed)
     "context_truncation", "hard_negatives", "centroid_outliers",
-    "ivf_nprobe_curve")
+    "ivf_nprobe_curve",
+    // X-167: standing-index maintenance — train+assign grows with the
+    // corpus, the batch side is the fixed variant fraction (n/17)
+    "ivf_maintenance")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {

@@ -423,6 +423,60 @@ object SimilarityQueries extends QueryModule {
         .orderBy("method", "q_id")
     }),
 
+    // X-167: IVF standing-index maintenance — the continuous-ingest
+    // posture for the ANN family (ingest_pipeline is the dedup analog):
+    // a batch of NEWLY EMBEDDED vectors arrives against a served index
+    // that was trained once, and the maintenance job must (a) assign
+    // the batch at probe-side-only cost (never re-scan the standing
+    // corpus), and (b) report per-list load so the operator knows WHEN
+    // to retrain (the list-imbalance signal every IVF deployment
+    // watches — a hot list degrades both recall and tail latency).
+    // New batch = the embedding_neardup planted-variant recipe (every
+    // 17th vector perturbed in quantized integer space, id ↦ −id−1 —
+    // exact in both engines), standing = the whole table. Output per
+    // trained list: standing count, additions, new total, exact-ppm
+    // load share (DECIMAL(38,0) — the dsirScores headroom rule), and a
+    // retrain hint when a list holds > 2× the mean load. Scale shape:
+    // index trained + materialized once; the standing count is one
+    // corpus aggregate (at deployment: a persisted artifact maintained
+    // by mergeable adds); the batch assignment is variants ×
+    // broadcast(8-row centroids); everything after is an 8-row frame,
+    // materialized so its two consumers (totals + report) never re-run
+    // the assignment lineages.
+    "ivf_maintenance" -> ((s, d) => {
+      val b = base(s, d)
+      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      val c2 = graft.operators.Dedup.materialize(
+        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+      val var0 = b.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id"),
+          transform(col("qe"), (x, i) =>
+            x + (((col("vec_id") * 131 + i * 101) % 601) * 1000 - 300000)).as("qe2"))
+      val newb = var0.select((lit(-1L) - col("vec_id")).as("vec_id"),
+        col("qe2").as("qe"), dotFx(col("qe2"), col("qe2")).as("nq"))
+      val oldN = nearestClusters(b, c2, 1)
+        .groupBy("cluster").agg(count(lit(1)).as("old_n"))
+      val addN = nearestClusters(newb, c2, 1)
+        .groupBy("cluster").agg(count(lit(1)).as("added_n"))
+      val report = graft.operators.Dedup.materialize(
+        c2.select("cluster")
+          .join(oldN, Seq("cluster"), "left_outer")
+          .join(addN, Seq("cluster"), "left_outer")
+          .select(col("cluster"),
+            coalesce(col("old_n"), lit(0L)).as("old_n"),
+            coalesce(col("added_n"), lit(0L)).as("added_n"))
+          .withColumn("new_n", col("old_n") + col("added_n")))
+      val tot = report.agg(sum(col("new_n")).as("total_n"),
+        count(lit(1)).as("n_lists"))
+      report.crossJoin(broadcast(tot))
+        .withColumn("load_ppm",
+          expr("CAST(CAST(new_n AS DECIMAL(38,0)) * 1000000 div total_n AS BIGINT)"))
+        .withColumn("retrain_hint",
+          expr("CAST(new_n AS DECIMAL(38,0)) * n_lists > 2 * CAST(total_n AS DECIMAL(38,0))"))
+        .select("cluster", "old_n", "added_n", "new_n", "load_ppm", "retrain_hint")
+        .orderBy("cluster")
+    }),
+
     // X-164: semi-hard negative mining (Schroff et al. 2015, FaceNet
     // §3.2) — the contrastive-training data pass: per query, the most
     // similar DIFFERENT-label candidates ("hard negatives"), excluding
@@ -1192,6 +1246,48 @@ object SimilarityQueries extends QueryModule {
          |${Seq(1, 2, 4).map(armSel).mkString("", "\nUNION ALL\n", "")}
          |ORDER BY method, q_id""".stripMargin
     },
+
+    // The ivf_topk trained index verbatim; the new batch is the
+    // embedding_neardup variant recipe; assignments counted per list
+    // with honest zeros for empty lists.
+    "ivf_maintenance" ->
+      s"""WITH $baseSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
+         |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
+         |var0 AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           i -> qe[i] + (((vec_id * 131 + (i - 1) * 101) % 601) * 1000 - 300000)) AS qe2
+         |  FROM n WHERE vec_id % 17 = 0),
+         |vn AS (
+         |  SELECT -1 - vec_id AS vec_id, qe2 AS qe,
+         |         CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |           i -> qe2[i] * qe2[i])) AS BIGINT) AS nq
+         |  FROM var0),
+         |olda AS ${nearestSql("c2", "", 1)},
+         |adda AS (SELECT vec_id, cluster FROM (
+         |   SELECT v.vec_id, c.cluster,
+         |          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |            CAST(${dotSql2("v.qe", "c.ce")} AS DOUBLE)
+         |              / sqrt(CAST(v.nq AS DOUBLE) * CAST(c.nc AS DOUBLE)) DESC,
+         |            c.cluster) AS crk
+         |   FROM vn v CROSS JOIN c2 c) WHERE crk = 1),
+         |oldn AS (SELECT cluster, CAST(count(*) AS BIGINT) AS old_n FROM olda GROUP BY cluster),
+         |addn AS (SELECT cluster, CAST(count(*) AS BIGINT) AS added_n FROM adda GROUP BY cluster),
+         |rep AS (SELECT c.cluster,
+         |               CAST(COALESCE(o.old_n, 0) AS BIGINT) AS old_n,
+         |               CAST(COALESCE(a.added_n, 0) AS BIGINT) AS added_n
+         |        FROM c2 c
+         |        LEFT JOIN oldn o ON c.cluster = o.cluster
+         |        LEFT JOIN addn a ON c.cluster = a.cluster),
+         |r2 AS (SELECT *, CAST(old_n + added_n AS BIGINT) AS new_n FROM rep),
+         |t AS (SELECT CAST(sum(new_n) AS BIGINT) AS total_n,
+         |             CAST(count(*) AS BIGINT) AS n_lists FROM r2)
+         |SELECT cluster, old_n, added_n, new_n,
+         |       CAST(CAST(new_n AS HUGEINT) * 1000000 // total_n AS BIGINT) AS load_ppm,
+         |       CAST(new_n AS HUGEINT) * n_lists > 2 * CAST(total_n AS HUGEINT) AS retrain_hint
+         |FROM r2 CROSS JOIN t ORDER BY cluster""".stripMargin,
 
     // Same base quantization plus the label column; pos_max is a max
     // of bit-identical doubles, so the semi-hard filter compares the

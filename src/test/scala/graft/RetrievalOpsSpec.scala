@@ -267,6 +267,49 @@ class RetrievalOpsSpec extends SparkSpec {
     got.foreach(r => r._6 should be < r._7)
   }
 
+  test("ivf_maintenance matches a plain-Scala assignment ledger and the books balance") {
+    val ids = emb.keys.toSeq.sorted
+    val (coarse, coarseN) = trainCoarse()
+    def assign(qe: Array[Long], nqv: Long): Long =
+      coarse.keys.toSeq.map { cl =>
+        (cl, dot(qe, coarse(cl)).toDouble /
+          math.sqrt(nqv.toDouble * coarseN(cl).toDouble))
+      }.minBy { case (cl, c) => (-c, cl) }._1
+    // the embedding_neardup variant recipe: every 17th vector perturbed
+    // in quantized integer space, id ↦ −id−1
+    val variants = ids.filter(_ % 17 == 0).map { v =>
+      val qe2 = emb(v).zipWithIndex.map { case (x, i) =>
+        x + ((v * 131 + i * 101) % 601) * 1000 - 300000
+      }
+      (-1L - v, qe2, qe2.map(x => x * x).sum)
+    }
+    val oldN = ids.groupMapReduce(v => assign(emb(v), nq(v)))(_ => 1L)(_ + _)
+    val addN = variants.groupMapReduce { case (_, qe2, n2) => assign(qe2, n2) }(_ => 1L)(_ + _)
+    val totalN = ids.size.toLong + variants.size.toLong
+    val nLists = coarse.size.toLong
+    val expect = coarse.keys.toSeq.sorted.map { cl =>
+      val o = oldN.getOrElse(cl, 0L); val a = addN.getOrElse(cl, 0L)
+      val nn = o + a
+      (cl, o, a, nn, nn * 1000000L / totalN, nn * nLists > 2 * totalN)
+    }
+    val got = SparkEntry.queries("ivf_maintenance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    got shouldEqual expect
+    // the ledger balances: every standing vector and every batch vector
+    // lands in exactly one list, and the batch is non-empty
+    got.map(_._2).sum shouldEqual ids.size.toLong
+    got.map(_._3).sum shouldEqual variants.size.toLong
+    variants should not be empty
+    // a Lloyd-trained index on this corpus is balanced, so the >2×-mean
+    // retrain flag honestly stays down — and the per-list loads confirm
+    // it (every list within 2× of the mean share)
+    got.foreach { r =>
+      r._6 shouldBe false
+      r._5 should be <= 2 * (1000000L / nLists)
+    }
+  }
+
   test("centroid_outliers matches a plain-Scala bottom-3-per-cluster report") {
     val ids = emb.keys.toSeq.sorted
     val (coarse, coarseN) = trainCoarse()
