@@ -152,6 +152,71 @@ class PropertySpec extends SparkSpec {
     df.filter(col("err") < 0 || col("err") >= 1).count() shouldEqual 0
   }
 
+  test("jaccardPairs matches brute-force Jaccard across a threshold sweep") {
+    import spark.implicits._
+    // The round-9 ceil-misround class lived exactly at thresholds where
+    // n·t lands on an integer (prefix one too short, exactly-t pairs
+    // pruned before verification) — so the filter bounds are swept over
+    // thresholds that DO hit integer products on this corpus's set
+    // sizes (0.5, 0.75, 0.8) and ones that don't (0.3, 0.62, 0.9),
+    // each compared against set-arithmetic brute force.
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(3, 25)
+      toks <- Gen.listOfN(n, Gen.choose(0, 24).map(i => s"w$i"))
+    } yield toks.mkString(" ")
+    val texts = samples(docGen, 40)
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = texts.zipWithIndex.map { case (s, i) => (i + 1) -> shingleSet(s) }
+    val df = texts.zipWithIndex.map { case (s, i) => (i + 1) -> s }
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.62, 0.75, 0.8, 0.9)) withClue(s"t=$t: ") {
+      val truth = (for {
+        (i, a) <- sets; (j, b) <- sets
+        if i < j && a.nonEmpty && b.nonEmpty
+        common = (a & b).size
+        if common.toDouble / (a.size + b.size - common) >= t
+      } yield (i.toLong, j.toLong, common.toLong)).toSet
+      val got = Dedup.jaccardPairs(df, t = t).collect()
+        .map(r => (r.getAs[Number]("d1").longValue,
+          r.getAs[Number]("d2").longValue,
+          r.getAs[Number]("common").longValue)).toSet
+      got shouldEqual truth
+    }
+  }
+
+  test("containmentPairs matches brute force across a threshold sweep") {
+    import spark.implicits._
+    // same class as above for the asymmetric prefix×index bounds:
+    // C = |A∩B|/min(|A|,|B|) compared at integer-product and
+    // non-integer thresholds alike
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(3, 25)
+      toks <- Gen.listOfN(n, Gen.choose(0, 24).map(i => s"w$i"))
+    } yield toks.mkString(" ")
+    val texts = samples(docGen, 40)
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = texts.zipWithIndex.map { case (s, i) => (i + 1) -> shingleSet(s) }
+    val df = texts.zipWithIndex.map { case (s, i) => (i + 1) -> s }
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.5, 0.6, 0.75, 0.8)) withClue(s"t=$t: ") {
+      val truth = (for {
+        (i, a) <- sets; (j, b) <- sets
+        if i < j && a.nonEmpty && b.nonEmpty
+        common = (a & b).size
+        if common.toDouble / math.min(a.size, b.size) >= t
+      } yield (i.toLong, j.toLong, common.toLong)).toSet
+      val got = Dedup.containmentPairs(df, t = t).collect()
+        .map(r => (r.getAs[Number]("d1").longValue,
+          r.getAs[Number]("d2").longValue,
+          r.getAs[Number]("common").longValue)).toSet
+      got shouldEqual truth
+    }
+  }
+
   test("containmentPairs matches brute-force containment on random corpora") {
     import spark.implicits._
     // small token alphabet → dense overlap structure, so the asymmetric
