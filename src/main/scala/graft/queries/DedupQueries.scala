@@ -881,8 +881,9 @@ object DedupQueries extends QueryModule {
     "dedup_family" -> ((s, d) => {
       import TextAnalysis.{norm, tokens, occurrences, qualityScore, LangProfiles, sampleBucket}
       def isNew(c: org.apache.spark.sql.Column) = graft.operators.Ingest.isNew(c)
-      val artDir = System.getProperty("java.io.tmpdir") +
-        "/graft_dedup_family_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      // per-invocation token + shutdown-hook cleanup (Scratch): two
+      // concurrent runs on one sfDir must not race on the artifact path
+      val artDir = graft.operators.Scratch.dir("dedup_family")
       // stage 1: ONE shingle + AllPairs + CC derivation, persisted
       val sized = materialize(shingled(Tables.documents(s, d))
         .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))

@@ -188,8 +188,13 @@ object TextQueries extends QueryModule {
           sum(when(col("n_toks") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"),
           sum(col("n_toks")).as("total_tokens"),
           sum(least(col("n_toks"), col("ctx"))).as("kept_tokens"))
+        // zero-mass guard (r9 advice): a (lang, ctx) group of all-empty
+        // documents divides by zero — Spark's div yields NULL but the
+        // DuckDB // errors, a cross-engine divergence; define it as 0
+        // lost identically in both engines
         .withColumn("lost_ppm", expr(
-          "CAST((CAST(total_tokens AS DECIMAL(38,0)) - kept_tokens) * 1000000 div total_tokens AS BIGINT)"))
+          "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) ELSE " +
+            "CAST((CAST(total_tokens AS DECIMAL(38,0)) - kept_tokens) * 1000000 div total_tokens AS BIGINT) END"))
         .orderBy("lang", "ctx")),
 
     // Heuristic quality score + grade bands, per document.
@@ -1499,7 +1504,8 @@ object TextQueries extends QueryModule {
          |             CAST(sum(least(n_toks, ctx)) AS BIGINT) AS kept_tokens
          |      FROM f GROUP BY lang, ctx)
          |SELECT lang, ctx, n_docs, n_truncated, total_tokens, kept_tokens,
-         |       CAST((CAST(total_tokens AS HUGEINT) - kept_tokens) * 1000000 // total_tokens AS BIGINT) AS lost_ppm
+         |       CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) ELSE
+         |         CAST((CAST(total_tokens AS HUGEINT) - kept_tokens) * 1000000 // total_tokens AS BIGINT) END AS lost_ppm
          |FROM a ORDER BY lang, ctx""".stripMargin,
 
     "text_quality" ->

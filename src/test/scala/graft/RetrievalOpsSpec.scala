@@ -245,14 +245,18 @@ class RetrievalOpsSpec extends SparkSpec {
         .map(c => cos(c, q)).maxOption
       val admissible = cands.filter(c => labels(c) != labels(q))
         .filter(c => posMax.forall(pm => cos(c, q) < pm))
+      // pos_max is Option: a query label with no candidate positives
+      // legitimately emits NULL pos_max (both engines handle it via
+      // isNull) — the test must cover that branch, not NPE on it
       admissible.map(c => (c, cos(c, q))).sortBy { case (c, s) => (-s, c) }
         .take(3).zipWithIndex.map { case ((c, s), i) =>
-          (q, labels(q), c, labels(c), i + 1, s, posMax.get)
+          (q, labels(q), c, labels(c), i + 1, s, posMax)
         }
     }
     val got = SparkEntry.queries("hard_negatives")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
-        r.getInt(4), r.getDouble(5), r.getDouble(6))).toSeq
+        r.getInt(4), r.getDouble(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))).toSeq
     got shouldEqual expect
     // the semi-hard band (Schroff et al. §3.2) actually bit: without
     // the pos_max exclusion at least one query's top-3 differs (the
@@ -263,8 +267,8 @@ class RetrievalOpsSpec extends SparkSpec {
         .take(3).map { case (c, _) => (q, c) }
     }.toSet
     naive should not equal got.map(r => (r._1, r._3)).toSet
-    // every mined negative respects the margin
-    got.foreach(r => r._6 should be < r._7)
+    // every mined negative respects the margin (when a margin exists)
+    got.foreach(r => r._7.foreach(pm => r._6 should be < pm))
   }
 
   test("ivf_maintenance matches a plain-Scala assignment ledger and the books balance") {
