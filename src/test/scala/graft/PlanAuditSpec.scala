@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
   // of the checkpointed RDD — auditing it would inspect nothing (and
   // execute the whole pipeline). Their join structure is audited via
   // the building block below instead.
-  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts", "dedup_method_matrix", "dedup_family")
+  private val iterative = Set("dedup_clusters", "training_subset", "dedup_weight", "leakage_split", "dedup_artifacts", "dedup_method_matrix", "dedup_family", "ann_family")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -339,4 +339,67 @@ class RetrievalOpsSpec extends SparkSpec {
     // outliers sit strictly inside the cluster's cohesion range
     got.foreach(r => r._3 should be <= r._6)
   }
+
+  test("ann_family embeds each sibling surface byte-for-byte from ONE persisted index") {
+    // Column order of the capstone's wide schema: kind=0, cluster=1,
+    // vec_id=2, pos=3, c_fx=4, n_members=5, method=6, q_id=7, n_true=8,
+    // n_hit=9, recall=10, n_cand=11, cos=12, rk=13, n_cluster=14,
+    // max_cos=15, old_n=16, added_n=17, new_n=18, load_ppm=19,
+    // retrain_hint=20, near_id=21.
+    val fam = SparkEntry.queries("ann_family")(spark, sf).collect()
+    def sec(k: String) = fam.filter(_.getString(0) == k)
+    def run(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+
+    // every section is non-empty (a vacuously-green embedding pins nothing)
+    Seq("centroid", "curve", "outlier", "maint", "sample", "semdedup")
+      .foreach(k => withClue(k) { sec(k).length should be > 0 })
+
+    // curve == ivf_nprobe_curve (same trained index ⇒ same arms)
+    sec("curve").map(r => (r.getString(6), r.getLong(7), r.getLong(8),
+      r.getLong(9), r.getDouble(10), r.getLong(11))).toSet shouldEqual
+      run("ivf_nprobe_curve").map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+
+    // the p2 arm's hit counts == ann_recall's ivf method (same truth)
+    sec("curve").filter(_.getString(6) == "ivf_p2")
+      .map(r => (r.getLong(7), r.getLong(8), r.getLong(9))).toSet shouldEqual
+      run("ann_recall").filter(_.getString(0) == "ivf")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // outlier == centroid_outliers
+    sec("outlier").map(r => (r.getLong(1), r.getLong(2), r.getDouble(12),
+      r.getInt(13), r.getLong(14), r.getDouble(15))).toSet shouldEqual
+      run("centroid_outliers").map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3), r.getLong(4), r.getDouble(5))).toSet
+
+    // maint == ivf_maintenance
+    sec("maint").map(r => (r.getLong(1), r.getLong(16), r.getLong(17),
+      r.getLong(18), r.getLong(19), r.getBoolean(20))).toSet shouldEqual
+      run("ivf_maintenance").map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+
+    // sample == cluster_balanced_sample
+    sec("sample").map(r => (r.getLong(1), r.getLong(2), r.getLong(14),
+      r.getInt(13))).toSet shouldEqual
+      run("cluster_balanced_sample").map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+
+    // semdedup == semantic_dedup
+    sec("semdedup").map(r => (r.getLong(2), r.getLong(1), r.getLong(21),
+      r.getDouble(12))).toSet shouldEqual
+      run("semantic_dedup").map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+    // the persisted centroid table == kmeans_centroids' trained values
+    // (round-2 Lloyd update IS c2; n_members differs by design — the
+    // capstone reports SERVING-list sizes, the sibling round-2 counts)
+    sec("centroid").map(r => (r.getLong(1), r.getInt(3), r.getLong(4)))
+      .toSet shouldEqual
+      run("kmeans_centroids").map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2))).toSet
+
+    // and the serving-list sizes balance: n_members == maint's old_n
+    sec("centroid").map(r => (r.getLong(1), r.getLong(5))).toSet shouldEqual
+      sec("maint").map(r => (r.getLong(1), r.getLong(16))).toSet
+  }
 }
