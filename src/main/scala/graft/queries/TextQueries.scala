@@ -38,6 +38,23 @@ object TextQueries extends QueryModule {
     * column keeps it honest (measured ≈6% mean at sf0.01). Shared
     * with the oracle SQL below. */
   private val KmvK = 128
+
+  /** X-169: the frozen 64-weight linear quality head, in ×10⁶ fixed
+    * point. A deployed CCNet/fastText-style quality classifier ships
+    * its head as a trained OFFLINE artifact (chi2-selected hashed
+    * features → linear weights); the engine-side operator is pure
+    * INFERENCE, so the weights must be a fixed literal frame — a
+    * corpus-derived vector would change per scale factor and stop
+    * being a trained artifact. Deterministic SplitMix64 scramble
+    * (the planeWeights discipline), embedded literally in the oracle
+    * SQL so both engines multiply identical integers. */
+  private val ClfWeights: IndexedSeq[Long] = (0 until 64).map { b =>
+    var z = (b + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z % 1000001L
+  }
   private val CmsA: Seq[Long] = (0 until CmsD).map(i => (2L * i + 1) * 15485863L % HashMod)
   private val CmsB: Seq[Long] = (0 until CmsD).map(i => (i + 1) * 32452843L % HashMod)
 
@@ -1071,6 +1088,80 @@ object TextQueries extends QueryModule {
             .as("feat"))
         .orderBy("doc_id", "bucket")),
 
+    // X-169: model-based quality-filter INFERENCE (classifier_filter)
+    // — the missing member of the CCNet-style curation stage (features
+    // X-69, heuristic selection X-83/95, rule gates X-137): score every
+    // document with the frozen linear head [[ClfWeights]] over the X-69
+    // hashed-feature space and gate on the margin, reported funnel-
+    // style (the X-137 shape). Inference is exact fixed point:
+    // margin_fx = Σ_token sign(token)·w[bucket(token)] — ONE explode +
+    // ONE doc-keyed hash aggregate and NO join at all (the head rides
+    // as a 64-element literal array; inference cost at any corpus size
+    // is one map-side pass + the per-doc reduce — exactly how a linear
+    // quality filter stays viable at 100 TB). Stage gates, all exact
+    // integer arithmetic (multiplied through, never divided):
+    //   1 has_tokens       n_tok > 0 (vacuous on this corpus — the
+    //                      funnel's honest n_in baseline);
+    //   2 margin_positive  margin_fx > 0;
+    //   3 margin_strong    mean per-token margin ≥ 0.05 weight units
+    //                      (margin_fx·20 ≥ n_tok·10⁶).
+    // Output: kind='doc' per-document inference rows (the hard oracle
+    // signal covers every margin) + kind='stage' the cumulative funnel
+    // with per-rule n_in/n_fail/n_out/n_fail_alone.
+    "classifier_filter" -> ((s, d) => {
+      val w = typedLit(ClfWeights)
+      val scoredT = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(norm(col("text")))).as("token"))
+        .withColumn("h", tokenHash(col("token")))
+        .withColumn("sgn",
+          lit(1L) - lit(2L) * (floor(col("h") / lit(64.0)).cast("long") % 2))
+        .withColumn("wb", element_at(w, (col("h") % 64).cast("int") + 1))
+      // left join back from documents: a zero-token document must appear
+      // with margin 0 and fail rule 1, not vanish from the funnel
+      val perDoc = Tables.documents(s, d).select("doc_id")
+        .join(scoredT.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_tok"),
+              sum(col("sgn") * col("wb")).as("margin_fx")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("margin_fx"), lit(0L)).as("margin_fx"))
+      val preds = Seq(
+        col("n_tok") > 0,
+        col("margin_fx") > 0,
+        col("margin_fx") * lit(20L) >= col("n_tok") * lit(1000000L))
+      val names = Seq("has_tokens", "margin_positive", "margin_strong")
+      val docSec = perDoc.withColumn("selected", preds.reduce(_ && _))
+      val cum = preds.scanLeft(lit(true))(_ && _).drop(1)
+      val agg = perDoc.agg(
+        count(lit(1)).as("s0"),
+        (cum.zipWithIndex.map { case (c, i) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"s${i + 1}")
+        } ++ preds.zipWithIndex.map { case (c, i) =>
+          sum(when(!c, 1L).otherwise(0L)).as(s"a${i + 1}")
+        }): _*)
+      val stageSec = agg.select(explode(array(
+        names.zipWithIndex.map { case (name, i) =>
+          struct(lit(i + 1).as("rule_id"), lit(name).as("rule"),
+            col(s"s$i").as("n_in"),
+            (col(s"s$i") - col(s"s${i + 1}")).as("n_fail"),
+            col(s"s${i + 1}").as("n_out"),
+            col(s"a${i + 1}").as("n_fail_alone"))
+        }: _*)).as("r"))
+        .select("r.*")
+      val nL = lit(null).cast("long"); val nI = lit(null).cast("int")
+      val nS = lit(null).cast("string"); val nB = lit(null).cast("boolean")
+      docSec.select(lit("doc").as("kind"), col("doc_id"), col("n_tok"),
+          col("margin_fx"), col("selected"), nI.as("rule_id"), nS.as("rule"),
+          nL.as("n_in"), nL.as("n_fail"), nL.as("n_out"), nL.as("n_fail_alone"))
+        .unionByName(stageSec.select(lit("stage").as("kind"), nL.as("doc_id"),
+          nL.as("n_tok"), nL.as("margin_fx"), nB.as("selected"), col("rule_id"),
+          col("rule"), col("n_in"), col("n_fail"), col("n_out"),
+          col("n_fail_alone")))
+        .orderBy(col("kind"), coalesce(col("doc_id"), lit(-1L)),
+          coalesce(col("rule_id"), lit(-1)))
+    }),
+
     // Targeted-domain data selection (X-95, the DSIR/importance-
     // sampling shape — Xie et al. '23): score every document by how
     // much of it leans toward a target domain's token distribution
@@ -1453,6 +1544,56 @@ object TextQueries extends QueryModule {
          |       CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS feat
          |FROM h GROUP BY doc_id, bucket
          |ORDER BY doc_id, bucket""".stripMargin,
+
+    // X-169: the same md5-derived buckets and ±1 signs as the
+    // hashed_features oracle, the identical 64-weight literal head,
+    // the gopher_rules funnel shape.
+    "classifier_filter" -> {
+      val wList = ClfWeights.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |h AS (SELECT doc_id,
+         |             CAST('0x' || substr(md5(token), 1, 14) AS BIGINT) % 1000000007 AS h
+         |      FROM t),
+         |m AS (SELECT doc_id,
+         |             CAST(count(*) AS BIGINT) AS n_tok,
+         |             CAST(sum((1 - 2 * ((h // 64) % 2))
+         |                      * ($wList)[CAST(h % 64 AS INTEGER) + 1]) AS BIGINT) AS margin_fx
+         |      FROM h GROUP BY doc_id),
+         |pd AS (SELECT d.doc_id,
+         |              CAST(COALESCE(m.n_tok, 0) AS BIGINT) AS n_tok,
+         |              CAST(COALESCE(m.margin_fx, 0) AS BIGINT) AS margin_fx
+         |       FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+         |p AS (SELECT doc_id, n_tok, margin_fx,
+         |             n_tok > 0 AS p1,
+         |             margin_fx > 0 AS p2,
+         |             margin_fx * 20 >= n_tok * 1000000 AS p3
+         |      FROM pd),
+         |a AS (SELECT count(*) AS s0,
+         |             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |             CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |             CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |             CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |             CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         |             CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+         |      FROM p)
+         |SELECT * FROM (
+         |  SELECT 'doc' AS kind, doc_id, n_tok, margin_fx,
+         |         (p1 AND p2 AND p3) AS selected,
+         |         CAST(NULL AS INTEGER) AS rule_id, CAST(NULL AS VARCHAR) AS rule,
+         |         CAST(NULL AS BIGINT) AS n_in, CAST(NULL AS BIGINT) AS n_fail,
+         |         CAST(NULL AS BIGINT) AS n_out, CAST(NULL AS BIGINT) AS n_fail_alone
+         |  FROM p
+         |  UNION ALL
+         |  SELECT 'stage', NULL, NULL, NULL, NULL, CAST(1 AS INTEGER), 'has_tokens',
+         |         s0, s0 - s1, s1, a1 FROM a
+         |  UNION ALL
+         |  SELECT 'stage', NULL, NULL, NULL, NULL, CAST(2 AS INTEGER), 'margin_positive',
+         |         s1, s1 - s2, s2, a2 FROM a
+         |  UNION ALL
+         |  SELECT 'stage', NULL, NULL, NULL, NULL, CAST(3 AS INTEGER), 'margin_strong',
+         |         s2, s2 - s3, s3, a3 FROM a)
+         |ORDER BY kind, COALESCE(doc_id, -1), COALESCE(rule_id, -1)""".stripMargin
+    },
 
     "corpus_drift_l1" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),

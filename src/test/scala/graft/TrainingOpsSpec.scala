@@ -455,4 +455,59 @@ class TrainingOpsSpec extends SparkSpec {
     val byLen = got.groupBy(_._2).view.mapValues(_.head._3).toSeq.sortBy(_._1)
     byLen.map(_._2) shouldEqual byLen.map(_._2).sorted
   }
+
+  test("classifier_filter matches a plain-Scala linear head and every funnel stage binds") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(14), 16) % 1000000007L
+    // the frozen head, re-derived independently (same SplitMix64 recipe)
+    val w: IndexedSeq[Long] = (0 until 64).map { b =>
+      var z = (b + 1).toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      z % 1000001L
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    val perDoc = docs.map { case (id, toks) =>
+      val margins = toks.map { t =>
+        val hv = h(t)
+        val sgn = 1L - 2L * ((hv / 64L) % 2L)
+        sgn * w((hv % 64L).toInt)
+      }
+      (id, toks.length.toLong, margins.sum)
+    }.sortBy(_._1)
+    def p(r: (Long, Long, Long)) =
+      (r._2 > 0, r._3 > 0, r._3 * 20 >= r._2 * 1000000L)
+    val expectDocs = perDoc.map { r =>
+      val (p1, p2, p3) = p(r)
+      (r._1, r._2, r._3, p1 && p2 && p3)
+    }
+    val fam = q("classifier_filter").collect()
+    val gotDocs = fam.filter(_.getString(0) == "doc")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq.sortBy(_._1)
+    gotDocs shouldEqual expectDocs.toSeq
+    // funnel arithmetic off the same per-doc frame
+    val s0 = perDoc.length.toLong
+    val s1 = perDoc.count(r => p(r)._1).toLong
+    val s2 = perDoc.count(r => p(r)._1 && p(r)._2).toLong
+    val s3 = perDoc.count(r => { val (a, b, c) = p(r); a && b && c }).toLong
+    val gotStages = fam.filter(_.getString(0) == "stage")
+      .map(r => (r.getInt(5), r.getString(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).toSeq.sortBy(_._1)
+    gotStages shouldEqual Seq(
+      (1, "has_tokens", s0, s0 - s1, s1),
+      (2, "margin_positive", s1, s1 - s2, s2),
+      (3, "margin_strong", s2, s2 - s3, s3))
+    // non-vacuous: the margin gates genuinely split the corpus (some
+    // docs fail each scored stage, some survive the whole funnel)
+    assert(s2 > 0 && s2 < s1)
+    assert(s3 > 0 && s3 < s2)
+  }
 }
