@@ -32,6 +32,34 @@ object Multimodal {
     def decode(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
+  /** The VIDEO half of the decode seam: a payload that decodes to an
+    * ordered frame sequence, each frame a `dim`-cell gray-pixel grid
+    * (the aHash pipeline's input shape). Animated GIF gets this from
+    * the pure JDK ([[Decoders.ImageIoDecoder]]); real video codecs
+    * (H.264 …) have no pure-JDK decoder and would implement the same
+    * two methods over their own frame iterator. */
+  trait FrameDecoder extends Serializable {
+    def frameCount(bytes: Array[Byte]): Int
+    def frames(bytes: Array[Byte], dim: Int): Seq[Array[Long]]
+  }
+
+  /** Strided frame sampling over REAL decoded frames — frame_sample's
+    * (X-78) arithmetic (`0 until n by stride`) applied behind the
+    * [[FrameDecoder]] seam: per sampled frame, the gray-pixel rows
+    * (media_id, frame_no, i, p) that feed [[aHashPairs]] or any
+    * per-frame featurizer. Partition-local flatMap, no shuffle — the
+    * registered query's scale shape with the decoder made real. */
+  def sampledFramePixels(vids: Dataset[(Long, Array[Byte])], dim: Int,
+      stride: Int, dec: FrameDecoder): DataFrame = {
+    import vids.sparkSession.implicits._
+    vids.flatMap { case (id, bytes) =>
+      val fs = dec.frames(bytes, dim)
+      (0 until fs.length by stride).flatMap { fn =>
+        fs(fn).zipWithIndex.map { case (p, i) => (id, fn, i, p) }
+      }
+    }.toDF("media_id", "frame_no", "i", "p")
+  }
+
   /** Deterministic media frame derived from `documents`: the text bytes
     * stand in for encoded media payloads; kind/meta are keyed off
     * doc_id so the oracle can reproduce them. */
@@ -119,22 +147,23 @@ object Decoders {
       Multimodal.decodeStub(bytes, dim)
   }
 
-  /** The first REAL decoder: pure-JDK `javax.imageio` (PNG/BMP/GIF —
-    * the formats the JDK ships readers for, zero native deps). Decodes
-    * the payload to pixels and area-averages them onto a ⌈√dim⌉-square
-    * grid read row-major (dim=60 → the aHash pipeline's 8×8 grid minus
-    * the last 4 cells), integer-luma gray (299·R + 587·G + 114·B)/1000
-    * — all-integer arithmetic, so the pixel values are bit-stable
-    * across JVMs. [[grayPixels]] exposes the exact 0..255 integers for
-    * the aHash path; [[decode]] scales them to [0,1] for the feature
-    * path. Throws on undecodable bytes (a media pipeline routes those
-    * to a quarantine column — the WebFetch swallow-and-skip posture —
-    * rather than hashing garbage). */
-  class ImageIoDecoder extends Multimodal.Decoder {
-    def grayPixels(bytes: Array[Byte], dim: Int): Array[Long] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "undecodable image payload")
+  /** The first REAL decoder: pure-JDK `javax.imageio` (PNG/BMP/GIF/
+    * JPEG — the formats the JDK ships readers for, zero native deps).
+    * Decodes the payload to pixels and area-averages them onto a
+    * ⌈√dim⌉-square grid read row-major (dim=60 → the aHash pipeline's
+    * 8×8 grid minus the last 4 cells), integer-luma gray
+    * (299·R + 587·G + 114·B)/1000 — all-integer arithmetic, so the
+    * pixel values are bit-stable for a given decoded image.
+    * [[grayPixels]] exposes the exact 0..255 integers for the aHash
+    * path; [[decode]] scales them to [0,1] for the feature path;
+    * [[frames]] iterates EVERY image in a multi-frame container
+    * (animated GIF) via `ImageReader.read(i)` through the same grid —
+    * the frame_sample stage over real frames. Throws on undecodable
+    * bytes (a media pipeline routes those to a quarantine column — the
+    * WebFetch swallow-and-skip posture — rather than hashing
+    * garbage). */
+  class ImageIoDecoder extends Multimodal.Decoder with Multimodal.FrameDecoder {
+    private def grayOf(img: java.awt.image.BufferedImage, dim: Int): Array[Long] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
       Array.tabulate(dim) { k =>
@@ -156,6 +185,41 @@ object Decoders {
         if (n == 0) 0L else sum / n
       }
     }
+
+    def grayPixels(bytes: Array[Byte], dim: Int): Array[Long] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      grayOf(img, dim)
+    }
+
+    /** Run `f` over a positioned ImageReader for `bytes`, disposing
+      * reader + stream afterwards. */
+    private def withReader[A](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => A): A = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try f(reader)
+      finally { reader.dispose(); iis.close() }
+    }
+
+    def frameCount(bytes: Array[Byte]): Int =
+      withReader(bytes)(_.getNumImages(true))
+
+    /** Every frame's gray grid, in stream order. Frames are read as
+      * stored (GIF frames may legally be sub-rectangles under disposal
+      * composition; fixtures and well-formed pipelines write full
+      * frames — a compositing player belongs in a richer codec, not
+      * the JDK seam). */
+    def frames(bytes: Array[Byte], dim: Int): Seq[Array[Long]] =
+      withReader(bytes) { reader =>
+        (0 until reader.getNumImages(true)).map(i => grayOf(reader.read(i), dim))
+      }
+
     def decode(bytes: Array[Byte], dim: Int): Array[Float] =
       grayPixels(bytes, dim).map(_ / 255.0f)
   }

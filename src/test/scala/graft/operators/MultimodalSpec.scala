@@ -174,6 +174,109 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == 3L || t._2 == 3L)) // far pairs with nobody
   }
 
+  test("real JPEG decode (javax.imageio) drives the SAME aHash pipeline as the registered query") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // JPEG is lossy, so expectations are computed from the DECODED
+    // pixels of the actual bytes (self-consistent whatever the codec's
+    // rounding) — the semantic asserts then check the lossy round-trip
+    // still lands identical/near/far where the patterns put them:
+    // high-contrast 8-px blocks sit far from the global mean, so aHash
+    // bits are robust to block-edge ringing
+    def jpg(pattern: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, pattern(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (white, black) = (0xffffff, 0x000000)
+    val base = jpg((x, _) => if (x < 32) white else black)
+    val copy = jpg((x, _) => if (x < 32) white else black) // identical bytes
+    val near = jpg((x, y) => if (x < 32 || (x < 40 && y < 8)) white else black)
+    val far = jpg((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) white else black)
+    val dec = new Decoders.ImageIoDecoder
+    val media = Seq(0L -> base, 1L -> copy, 2L -> near, 3L -> far)
+    val px = media.flatMap { case (id, bytes) =>
+      dec.grayPixels(bytes, 60).zipWithIndex.map { case (p, i) => (id, i, p) }
+    }.toDF("media_id", "i", "p")
+    val got = aHashPairs(px).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+    def ahashOf(a: Array[Long]): Long = {
+      val tot = a.sum
+      a.zipWithIndex.map { case (p, i) => if (p * 60 > tot) 1L << i else 0L }.sum
+    }
+    val hs = media.map { case (id, b) => id -> ahashOf(dec.grayPixels(b, 60)) }
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if h <= 3
+    } yield (hs(i)._1, hs(j)._1, h)).sortBy(t => (t._1, t._2))
+    got.toSeq shouldEqual expected
+    got should contain((0L, 1L, 0))      // identical JPEG bytes → hamming 0
+    assert(got.exists(t => t._1 == 0L && t._2 == 2L && t._3 <= 3))
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L)) // far pairs with nobody
+  }
+
+  test("animated GIF frames drive frame_sample's stride sampling over REAL decoded frames") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def frame(pattern: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, pattern(x, y))
+      img
+    }
+    def gif(frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(p => writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(p), null, null), null))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val (white, black) = (0xffffff, 0x000000)
+    def solid(c: Int): (Int, Int) => Int = (_, _) => c
+    def halves: (Int, Int) => Int = (x, _) => if (x < 16) white else black
+    def checker: (Int, Int) => Int =
+      (x, y) => if (((x / 4) + (y / 4)) % 2 == 0) white else black
+    // video A: 5 frames; stride 2 samples frames 0, 2, 4
+    val gifA = gif(Seq(halves, solid(0x808080), checker, solid(0x404040), halves))
+    // video B: 3 frames; stride 2 samples frames 0, 2 — frame 0 is the
+    // SAME pattern as A's frame 0 (the planted cross-video duplicate)
+    val gifB = gif(Seq(halves, solid(0xC0C0C0), solid(0x202020)))
+    val dec = new Decoders.ImageIoDecoder
+    // multi-frame access is real: every written frame comes back
+    dec.frameCount(gifA) shouldEqual 5
+    dec.frameCount(gifB) shouldEqual 3
+    // GIF palettes store exact colors: a solid-gray frame decodes to
+    // its exact integer luma on every grid cell
+    val a1 = dec.frames(gifA, 60)(1)
+    a1.foreach(_ shouldEqual (299L * 0x80 + 587L * 0x80 + 114L * 0x80) / 1000L)
+    // the Spark side: stride-2 sampling through the FrameDecoder seam,
+    // then the registered aHash pipeline over (video, frame) images
+    val vids = Seq(0L -> gifA, 1L -> gifB).toDS()
+    val px = Multimodal.sampledFramePixels(vids, dim = 60, stride = 2, dec)
+    val sampled = px.select("media_id", "frame_no").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    sampled shouldEqual Set((0L, 0), (0L, 2), (0L, 4), (1L, 0), (1L, 2))
+    val byFrame = px.select(
+      (col("media_id") * 100 + col("frame_no")).as("media_id"),
+      col("i"), col("p"))
+    val pairs = aHashPairs(byFrame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // A#0 == B#0 (hamming 0) and A#0 == A#4 (the repeated pattern);
+    // by transitivity A#4 == B#0 too
+    pairs should contain((0L, 100L, 0))
+    pairs should contain((0L, 4L, 0))
+    pairs should contain((4L, 100L, 0))
+    // the checker frame (A#2) matches nobody
+    assert(!pairs.exists(t => t._1 == 2L || t._2 == 2L))
+  }
+
   test("ImageIoDecoder plugs into extractFeatures through the config seam") {
     import spark.implicits._
     import java.awt.image.BufferedImage
