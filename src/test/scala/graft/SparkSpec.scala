@@ -9,6 +9,13 @@ import org.scalatest.matchers.should.Matchers
 object SparkSpec {
   lazy val spark: SparkSession = Sessions.builder("4")
     .appName("graft-test")
+    // local[4,4]: same 4 slots, but tasks may RETRY up to 4 times —
+    // local[4]'s maxFailures=1 turns any task failure into a job
+    // failure, which would make RetryDeterminismSpec's first-attempt
+    // fault injection untestable. Genuine deterministic task errors
+    // still fail the job (after 4 identical attempts) with the same
+    // exception surfaced.
+    .master("local[4,4]")
     // static conf — must be set at construction; keeps saveAsTable
     // (bucketing specs) out of the repo working directory
     .config("spark.sql.warehouse.dir",

@@ -44,6 +44,92 @@ class SkewScaleSpec extends SparkSpec {
     df.groupBy(spark_partition_id().as("pid")).count()
       .agg(max("count")).first().getLong(0)
 
+  test("planted hot-template boilerplate leaves the AllPairs candidate fan-in bounded") {
+    // Round-9 verdict item #3: the df disciplines (rarest-first prefix
+    // keeps hot shingles out of candidate postings) measured against a
+    // planted boilerplate template, not argued from plan shape. 10% of
+    // docs get the ScaleBench 32-token boilerplate PREFIX — its
+    // shingles' df jumps to ~n/10 while the affected pairs stay below
+    // the Jaccard threshold (the unique bodies dominate the union), so
+    // a bounded generator must show ~flat per-task max shuffle fan-in
+    // and must not emit any pair the boilerplate alone created.
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    def skewed(pct: Int): DataFrame =
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 100 < pct,
+          concat(lit(graft.ScaleBench.Boilerplate), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val maxRecs = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRecs.getAndAccumulate(m.shuffleReadMetrics.recordsRead,
+            (a: Long, b: Long) => math.max(a, b))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def run(pct: Int): (Set[(Long, Long)], Long) = {
+        Thread.sleep(800); maxRecs.set(0L)
+        val pairs = Dedup.jaccardPairs(skewed(pct), 0.5)
+          .select("d1", "d2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Thread.sleep(800) // listener bus drains asynchronously
+        (pairs, maxRecs.get)
+      }
+      val (pairs0, fan0) = run(0)
+      val (pairs10, fan10) = run(10)
+      // the per-task candidate fan-in stays within AQE-coalescing noise
+      // of the clean corpus — a generator that joined hot shingles
+      // raw would multiply it (~30 boilerplate shingles x df^2/2)
+      withClue(s"max task fan-in grew $fan0 -> $fan10: ") {
+        fan10.toDouble should be <= 3.0 * math.max(fan0, 1L)
+      }
+      // every pair the template ADDED is a genuine near-dup, not a
+      // hot-shingle false positive: for LONG bodies the 32-token
+      // template can't reach J >= 0.5, but the corpus has short docs
+      // the template legitimately dominates — so recompute the exact
+      // Jaccard for every planted pair in plain Scala and require it
+      // to clear the threshold on its own merits
+      val isBoiler = (id: Long) => id % 100 < 10
+      val planted = (pairs10 -- pairs0)
+        .filter { case (a, b) => isBoiler(a) && isBoiler(b) }
+      if (planted.nonEmpty) {
+        val ids = planted.flatMap(p => Seq(p._1, p._2))
+        val texts = skewed(10).filter(col("doc_id").isin(ids.toSeq: _*))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        def sh(t: String): Set[String] =
+          t.trim.replaceAll("\\s+", " ").split(" ").toSeq
+            .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+        planted.foreach { case (a, b) =>
+          val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+          val j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+          withClue(s"planted pair ($a,$b) below threshold (J=$j): ") {
+            j should be >= 0.5
+          }
+        }
+      }
+      // and the template did NOT pair any two LONG-body docs (where it
+      // cannot dominate the union): the hot shingles' df never turned
+      // into candidates for them
+      val bodyToks = docs.collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).trim.replaceAll("\\s+", " ").split(" ").length)
+        .toMap
+      val longPlanted = planted.filter { case (a, b) =>
+        bodyToks(a) >= 90 && bodyToks(b) >= 90
+      }
+      longPlanted shouldBe empty
+      // non-vacuous: the template really went in (some docs changed)
+      skewed(10).filter(col("text").startsWith("breaking news update"))
+        .count() should be > 0L
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("join_key_skew's diagnostic flags the planted >=100x hot key") {
     val counts = fact.groupBy("k").agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("total"),
