@@ -122,7 +122,12 @@ object ScaleBench {
     "ivf_nprobe_curve",
     // X-167: standing-index maintenance — train+assign grows with the
     // corpus, the batch side is the fixed variant fraction (n/17)
-    "ivf_maintenance")
+    "ivf_maintenance",
+    // round-10 additions: ann_family re-derives its persisted artifacts
+    // per invocation (train + assign + truth, each ~linear; the served
+    // sections are artifact scans); classifier_filter is one explode +
+    // one per-doc hash aggregate — the textbook linear shape
+    "ann_family", "classifier_filter")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
