@@ -63,11 +63,20 @@ object MemBench {
       }
     })
 
-    // codegen warmup off the clock (the Bench discipline)
+    // codegen warmup off the clock (the Bench discipline); fall back to
+    // the measured dir when the canonical small SF is absent, and say
+    // so — a silently skipped warmup puts codegen/JIT on the clock and
+    // corrupts the evidence this main exists to record
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else sfDir
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[mem] warmup $n failed (first pass unwarmed): ${e.getMessage}")
+      }
     }
 
     def settle(): Unit = Thread.sleep(800)
@@ -81,14 +90,25 @@ object MemBench {
           SparkEntry.queries(n)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[mem] $n FAILED: ${e.getMessage}")
-          failed ::= n; -1.0
+        } catch {
+          case oom: OutOfMemoryError =>
+            // the one verdict this main exists to catch — and the one
+            // state it must NOT keep measuring through: a post-OOM JVM
+            // has partially torn-down Spark state, so every later
+            // number would be garbage. Report and die nonzero.
+            System.err.println(s"[mem] $n OOM under ${heapMb}m heap")
+            println(s"""{"metric":"mem_total","heap_mb":$heapMb,"cpus":$cpus,"oom_query":"$n","sf":"$sfDir"}""")
+            throw oom
+          case e: Throwable =>
+            System.err.println(s"[mem] $n FAILED: ${e.getMessage}")
+            failed ::= n; -1.0
         }
       settle()
       println(f"""{"query":"$n","sec":$sec%.2f,"peak_task_exec_mb":${peak.get / 1e6}%.1f,"mem_spill_mb":${memSp.get / 1e6}%.1f,"disk_spill_mb":${diskSp.get / 1e6}%.1f}""")
     }
     println(s"""{"metric":"mem_total","heap_mb":$heapMb,"cpus":$cpus,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
+    // "zero OOM, rc=0" must be falsifiable: any failed query fails the RUN
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

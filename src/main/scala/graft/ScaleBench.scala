@@ -426,7 +426,11 @@ object ScaleBench {
     if (lo != hi) for (q <- queries) {
       val o = obs.filter(_.query == q)
       val (a, b) = (o.find(_.pct == lo).get, o.find(_.pct == hi).get)
-      def ratio(x: Double, y: Double): Double = if (x <= 0) 0.0 else y / x
+      // floor BOTH sides (the exponent-fit discipline): a 0-MB floor
+      // value must read as growth from ~0, never as ratio 0.00 — a
+      // generator whose shuffle GREW from zero is the opposite of flat
+      def ratio(x: Double, y: Double): Double =
+        math.max(y, 0.05) / math.max(x, 0.05)
       println(f"""{"query":"$q","skew_lo":$lo,"skew_hi":$hi,"write_mb_ratio":${ratio(a.writeMb, b.writeMb)}%.2f,"max_task_rows_ratio":${ratio(math.max(a.maxRows, 1L).toDouble, math.max(b.maxRows, 1L).toDouble)}%.2f}""")
     }
   }

@@ -41,21 +41,26 @@ object Multimodal {
   trait FrameDecoder extends Serializable {
     def frameCount(bytes: Array[Byte]): Int
     def frames(bytes: Array[Byte], dim: Int): Seq[Array[Long]]
+    /** Only the frames at `indices`, in that order — the stride-sample
+      * entry point: a sampler must never pay for the frames it drops
+      * (decode IS the dominant per-row cost of the sampling pass). */
+    def framesAt(bytes: Array[Byte], indices: Seq[Int], dim: Int): Seq[Array[Long]]
   }
 
   /** Strided frame sampling over REAL decoded frames — frame_sample's
     * (X-78) arithmetic (`0 until n by stride`) applied behind the
     * [[FrameDecoder]] seam: per sampled frame, the gray-pixel rows
     * (media_id, frame_no, i, p) that feed [[aHashPairs]] or any
-    * per-frame featurizer. Partition-local flatMap, no shuffle — the
-    * registered query's scale shape with the decoder made real. */
+    * per-frame featurizer. Partition-local flatMap, no shuffle, and
+    * only the SAMPLED frames are decoded (framesAt) — at stride s the
+    * decode cost is n/s frames, not n. */
   def sampledFramePixels(vids: Dataset[(Long, Array[Byte])], dim: Int,
       stride: Int, dec: FrameDecoder): DataFrame = {
     import vids.sparkSession.implicits._
     vids.flatMap { case (id, bytes) =>
-      val fs = dec.frames(bytes, dim)
-      (0 until fs.length by stride).flatMap { fn =>
-        fs(fn).zipWithIndex.map { case (p, i) => (id, fn, i, p) }
+      val idx = 0 until dec.frameCount(bytes) by stride
+      dec.framesAt(bytes, idx, dim).zip(idx).flatMap { case (px, fn) =>
+        px.zipWithIndex.map { case (p, i) => (id, fn, i, p) }
       }
     }.toDF("media_id", "frame_no", "i", "p")
   }
@@ -194,17 +199,24 @@ object Decoders {
     }
 
     /** Run `f` over a positioned ImageReader for `bytes`, disposing
-      * reader + stream afterwards. */
+      * reader + stream afterwards — INCLUDING when no installed reader
+      * accepts the payload (the quarantine path's common case: the
+      * stream must not leak its cache buffer on every garbage row). */
     private def withReader[A](bytes: Array[Byte])(
         f: javax.imageio.ImageReader => A): A = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "undecodable image payload")
-      val reader = readers.next()
-      reader.setInput(iis)
-      try f(reader)
-      finally { reader.dispose(); iis.close() }
+      var reader: javax.imageio.ImageReader = null
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable image payload")
+        reader = readers.next()
+        reader.setInput(iis)
+        f(reader)
+      } finally {
+        if (reader != null) reader.dispose()
+        iis.close()
+      }
     }
 
     def frameCount(bytes: Array[Byte]): Int =
@@ -218,6 +230,14 @@ object Decoders {
     def frames(bytes: Array[Byte], dim: Int): Seq[Array[Long]] =
       withReader(bytes) { reader =>
         (0 until reader.getNumImages(true)).map(i => grayOf(reader.read(i), dim))
+      }
+
+    /** Only the requested frames, decoded through ONE positioned
+      * reader — `ImageReader.read(i)` is random-access, so a stride
+      * sampler pays for n/stride decodes, not n. */
+    def framesAt(bytes: Array[Byte], indices: Seq[Int], dim: Int): Seq[Array[Long]] =
+      withReader(bytes) { reader =>
+        indices.map(i => grayOf(reader.read(i), dim))
       }
 
     def decode(bytes: Array[Byte], dim: Int): Array[Float] =

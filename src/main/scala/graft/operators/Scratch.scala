@@ -14,16 +14,25 @@ package graft.operators
   */
 object Scratch {
 
-  /** Create `tmpdir/graft_<prefix>_<token>/` and register it for
-    * recursive deletion at JVM exit. Returns the absolute path. */
-  def dir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-      s"graft_${prefix}_")
-    val f = p.toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
-    p.toString
-  }
+  // ONE directory per prefix per JVM (r10 review finding): repeated
+  // in-JVM invocations (ScaleBench warmup + 2 passes × 3 scales) reuse
+  // the same dir — every artifact write is mode("overwrite"), so disk
+  // stays bounded at one corpus-sized copy per prefix instead of
+  // accumulating seven. Cross-JVM uniqueness (the actual race surface:
+  // concurrent Verify/Bench processes) still comes from the random
+  // createTempDirectory token.
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `tmpdir/graft_<prefix>_<token>/`, created once per (JVM, prefix)
+    * and registered for recursive deletion at JVM exit. */
+  def dir(prefix: String): String =
+    dirs.computeIfAbsent(prefix, { p =>
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        s"graft_${p}_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(d.toFile)))
+      d.toString
+    })
 
   private def deleteRec(f: java.io.File): Unit = {
     val cs = f.listFiles()

@@ -68,6 +68,7 @@ class RetryDeterminismSpec extends SparkSpec {
       RetryFault.enabled.set(true)
       RetryFault.fired.set(0L)
       val retried = rows(mk(faulted(input)))
+      Thread.sleep(1000) // task-end events post asynchronously — drain
       withClue(s"$name: injection never fired — the property was not tested: ") {
         RetryFault.fired.get() should be > 0L
       }

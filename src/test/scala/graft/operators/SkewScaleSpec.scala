@@ -95,9 +95,11 @@ class SkewScaleSpec extends SparkSpec {
       // the template legitimately dominates — so recompute the exact
       // Jaccard for every planted pair in plain Scala and require it
       // to clear the threshold on its own merits
+      // EVERY pair new to the skewed run gets re-verified — including
+      // mixed (boiler, non-boiler) pairs, where a hot-shingle false
+      // positive would equally hide (r10 review finding)
       val isBoiler = (id: Long) => id % 100 < 10
-      val planted = (pairs10 -- pairs0)
-        .filter { case (a, b) => isBoiler(a) && isBoiler(b) }
+      val planted = pairs10 -- pairs0
       if (planted.nonEmpty) {
         val ids = planted.flatMap(p => Seq(p._1, p._2))
         val texts = skewed(10).filter(col("doc_id").isin(ids.toSeq: _*))
@@ -121,7 +123,7 @@ class SkewScaleSpec extends SparkSpec {
           r.getString(1).trim.replaceAll("\\s+", " ").split(" ").length)
         .toMap
       val longPlanted = planted.filter { case (a, b) =>
-        bodyToks(a) >= 90 && bodyToks(b) >= 90
+        isBoiler(a) && isBoiler(b) && bodyToks(a) >= 90 && bodyToks(b) >= 90
       }
       longPlanted shouldBe empty
       // non-vacuous: the template really went in (some docs changed)
