@@ -265,6 +265,60 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     }),
 
+    // X-170: character-level edit-distance near-dup verification — the
+    // FUZZY-MATCH member of the verify family (set Jaccard = minhash_lsh,
+    // vector cosine = tf_cosine_pairs, bit Hamming = simhash/aHash; edit
+    // distance is the record-linkage verifier those can't express:
+    // transpositions, in-place typos, and small splices all read as
+    // distance, not token churn). Candidates come from the SAME 16-hash
+    // 4x4 minhash banding as minhash_lsh — never all-pairs — and each
+    // candidate passes the Gravano et al. 2001 LENGTH FILTER before the
+    // quadratic DP runs: dist >= |len1 - len2| always (every indel moves
+    // length by 1), so sim >= 0.8 is impossible when 5*|len1 - len2| >
+    // maxlen and the filter prunes exactly those pairs at integer-compare
+    // cost. Verify = ONE built-in levenshtein per surviving pair (codegen,
+    // identical DP in DuckDB); normalized similarity is the exact integer
+    // (maxlen - dist)*10^6 DIV maxlen (maxlen <= doc chars, so the
+    // multiply is ~10^10 — far inside BIGINT) and the >= 0.8 gate is the
+    // cross-multiplied 5*(maxlen - dist) >= 4*maxlen, never a float.
+    // Scale shape: banding bounds candidates exactly as minhash_lsh; the
+    // DP cost per pair is bounded by the corpus's doc-length band and the
+    // length filter runs first; the normalized-text frame materializes
+    // once and feeds both join sides.
+    "edit_distance_pairs" -> ((s, d) => {
+      val sh = materialize(shingled(Tables.documents(s, d)))
+      val sig = minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s")))
+      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+      val stacked = banded.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_key")))
+      val pairs = stacked.as("x").join(stacked.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val txt = materialize(Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.norm(col("text")).as("t")))
+      pairs
+        .join(txt.as("a"), col("d1") === col("a.doc_id"))
+        .join(txt.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"),
+          length(col("a.t")).cast("long").as("len1"),
+          length(col("b.t")).cast("long").as("len2"),
+          col("a.t").as("t1"), col("b.t").as("t2"))
+        .withColumn("maxlen", greatest(col("len1"), col("len2")))
+        .filter(col("maxlen") > 0 &&
+          abs(col("len1") - col("len2")) * 5 <= col("maxlen"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .filter((col("maxlen") - col("dist")) * 5 >= col("maxlen") * 4)
+        .withColumn("sim_x1e6",
+          expr("(maxlen - dist) * 1000000L DIV maxlen"))
+        .select("d1", "d2", "len1", "len2", "dist", "sim_x1e6")
+        .orderBy("d1", "d2")
+    }),
+
     // Incremental near-dup probe (X-87): dedup a NEW batch against the
     // standing corpus index — the production posture for continuous
     // ingest. The index (signatures + band keys of everything seen) is
@@ -1394,6 +1448,57 @@ object DedupQueries extends QueryModule {
          |JOIN shh b ON p.d2 = b.doc_id
          |WHERE $jaccardSql >= 0.8
          |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    // X-170: minhash_lsh's signature/band/pair derivation verbatim,
+    // then the Gravano length filter + DuckDB's identical levenshtein
+    // DP; `//` mirrors Spark's DIV on the exact fixed-point similarity.
+    "edit_distance_pairs" -> {
+      val sigCols = (0 until MinHashK).map { i =>
+        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+      }.mkString(",\n       ")
+      val bandCols = (0 until 4).map { b =>
+        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+      }.mkString(",\n       ")
+      val stacked = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+        .mkString("\n      UNION ALL ")
+      s"""WITH $shSql,
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |FROM shh),
+         |bands AS (SELECT doc_id,
+         |       $bandCols
+         |FROM sig),
+         |stacked AS (
+         |      $stacked),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM stacked x JOIN stacked y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |txt AS (SELECT doc_id,
+         |               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |        FROM documents),
+         |cand AS (
+         |  SELECT p.d1, p.d2,
+         |         CAST(len(a.t) AS BIGINT) AS len1,
+         |         CAST(len(b.t) AS BIGINT) AS len2,
+         |         greatest(CAST(len(a.t) AS BIGINT), CAST(len(b.t) AS BIGINT)) AS maxlen,
+         |         a.t AS t1, b.t AS t2
+         |  FROM pairs p
+         |  JOIN txt a ON p.d1 = a.doc_id
+         |  JOIN txt b ON p.d2 = b.doc_id),
+         |verified AS (
+         |  SELECT d1, d2, len1, len2, maxlen,
+         |         CAST(levenshtein(t1, t2) AS BIGINT) AS dist
+         |  FROM cand
+         |  WHERE maxlen > 0 AND abs(len1 - len2) * 5 <= maxlen)
+         |SELECT d1, d2, len1, len2, dist,
+         |       (maxlen - dist) * 1000000 // maxlen AS sim_x1e6
+         |FROM verified
+         |WHERE (maxlen - dist) * 5 >= maxlen * 4
+         |ORDER BY d1, d2""".stripMargin
     },
 
     // Same signature/band derivation as minhash_lsh with the

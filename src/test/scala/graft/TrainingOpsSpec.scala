@@ -510,4 +510,71 @@ class TrainingOpsSpec extends SparkSpec {
     assert(s2 > 0 && s2 < s1)
     assert(s3 > 0 && s3 < s2)
   }
+
+  test("edit_distance_pairs matches a plain-Scala banding + Levenshtein DP") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(14), 16) % 1000000007L
+    val Mod = 1000000007L
+    val A = (0 until 16).map(i => (2L * i + 1) * 104729L % Mod)
+    val B = (0 until 16).map(i => (i + 1) * 7919L % Mod)
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j), prev(j - 1)) + 1,
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length).toLong
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " "))
+    val shingles = docs.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    // the SAME 16-hash signatures / 4x4 banding as minhash_lsh
+    val sigs = shingles.map { case (id, ss) =>
+      val hs = ss.toSeq.map(h)
+      id -> (0 until 16).map(i => hs.map(x => (A(i) * x + B(i)) % Mod).min)
+    }
+    val cand = sigs.flatMap { case (id, sig) =>
+      (0 until 4).map(b =>
+        (b, (0 until 4).map(r => sig(b * 4 + r)).mkString("-")) -> id)
+    }.groupMap(_._1)(_._2).values.flatMap { ids =>
+      val srt = ids.distinct.sorted
+      for (i <- srt.indices; j <- (i + 1) until srt.size) yield (srt(i), srt(j))
+    }.toSet
+    val txt = docs.toMap
+    val expected = cand.toSeq.sorted.flatMap { case (d1, d2) =>
+      val (t1, t2) = (txt(d1), txt(d2))
+      val (l1, l2) = (t1.length.toLong, t2.length.toLong)
+      val maxlen = math.max(l1, l2)
+      // Gravano length filter BEFORE the DP, then the exact sim gate
+      if (maxlen > 0 && math.abs(l1 - l2) * 5 <= maxlen) {
+        val dist = lev(t1, t2)
+        if ((maxlen - dist) * 5 >= maxlen * 4)
+          Some((d1, d2, l1, l2, dist, (maxlen - dist) * 1000000L / maxlen))
+        else None
+      } else None
+    }
+    val got = q("edit_distance_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldEqual expected
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, l1, l2, dist, sim) =>
+      // dist >= |len1 - len2| (every indel moves length by 1) — the
+      // inequality that makes the pre-DP length filter SOUND
+      assert(dist >= math.abs(l1 - l2))
+      assert(sim >= 800000L && sim <= 1000000L)
+    }
+  }
 }
