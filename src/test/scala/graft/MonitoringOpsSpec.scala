@@ -346,4 +346,36 @@ class MonitoringOpsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSeq
     got shouldEqual expected
   }
+
+  test("ks_drift matches a naive two-sample KS scan and both flag arms fire") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      s1 = srcs(i); s2 = srcs(j)
+      v1 = bySrc(s1); v2 = bySrc(s2)
+      n1 = v1.length.toLong; n2 = v2.length.toLong
+    } yield {
+      // naive: ECDF difference at every observed value of either sample
+      val dNum = (v1 ++ v2).distinct.map { x =>
+        math.abs(v1.count(_ <= x) * n2 - v2.count(_ <= x) * n1)
+      }.max
+      val reject = BigInt(dNum) * dNum * 1000000 >
+        BigInt(1844164) * (n1 + n2) * n1 * n2
+      (s1, s2, n1, n2, dNum, dNum * 1000000L / (n1 * n2), reject)
+    }).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("ks_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    got shouldEqual expected
+    // the 0.05 gate genuinely splits the pair set at this scale
+    assert(got.exists(_._7) && got.exists(!_._7))
+    // every statistic is a genuine nonzero deviation within [0, 1]
+    got.foreach { case (_, _, _, _, d, ks, _) =>
+      assert(d > 0 && ks >= 0 && ks <= 1000000L)
+    }
+  }
 }

@@ -195,6 +195,7 @@ class PlanAuditSpec extends SparkSpec {
       "centroid_outliers" -> 3,    // ≤8-row MATERIALIZED centroid frame in the cosine recompute (visible in both its consumers: sizes + top-k) + the ≤8-row cluster-sizes frame (training/assignment hints sit behind the two materializations)
       "ivf_nprobe_curve" -> 12,    // 3 probe arms × (≤8-row materialized centroids inside nearestClusters + the ≤10·nprobe probe set) × 2 consumers of the candidate frame (top-k + n_cand count) — every hinted frame bounded by seeds or the query load; truth/assignment hints sit behind their materializations
       "ivf_maintenance" -> 1,      // the 1-row load-totals frame over the MATERIALIZED 8-row report (the centroid hints in both assignment arms sit behind that materialization)
+      "ks_drift" -> 4,             // |sources|-row distinct frame on the ECDF grid cross (re-embedded through BOTH sides of the pair self-join) + the |sources|-row totals frame on both pair sides — every hinted frame catalog-constant-bounded
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
