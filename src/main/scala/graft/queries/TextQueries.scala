@@ -252,6 +252,69 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    // X-172: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004)
+    // — the KEYWORD op beside the collocation op (X-109 ranks PAIRS by
+    // observed-over-expected; TextRank ranks single words by stationary
+    // importance on the co-occurrence graph, the PageRank recipe on
+    // text). Graph: words as nodes, symmetric edges between ADJACENT
+    // distinct tokens weighted by corpus co-occurrence count (window
+    // W=2 — the paper's default unit, here corpus-level keyword mining
+    // so counts aggregate over all docs). The weighted-PageRank
+    // iteration S(v) = (1−d)/|V| + d·Σ S(u)·w(u,v)/wdeg(u) runs with
+    // d = 0.85 in EXACT integer arithmetic (the link_pagerank
+    // discipline): scores ×10⁹ fixed point, per-edge transition
+    // probabilities pre-normalized ONCE into ×10⁶ fixed point (w·10⁶
+    // DIV wdeg — keeps the per-round multiply s·p ≤ 10¹⁵, far inside
+    // BIGINT; a 100 TB corpus where w·10⁶ outgrows BIGINT widens the
+    // one-time normalization to DECIMAL(38,0), same plan), 3 unrolled
+    // rounds, every div truncation mirrored by the oracle's `//`.
+    // Tokens never adjacent to a DIFFERENT token carry no
+    // recommendation evidence and are outside the graph (the paper's
+    // definition). Scale shape: one corpus-linear bigram aggregate,
+    // then everything runs on the |V|-bounded vocabulary frame —
+    // per round ONE key join + one hash aggregate, per-round score
+    // frames materialized (each feeds the next join), 1-row node-count
+    // frame broadcast; top-10 via global sort+limit = TakeOrdered.
+    "textrank_keywords" -> ((s, d) => {
+      val Scale = 1000000000L // score fixed point ×10⁹
+      val PFx = 1000000L      // transition-probability fixed point ×10⁶
+      val big = Tables.documents(s, d)
+        .select(explode(ngrams(tokens(norm(col("text"))), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val und = big.select(col("w1").as("u"), col("w2").as("v"))
+        .union(big.select(col("w2").as("u"), col("w1").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val wdeg = graft.operators.Dedup.materialize(
+        und.groupBy("u").agg(sum(col("w")).as("wdeg")))
+      val edges = graft.operators.Dedup.materialize(
+        und.join(wdeg, "u")
+          .select(col("u"), col("v"), expr(s"(w * $PFx) div wdeg").as("p_fx")))
+      val nodes = graft.operators.Dedup.materialize(
+        edges.select(col("u").as("token")).distinct())
+      val stats = nodes.agg(count(lit(1)).as("nv"))
+      def iterate(rIn: DataFrame): DataFrame = {
+        val r = graft.operators.Dedup.materialize(rIn)
+        val contrib = edges.join(r, edges("u") === r("token"))
+          .select(col("v"), expr(s"(sc * p_fx) div $PFx").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("csum"))
+        nodes.crossJoin(broadcast(stats))
+          .join(contrib, nodes("token") === contrib("v"), "left_outer")
+          .select(nodes("token"),
+            expr(s"($Scale div nv) * 15 div 100 " +
+              "+ coalesce(csum, 0L) * 85 div 100").as("sc"))
+      }
+      val r0 = nodes.crossJoin(broadcast(stats))
+        .select(col("token"), expr(s"$Scale div nv").as("sc"))
+      val r3 = iterate(iterate(iterate(r0)))
+      r3.join(wdeg, r3("token") === wdeg("u"))
+        .select(col("token"), col("wdeg"), col("sc").as("score_fx"),
+          (col("sc").cast("double") / Scale).as("score"))
+        .orderBy(col("score_fx").desc, col("token"))
+        .limit(10)
+    }),
+
     // PMI collocation mining (X-109): the phrase-extraction pass a
     // tokenizer/data-curation pipeline runs to find multi-word units —
     // rank bigrams by observed-over-expected frequency. PMI =
@@ -1784,6 +1847,43 @@ object TextQueries extends QueryModule {
          |JOIN uc ua ON split_part(bigram, ' ', 1) = ua.w
          |JOIN uc ub ON split_part(bigram, ' ', 2) = ub.w, tot
          |ORDER BY pmi_ratio_fx DESC, bigram LIMIT 20""".stripMargin,
+
+    // X-172: same co-occurrence graph + 3 unrolled weighted-PageRank
+    // rounds; every `//` mirrors a Spark DIV truncation site.
+    "textrank_keywords" -> {
+      def roundSql(prev: String, cn: String, rn: String) =
+        s"""$cn AS (SELECT e.v, CAST(sum((r.sc * e.p_fx) // 1000000) AS BIGINT) AS csum
+           |       FROM edges e JOIN $prev r ON e.u = r.token GROUP BY e.v),
+           |$rn AS (SELECT n.token,
+           |         CAST((1000000000 // st.nv) * 15 // 100
+           |              + COALESCE($cn.csum, 0) * 85 // 100 AS BIGINT) AS sc
+           |       FROM nodes n CROSS JOIN st
+           |       LEFT JOIN $cn ON n.token = $cn.v)""".stripMargin
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i:i+1])) AS p
+         |       FROM t),
+         |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM pr WHERE p[1] <> p[2]),
+         |und AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+         |          SELECT w1 AS u, w2 AS v FROM pairs
+         |          UNION ALL SELECT w2 AS u, w1 AS v FROM pairs)
+         |        GROUP BY u, v),
+         |wd AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM und GROUP BY u),
+         |edges AS (SELECT und.u, und.v,
+         |                 CAST((und.w * 1000000) // wd.wdeg AS BIGINT) AS p_fx
+         |          FROM und JOIN wd ON und.u = wd.u),
+         |nodes AS (SELECT DISTINCT u AS token FROM edges),
+         |st AS (SELECT count(*) AS nv FROM nodes),
+         |r0 AS (SELECT token, CAST(1000000000 // nv AS BIGINT) AS sc
+         |       FROM nodes CROSS JOIN st),
+         |${roundSql("r0", "c1", "r1")},
+         |${roundSql("r1", "c2", "r2")},
+         |${roundSql("r2", "c3", "r3")}
+         |SELECT r3.token, wd.wdeg, r3.sc AS score_fx,
+         |       CAST(r3.sc AS DOUBLE) / 1000000000 AS score
+         |FROM r3 JOIN wd ON r3.token = wd.u
+         |ORDER BY score_fx DESC, r3.token LIMIT 10""".stripMargin
+    },
 
     "stratified_sample" ->
       """WITH b AS (

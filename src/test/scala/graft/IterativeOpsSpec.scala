@@ -489,4 +489,46 @@ class IterativeOpsSpec extends SparkSpec {
     assert(got.count(_._5.isDefined) > n / 2)
     assert(got.exists(_._5.isEmpty))
   }
+
+  test("textrank_keywords matches a plain-Scala weighted-PageRank iteration") {
+    val Scale = 1000000000L
+    val PFx = 1000000L
+    val toksAll = Tables.documents(spark, sf)
+      .select("text").collect()
+      .map(_.getString(0).trim.replaceAll("\\s+", " ").split(" ").toSeq)
+    // symmetric co-occurrence counts over adjacent DISTINCT tokens
+    val und = toksAll
+      .flatMap(ts => ts.sliding(2).filter(p => p.size == 2 && p(0) != p(1)))
+      .flatMap(p => Seq((p(0), p(1)), (p(1), p(0))))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val wdeg = und.toSeq.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val pFx = und.map { case ((u, v), w) => (u, v) -> w * PFx / wdeg(u) }
+    val nodes = wdeg.keys.toSeq.sorted
+    val nv = nodes.length.toLong
+    var s = nodes.map(_ -> Scale / nv).toMap
+    for (_ <- 1 to 3) {
+      val contrib = pFx.toSeq
+        .groupMapReduce(_._1._2) { case ((u, _), p) => s(u) * p / PFx }(_ + _)
+      s = nodes.map(t =>
+        t -> ((Scale / nv) * 15 / 100 + contrib.getOrElse(t, 0L) * 85 / 100)).toMap
+    }
+    val expected = nodes.map(t => (t, wdeg(t), s(t), s(t).toDouble / Scale))
+      .sortBy(t => (-t._3, t._1)).take(10)
+    val got = SparkEntry.queries("textrank_keywords")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got shouldEqual expected
+    // scores genuinely separate (the graph is not regular) and total
+    // mass is conserved up to truncation dust — here the dominant dust
+    // term is the ONE-TIME ×10⁶ transition-probability truncation:
+    // Σ_v p_fx(u,·) undershoots PFx by up to outdeg(u), so each round
+    // loses ≤ Scale·maxOutdeg/PFx mass through the probabilities, plus
+    // ≤ 1 unit per edge/node div as in the link_pagerank bound
+    assert(got.map(_._3).distinct.size > 1)
+    val maxOutdeg = pFx.keys.toSeq.groupBy(_._1).values.map(_.size).max.toLong
+    val total = s.values.sum
+    total should be <= Scale
+    total should be >= (Scale -
+      3L * (Scale * maxOutdeg / PFx + pFx.size.toLong + 3L * nv))
+  }
 }

@@ -196,6 +196,7 @@ class PlanAuditSpec extends SparkSpec {
       "ivf_nprobe_curve" -> 12,    // 3 probe arms × (≤8-row materialized centroids inside nearestClusters + the ≤10·nprobe probe set) × 2 consumers of the candidate frame (top-k + n_cand count) — every hinted frame bounded by seeds or the query load; truth/assignment hints sit behind their materializations
       "ivf_maintenance" -> 1,      // the 1-row load-totals frame over the MATERIALIZED 8-row report (the centroid hints in both assignment arms sit behind that materialization)
       "ks_drift" -> 4,             // |sources|-row distinct frame on the ECDF grid cross (re-embedded through BOTH sides of the pair self-join) + the |sources|-row totals frame on both pair sides — every hinted frame catalog-constant-bounded
+      "textrank_keywords" -> 1,    // final round's 1-row node-count frame (earlier rounds' hints sit behind the per-round score materialization — the link_pagerank shape)
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
