@@ -252,6 +252,56 @@ object TextQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)),
 
+    // X-173: Heaps'-law vocabulary-growth curve — the corpus-size
+    // diagnostic beside the per-source datacard (X-156) and the drift
+    // tests: distinct-vocabulary count on growing corpus PREFIXES
+    // (Heaps 1978; sublinear V(N) ~ K·N^β is the law every tokenizer/
+    // capacity plan assumes — a curve that bends the wrong way signals
+    // template mass or corpus truncation). Prefixes are the 10 doc_id
+    // deciles by VALUE ((id−lo)·10 DIV span — exact, no quantile pass
+    // needed on dense ids; a sparse-id corpus would rank first); a
+    // token's first-occurrence decile is min(k) because the bucket is
+    // monotone in doc_id, so ONE vocabulary-bounded hash aggregate
+    // carries the whole vocabulary axis. Per decile: cumulative docs,
+    // token mass, distinct vocabulary, and the exact ×10⁶ vocabulary-
+    // per-token ratio (NULL on an empty prefix, mirrored). Scale
+    // shape: two corpus-linear aggregates (per-bucket doc stats +
+    // first-occurrence min), then prefix sums on the 10-row decile
+    // axis (allowlisted unpartitioned window — 10 rows by
+    // construction); the 1-row bounds frame broadcasts. Output 10 rows.
+    "heaps_law" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(norm(col("text"))).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          col("toks"))
+      val bounds = perDoc.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val bk = perDoc.crossJoin(broadcast(bounds))
+        .withColumn("k",
+          expr("((doc_id - lo) * 10) DIV (hi - lo + 1) + 1"))
+      val docAgg = bk.groupBy("k")
+        .agg(count(lit(1)).as("dd"), sum(col("n_toks")).as("tt"))
+      val vocAgg = bk.select(col("k"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(min(col("k")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("vv"))
+      val axis = bounds.select(explode(sequence(lit(1L), lit(10L))).as("k"))
+      val j = axis
+        .join(docAgg, Seq("k"), "left")
+        .join(vocAgg, Seq("k"), "left")
+        .na.fill(0L, Seq("dd", "tt", "vv"))
+      val w = Window.orderBy("k")
+      j.select(col("k"),
+          sum(col("dd")).over(w).as("n_docs"),
+          sum(col("tt")).over(w).as("n_tokens"),
+          sum(col("vv")).over(w).as("n_vocab"))
+        .crossJoin(broadcast(bounds))
+        .select(col("k"),
+          expr("lo - 1 + ((hi - lo + 1) * k) DIV 10").as("cutoff_id"),
+          col("n_docs"), col("n_tokens"), col("n_vocab"),
+          expr("CASE WHEN n_tokens = 0 THEN NULL " +
+            "ELSE (n_vocab * 1000000) DIV n_tokens END").as("vocab_per_mtok_fx"))
+        .orderBy("k")
+    }),
+
     // X-172: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004)
     // — the KEYWORD op beside the collocation op (X-109 ranks PAIRS by
     // observed-over-expected; TextRank ranks single words by stationary
@@ -1847,6 +1897,36 @@ object TextQueries extends QueryModule {
          |JOIN uc ua ON split_part(bigram, ' ', 1) = ua.w
          |JOIN uc ub ON split_part(bigram, ' ', 2) = ub.w, tot
          |ORDER BY pmi_ratio_fx DESC, bigram LIMIT 20""".stripMargin,
+
+    // X-173: same decile bucketing + prefix sums; `//` mirrors DIV,
+    // the empty-prefix ratio is NULL in both engines.
+    "heaps_law" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t),
+         |bd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM pd),
+         |bk AS (SELECT pd.doc_id, pd.n_toks, pd.toks,
+         |              ((pd.doc_id - bd.lo) * 10) // (bd.hi - bd.lo + 1) + 1 AS k
+         |       FROM pd, bd),
+         |da AS (SELECT k, CAST(count(*) AS BIGINT) AS dd,
+         |              CAST(sum(n_toks) AS BIGINT) AS tt
+         |       FROM bk GROUP BY k),
+         |fo AS (SELECT tok, min(k) AS k
+         |       FROM (SELECT k, unnest(toks) AS tok FROM bk) GROUP BY tok),
+         |va AS (SELECT k, CAST(count(*) AS BIGINT) AS vv FROM fo GROUP BY k),
+         |ax AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k),
+         |j AS (SELECT ax.k, COALESCE(da.dd, 0) AS dd, COALESCE(da.tt, 0) AS tt,
+         |             COALESCE(va.vv, 0) AS vv
+         |      FROM ax LEFT JOIN da ON ax.k = da.k LEFT JOIN va ON ax.k = va.k),
+         |c AS (SELECT k,
+         |             CAST(SUM(dd) OVER (ORDER BY k) AS BIGINT) AS n_docs,
+         |             CAST(SUM(tt) OVER (ORDER BY k) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(vv) OVER (ORDER BY k) AS BIGINT) AS n_vocab
+         |      FROM j)
+         |SELECT c.k, bd.lo - 1 + ((bd.hi - bd.lo + 1) * c.k) // 10 AS cutoff_id,
+         |       n_docs, n_tokens, n_vocab,
+         |       CASE WHEN n_tokens = 0 THEN NULL
+         |            ELSE (n_vocab * 1000000) // n_tokens END AS vocab_per_mtok_fx
+         |FROM c, bd ORDER BY c.k""".stripMargin,
 
     // X-172: same co-occurrence graph + 3 unrolled weighted-PageRank
     // rounds; every `//` mirrors a Spark DIV truncation site.

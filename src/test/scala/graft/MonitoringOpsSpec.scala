@@ -378,4 +378,39 @@ class MonitoringOpsSpec extends SparkSpec {
       assert(d > 0 && ks >= 0 && ks <= 1000000L)
     }
   }
+
+  test("heaps_law matches a naive prefix re-scan and the curve is monotone") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.replaceAll("\\s+", " ").split(" ").toSeq))
+    val lo = docs.map(_._1).min
+    val hi = docs.map(_._1).max
+    val span = hi - lo + 1
+    // naive: re-scan the WHOLE prefix per decile (the shape the
+    // distributed first-occurrence aggregate avoids)
+    val expected = (1L to 10L).map { k =>
+      val cutoff = lo - 1 + span * k / 10
+      val prefix = docs.filter(_._1 <= cutoff)
+      val nTokens = prefix.map(_._2.size.toLong).sum
+      val nVocab = prefix.flatMap(_._2).distinct.size.toLong
+      (k, cutoff, prefix.length.toLong, nTokens, nVocab,
+        if (nTokens == 0) None else Some(nVocab * 1000000L / nTokens))
+    }
+    val got = SparkEntry.queries("heaps_law")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSeq
+    got shouldEqual expected
+    // the curve is a genuine growth curve: docs/tokens/vocab all
+    // nondecreasing, the final decile covers the whole corpus, and
+    // vocabulary density falls as the corpus grows (Heaps' sublinearity
+    // — on this bounded-vocabulary corpus the decline is strict from
+    // the first to the last decile)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5)
+    }
+    assert(got.last._3 == docs.length.toLong)
+    assert(got.last._5 == docs.flatMap(_._2).distinct.size.toLong)
+    assert(got.head._6.get > got.last._6.get)
+  }
 }

@@ -197,6 +197,7 @@ class PlanAuditSpec extends SparkSpec {
       "ivf_maintenance" -> 1,      // the 1-row load-totals frame over the MATERIALIZED 8-row report (the centroid hints in both assignment arms sit behind that materialization)
       "ks_drift" -> 4,             // |sources|-row distinct frame on the ECDF grid cross (re-embedded through BOTH sides of the pair self-join) + the |sources|-row totals frame on both pair sides — every hinted frame catalog-constant-bounded
       "textrank_keywords" -> 1,    // final round's 1-row node-count frame (earlier rounds' hints sit behind the per-round score materialization — the link_pagerank shape)
+      "heaps_law" -> 3,            // 1-row bounds frame on the decile bucketing (re-embedded through the doc-stats AND first-occurrence consumers) + the final cutoff join — every hinted frame 1 row
     )
     val counts = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
@@ -230,7 +231,8 @@ class PlanAuditSpec extends SparkSpec {
       "budget_allocation",    // remainder rank over the ≤ |langs| per-language share rows
       "lateness_audit",       // exclusive prefix-max over the ≤ P per-partition maxima rows (the global_ids shape for a MAX monoid)
       "next_token_topk",      // top-20 context ranking: same Rank pre-pruned ≤ k × partitions input as stopword_strip/rrf_fusion
-      "abc_analysis"          // cumulative share over the ≤ |nations| aggregate rows
+      "abc_analysis",         // cumulative share over the ≤ |nations| aggregate rows
+      "heaps_law"             // prefix sums over the 10-row decile axis (10 rows by construction)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(iterative)
