@@ -127,7 +127,13 @@ object ScaleBench {
     // per invocation (train + assign + truth, each ~linear; the served
     // sections are artifact scans); classifier_filter is one explode +
     // one per-doc hash aggregate — the textbook linear shape
-    "ann_family", "classifier_filter")
+    "ann_family", "classifier_filter",
+    // X-170..X-173: edit_distance_pairs = the minhash band join's
+    // bounded candidates + a per-pair DP bounded by the doc-length
+    // band (the length filter prunes first); ks_drift / heaps_law are
+    // one corpus-linear aggregate each feeding catalog-bounded frames;
+    // textrank_keywords is one bigram aggregate + |V|-bounded rounds
+    "edit_distance_pairs", "ks_drift", "textrank_keywords", "heaps_law")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int): String = {
