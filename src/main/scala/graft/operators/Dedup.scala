@@ -96,6 +96,25 @@ object Dedup {
       concat(parts: _*).as(s"band$b")
     }
 
+  /** Symmetric banded candidate pairs from a 16-hash signature frame:
+    * 4×4 band keys, stacked (band_id, band_key) posting list, distinct
+    * (d1 < d2) band-collision pairs — minhash_lsh's derivation, shared
+    * by every symmetric banding consumer (minhash_lsh, minhash_est_err,
+    * edit_distance_pairs) so the banding geometry can only change in
+    * one place; the oracle-side twin is DedupQueries.symBandPairsSql. */
+  def bandCollisionPairs(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
+    val stacked = banded.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+        .as(Seq("band_id", "band_key")))
+    stacked.as("x").join(stacked.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Exact Jaccard over two distinct-element arrays, computed with
     * integer set sizes (|A∩B| / (|A|+|B|−|A∩B|)) so both engines derive
     * the double from identical ints. */

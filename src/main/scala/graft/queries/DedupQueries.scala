@@ -96,6 +96,42 @@ object DedupQueries extends QueryModule {
       |  UNION
       |  SELECT g.dst, cc.label FROM cc JOIN edges g ON cc.node = g.src)""".stripMargin
 
+  /** minhash_lsh's signature/band derivation as a CTE block (reads
+    * FROM shh — corpus-agnostic: lsh_recall splices it after a
+    * corpus-replaced shSql), shared verbatim by every banding oracle so
+    * the geometry can only change in one place; the Spark-side twin is
+    * [[graft.operators.Dedup.bandCollisionPairs]]. */
+  private lazy val sigBandStackedSql: String = {
+    val sigCols = (0 until MinHashK).map { i =>
+      s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
+    }.mkString(",\n       ")
+    val bandCols = (0 until 4).map { b =>
+      s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
+    }.mkString(",\n       ")
+    val stacked = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
+      .mkString("\n      UNION ALL ")
+    s"""sig AS (SELECT doc_id,
+       |       $sigCols
+       |FROM shh),
+       |bands AS (SELECT doc_id,
+       |       $bandCols
+       |FROM sig),
+       |stacked AS (
+       |      $stacked)""".stripMargin
+  }
+
+  /** Symmetric distinct (d1 < d2) band-collision pairs over
+    * [[sigBandStackedSql]] — the candidate CTE minhash_lsh,
+    * minhash_est_err, and edit_distance_pairs share. */
+  private lazy val symBandPairsSql: String =
+    s"""$sigBandStackedSql,
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM stacked x JOIN stacked y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+
   private val jaccardSql =
     "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
 
@@ -246,16 +282,7 @@ object DedupQueries extends QueryModule {
       val sh = materialize(shingled(Tables.documents(s, d)))
       val sig = minhashSigAgg(
         sh.select(col("doc_id"), explode(col("ss")).as("s")))
-      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
-      val stacked = banded.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
-          .as(Seq("band_id", "band_key")))
-      val pairs = stacked.as("x").join(stacked.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
+      val pairs = bandCollisionPairs(sig)
       pairs
         .join(sh.select(col("doc_id"), col("ss")).as("a"), col("d1") === col("a.doc_id"))
         .join(sh.select(col("doc_id"), col("ss")).as("b"), col("d2") === col("b.doc_id"))
@@ -285,20 +312,15 @@ object DedupQueries extends QueryModule {
     // DP cost per pair is bounded by the corpus's doc-length band and the
     // length filter runs first; the normalized-text frame materializes
     // once and feeds both join sides.
+    // ORACLE-PARITY LIMIT: Spark's levenshtein counts Unicode
+    // codepoints while DuckDB's counts UTF-8 bytes, so the hash compare
+    // holds only on ASCII text (this corpus is 100% ASCII — pinned by
+    // the spec). On a multilingual corpus the Spark side is the engine
+    // of record; the oracle would need a byte-length preprocess.
     "edit_distance_pairs" -> ((s, d) => {
       val sh = materialize(shingled(Tables.documents(s, d)))
-      val sig = minhashSigAgg(
-        sh.select(col("doc_id"), explode(col("ss")).as("s")))
-      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
-      val stacked = banded.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
-          .as(Seq("band_id", "band_key")))
-      val pairs = stacked.as("x").join(stacked.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
+      val pairs = bandCollisionPairs(minhashSigAgg(
+        sh.select(col("doc_id"), explode(col("ss")).as("s"))))
       val txt = materialize(Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.norm(col("text")).as("t")))
       pairs
@@ -828,16 +850,7 @@ object DedupQueries extends QueryModule {
       // verification joins) — same 3-consumer materialize policy as sh
       val sig = materialize(minhashSigAgg(
         sh.select(col("doc_id"), explode(col("ss")).as("s"))))
-      val banded = sig.select(col("doc_id") +: bandKeys(bands = 4, rows = 4): _*)
-      val stacked = banded.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
-          .as(Seq("band_id", "band_key")))
-      val pairs = stacked.as("x").join(stacked.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
+      val pairs = bandCollisionPairs(sig)
       val matches = (0 until MinHashK)
         .map(i => when(col(s"sx.mh$i") === col(s"sy.mh$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -1153,25 +1166,9 @@ object DedupQueries extends QueryModule {
     * sig/band/stacked recipe with its asymmetric probe join, X-157's
     * best-match rule, and X-108's manifest digests. */
   private lazy val ingestOracle = {
-    val sigCols = (0 until MinHashK).map { i =>
-      s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-    }.mkString(",\n       ")
-    val bandCols = (0 until 4).map { b =>
-      s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-    }.mkString(",\n       ")
-    val stacked = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-      .mkString("\n      UNION ALL ")
     s"""WITH RECURSIVE $shSql,
        |$assignIdxCcSql,
-       |sig AS (SELECT doc_id,
-       |       $sigCols
-       |FROM shh),
-       |bands AS (SELECT doc_id,
-       |       $bandCols
-       |FROM sig),
-       |stacked AS (
-       |      $stacked),
+       |$sigBandStackedSql,
        |mp AS (
        |  SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_idx
        |  FROM stacked x JOIN stacked y
@@ -1416,67 +1413,25 @@ object DedupQueries extends QueryModule {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "minhash_lsh" -> {
-      val sigCols = (0 until MinHashK).map { i =>
-        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-      }.mkString(",\n       ")
-      // `||` mirrors Spark-side concat: null components null the key
-      // (concat_ws would silently drop them and collapse band keys)
-      val bandCols = (0 until 4).map { b =>
-        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-      }.mkString(",\n       ")
-      val stacked = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-        .mkString("\n      UNION ALL ")
+    // `||` in the shared band keys mirrors Spark-side concat: null
+    // components null the key (concat_ws would silently drop them and
+    // collapse band keys).
+    "minhash_lsh" ->
       s"""WITH $shSql,
-         |sig AS (SELECT doc_id,
-         |       $sigCols
-         |FROM shh),
-         |bands AS (SELECT doc_id,
-         |       $bandCols
-         |FROM sig),
-         |stacked AS (
-         |      $stacked),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM stacked x JOIN stacked y
-         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id)
+         |$symBandPairsSql
          |SELECT p.d1, p.d2, $jaccardSql AS jac
          |FROM pairs p
          |JOIN shh a ON p.d1 = a.doc_id
          |JOIN shh b ON p.d2 = b.doc_id
          |WHERE $jaccardSql >= 0.8
-         |ORDER BY p.d1, p.d2""".stripMargin
-    },
+         |ORDER BY p.d1, p.d2""".stripMargin,
 
     // X-170: minhash_lsh's signature/band/pair derivation verbatim,
     // then the Gravano length filter + DuckDB's identical levenshtein
     // DP; `//` mirrors Spark's DIV on the exact fixed-point similarity.
-    "edit_distance_pairs" -> {
-      val sigCols = (0 until MinHashK).map { i =>
-        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-      }.mkString(",\n       ")
-      val bandCols = (0 until 4).map { b =>
-        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-      }.mkString(",\n       ")
-      val stacked = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-        .mkString("\n      UNION ALL ")
+    "edit_distance_pairs" ->
       s"""WITH $shSql,
-         |sig AS (SELECT doc_id,
-         |       $sigCols
-         |FROM shh),
-         |bands AS (SELECT doc_id,
-         |       $bandCols
-         |FROM sig),
-         |stacked AS (
-         |      $stacked),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM stacked x JOIN stacked y
-         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id),
+         |$symBandPairsSql,
          |txt AS (SELECT doc_id,
          |               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
          |        FROM documents),
@@ -1498,30 +1453,13 @@ object DedupQueries extends QueryModule {
          |       (maxlen - dist) * 1000000 // maxlen AS sim_x1e6
          |FROM verified
          |WHERE (maxlen - dist) * 5 >= maxlen * 4
-         |ORDER BY d1, d2""".stripMargin
-    },
+         |ORDER BY d1, d2""".stripMargin,
 
     // Same signature/band derivation as minhash_lsh with the
     // asymmetric batch→index join condition.
-    "minhash_incremental" -> {
-      val sigCols = (0 until MinHashK).map { i =>
-        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-      }.mkString(",\n       ")
-      val bandCols = (0 until 4).map { b =>
-        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-      }.mkString(",\n       ")
-      val stacked = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-        .mkString("\n      UNION ALL ")
+    "minhash_incremental" ->
       s"""WITH $shSql,
-         |sig AS (SELECT doc_id,
-         |       $sigCols
-         |FROM shh),
-         |bands AS (SELECT doc_id,
-         |       $bandCols
-         |FROM sig),
-         |stacked AS (
-         |      $stacked),
+         |$sigBandStackedSql,
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_idx
          |  FROM stacked x JOIN stacked y
@@ -1532,8 +1470,7 @@ object DedupQueries extends QueryModule {
          |JOIN shh a ON p.d_new = a.doc_id
          |JOIN shh b ON p.d_idx = b.doc_id
          |WHERE $jaccardSql >= 0.5
-         |ORDER BY p.d_new, p.d_idx""".stripMargin
-    },
+         |ORDER BY p.d_new, p.d_idx""".stripMargin,
 
     // Same shSql shingles; df = 1 membership and the ×10⁶ integer
     // ratio mirror the Spark side; the left join keeps shingle-less
@@ -1585,15 +1522,6 @@ object DedupQueries extends QueryModule {
     // stays the ONE shared fragment (it cannot drift — the replace
     // only changes the source table name).
     "lsh_recall" -> {
-      val sigCols = (0 until MinHashK).map { i =>
-        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-      }.mkString(",\n       ")
-      val bandCols = (0 until 4).map { b =>
-        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-      }.mkString(",\n       ")
-      val stacked = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-        .mkString("\n      UNION ALL ")
       val shOnCorpus = shSql.replace("FROM documents)", "FROM corpus)")
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -1617,14 +1545,7 @@ object DedupQueries extends QueryModule {
          |            CAST(common * 10 // (n1 + n2 - common) AS BIGINT) AS bucket
          |          FROM p
          |          WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5),
-         |sig AS (SELECT doc_id,
-         |       $sigCols
-         |FROM shh),
-         |bands AS (SELECT doc_id,
-         |       $bandCols
-         |FROM sig),
-         |stacked AS (
-         |      $stacked),
+         |$sigBandStackedSql,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM stacked x JOIN stacked y
@@ -1698,32 +1619,11 @@ object DedupQueries extends QueryModule {
     // Same signature/band/pair derivation as minhash_lsh, then the
     // component-match estimate beside the exact Jaccard.
     "minhash_est_err" -> {
-      val sigCols = (0 until MinHashK).map { i =>
-        s"list_min(list_transform(hs, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % 1000000007)) AS mh$i"
-      }.mkString(",\n       ")
-      val bandCols = (0 until 4).map { b =>
-        s"${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '-' || ")} AS band$b"
-      }.mkString(",\n       ")
-      val stacked = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS band_key FROM bands")
-        .mkString("\n      UNION ALL ")
       val matches = (0 until MinHashK)
         .map(i => s"CASE WHEN sx.mh$i = sy.mh$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $shSql,
-         |sig AS (SELECT doc_id,
-         |       $sigCols
-         |FROM shh),
-         |bands AS (SELECT doc_id,
-         |       $bandCols
-         |FROM sig),
-         |stacked AS (
-         |      $stacked),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM stacked x JOIN stacked y
-         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id),
+         |$symBandPairsSql,
          |m AS (
          |  SELECT p.d1, p.d2, CAST($matches AS INTEGER) AS mh_matches
          |  FROM pairs p

@@ -270,10 +270,13 @@ object TextQueries extends QueryModule {
     // axis (allowlisted unpartitioned window — 10 rows by
     // construction); the 1-row bounds frame broadcasts. Output 10 rows.
     "heaps_law" -> ((s, d) => {
-      val perDoc = Tables.documents(s, d)
+      // materialized: the tokenize feeds bounds, the per-bucket doc
+      // stats, AND the first-occurrence explode — unmaterialized it
+      // re-runs the corpus regex+split three times (the minhash sh rule)
+      val perDoc = graft.operators.Dedup.materialize(Tables.documents(s, d)
         .select(col("doc_id"), tokens(norm(col("text"))).as("toks"))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-          col("toks"))
+          col("toks")))
       val bounds = perDoc.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       val bk = perDoc.crossJoin(broadcast(bounds))
         .withColumn("k",
@@ -294,8 +297,12 @@ object TextQueries extends QueryModule {
           sum(col("tt")).over(w).as("n_tokens"),
           sum(col("vv")).over(w).as("n_vocab"))
         .crossJoin(broadcast(bounds))
+        // cutoff is the LAST doc_id bucket k covers: membership is
+        // (doc_id - lo)·10 < k·span, so the boundary is the CEILING
+        // lo + ⌈k·span/10⌉ − 1 (a floor here excludes a counted doc
+        // whenever k·span is not a multiple of 10)
         .select(col("k"),
-          expr("lo - 1 + ((hi - lo + 1) * k) DIV 10").as("cutoff_id"),
+          expr("lo - 1 + ((hi - lo + 1) * k + 9) DIV 10").as("cutoff_id"),
           col("n_docs"), col("n_tokens"), col("n_vocab"),
           expr("CASE WHEN n_tokens = 0 THEN NULL " +
             "ELSE (n_vocab * 1000000) DIV n_tokens END").as("vocab_per_mtok_fx"))
@@ -333,9 +340,14 @@ object TextQueries extends QueryModule {
         .select(split(col("bg"), " ").getItem(0).as("w1"),
           split(col("bg"), " ").getItem(1).as("w2"))
         .filter(col("w1") =!= col("w2"))
-      val und = big.select(col("w1").as("u"), col("w2").as("v"))
-        .union(big.select(col("w2").as("u"), col("w1").as("v")))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      // materialized: the corpus-linear bigram aggregate feeds BOTH the
+      // degree rollup and the edge normalization — unmaterialized each
+      // re-runs tokenize+ngrams over the corpus (twice each through the
+      // symmetrizing union)
+      val und = graft.operators.Dedup.materialize(
+        big.select(col("w1").as("u"), col("w2").as("v"))
+          .union(big.select(col("w2").as("u"), col("w1").as("v")))
+          .groupBy("u", "v").agg(count(lit(1)).as("w")))
       val wdeg = graft.operators.Dedup.materialize(
         und.groupBy("u").agg(sum(col("w")).as("wdeg")))
       val edges = graft.operators.Dedup.materialize(
@@ -1059,9 +1071,12 @@ object TextQueries extends QueryModule {
     // splits: 6/190 and 18/190 pairs reject, so both flag arms are
     // exercised at every scale.
     "ks_drift" -> ((s, d) => {
-      val cnt = Tables.documents(s, d)
+      // materialized: the one corpus-linear aggregate feeds srcs, vals,
+      // tot, the grid fill, and (through cum) BOTH sides of the pair
+      // self-join — unmaterialized each consumer re-embeds the scan
+      val cnt = graft.operators.Dedup.materialize(Tables.documents(s, d)
         .select(col("source"), col("n_chars").cast("long").as("v"))
-        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c")))
       val srcs = cnt.select("source").distinct()
       val vals = cnt.select("v").distinct()
       val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
@@ -1922,7 +1937,7 @@ object TextQueries extends QueryModule {
          |             CAST(SUM(tt) OVER (ORDER BY k) AS BIGINT) AS n_tokens,
          |             CAST(SUM(vv) OVER (ORDER BY k) AS BIGINT) AS n_vocab
          |      FROM j)
-         |SELECT c.k, bd.lo - 1 + ((bd.hi - bd.lo + 1) * c.k) // 10 AS cutoff_id,
+         |SELECT c.k, bd.lo - 1 + ((bd.hi - bd.lo + 1) * c.k + 9) // 10 AS cutoff_id,
          |       n_docs, n_tokens, n_vocab,
          |       CASE WHEN n_tokens = 0 THEN NULL
          |            ELSE (n_vocab * 1000000) // n_tokens END AS vocab_per_mtok_fx

@@ -388,9 +388,12 @@ class MonitoringOpsSpec extends SparkSpec {
     val hi = docs.map(_._1).max
     val span = hi - lo + 1
     // naive: re-scan the WHOLE prefix per decile (the shape the
-    // distributed first-occurrence aggregate avoids)
+    // distributed first-occurrence aggregate avoids); the boundary is
+    // the CEILING — the last doc_id whose bucket is ≤ k — so the
+    // re-scan agrees with the bucketing on ANY id span, not just
+    // spans divisible by 10
     val expected = (1L to 10L).map { k =>
-      val cutoff = lo - 1 + span * k / 10
+      val cutoff = lo - 1 + (span * k + 9) / 10
       val prefix = docs.filter(_._1 <= cutoff)
       val nTokens = prefix.map(_._2.size.toLong).sum
       val nVocab = prefix.flatMap(_._2).distinct.size.toLong
@@ -412,5 +415,21 @@ class MonitoringOpsSpec extends SparkSpec {
     assert(got.last._3 == docs.length.toLong)
     assert(got.last._5 == docs.flatMap(_._2).distinct.size.toLong)
     assert(got.head._6.get > got.last._6.get)
+  }
+
+  test("heaps_law bucket and cutoff formulas agree on every id span, not just multiples of 10") {
+    // the regression class: cutoff_id must be the LAST id whose decile
+    // bucket is <= k — a floor boundary excludes a counted doc whenever
+    // k·span is not a multiple of 10. Pure algebra over dense ids.
+    for (span <- 1L to 101L; lo <- Seq(0L, 7L)) {
+      val ids = lo until (lo + span)
+      for (k <- 1L to 10L) {
+        val byBucket = ids.count(id => (id - lo) * 10 / span + 1 <= k)
+        val cutoff = lo - 1 + (span * k + 9) / 10
+        val byCutoff = ids.count(_ <= cutoff)
+        assert(byBucket == byCutoff,
+          s"span=$span lo=$lo k=$k: bucket=$byBucket cutoff=$byCutoff")
+      }
+    }
   }
 }

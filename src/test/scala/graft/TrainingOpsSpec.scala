@@ -536,6 +536,13 @@ class TrainingOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " "))
+    // oracle-parity precondition: Spark levenshtein counts codepoints,
+    // DuckDB counts UTF-8 bytes — identical ONLY on ASCII. Pin it so a
+    // regenerated multilingual corpus fails here, not in a hash diff.
+    docs.foreach { case (id, t) =>
+      assert(t.forall(_ < 128), s"doc $id has non-ASCII text; the " +
+        "edit_distance_pairs oracle compare is only valid on ASCII")
+    }
     val shingles = docs.map { case (id, t) =>
       id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3)
         .map(_.mkString(" ")).toSet
