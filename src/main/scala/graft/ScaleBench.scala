@@ -133,6 +133,15 @@ object ScaleBench {
     // band (the length filter prunes first); ks_drift / heaps_law are
     // one corpus-linear aggregate each feeding catalog-bounded frames;
     // textrank_keywords is one bigram aggregate + |V|-bounded rounds
+    // NOTE edit_distance_pairs' linear classification is an assumption
+    // about the CORPUS, not the query shape: minhash band-collision
+    // candidates are worst-case quadratic on a duplicate-heavy or
+    // low-entropy corpus, and each surviving pair pays an O(len²) DP.
+    // It holds here because the generator's band buckets stay bounded
+    // (rotated replicas share no shingles; planted dup groups have
+    // size 2). A future corpus change that skews band buckets
+    // invalidates the classification — treat a super-linear fit as
+    // that, not as a bench regression.
     "edit_distance_pairs", "ks_drift", "textrank_keywords", "heaps_law")
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"

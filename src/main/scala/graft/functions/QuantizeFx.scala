@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * exactly the arithmetic of the HOF form (pinned in
   * DotProductFxSpec), so the DuckDB oracles are unchanged.
   *
+  * `maxAbs` (when finite) is the fixed-point ENVELOPE: an element with
+  * |x| > maxAbs fails fast with a named contract error instead of
+  * letting a downstream BIGINT dot/L2 accumulation overflow — under
+  * the session's ANSI default Spark would throw a cryptic
+  * ARITHMETIC_OVERFLOW deep in some later stage while DuckDB silently
+  * widens to HUGEINT, the engine-divergence class the r11 adversarial
+  * corpus (±10⁶ components) exposed in kcenter_seeds.
+  *
   * Null semantics: null input array → null (UnaryExpression default);
   * a null ELEMENT throws. Quantized arrays are never null-valued in
   * this codebase, but the HOF form (and DuckDB's list_transform in
@@ -31,7 +39,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * enforced guarantee (downstream native loops rely on it) rather than
   * an assumed one.
   */
-case class QuantizeFx(child: Expression, scale: Double)
+case class QuantizeFx(child: Expression, scale: Double,
+    maxAbs: Double = Double.PositiveInfinity)
     extends UnaryExpression {
 
   override def checkInputDataTypes()
@@ -62,6 +71,9 @@ case class QuantizeFx(child: Expression, scale: Double)
         throw new IllegalArgumentException(
           s"quantize_fx: null element at index $i (oracle list_transform would propagate NULL; refusing to coerce to 0)")
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (v > maxAbs || v < -maxAbs)
+        throw new IllegalArgumentException(
+          s"quantize_fx: |element| $v at index $i exceeds the fixed-point envelope ±$maxAbs — downstream BIGINT dot/L2 accumulation would overflow; normalize or clip embeddings upstream")
       out(i) = math.floor(v * scale).toLong
       i += 1
     }
@@ -73,6 +85,7 @@ case class QuantizeFx(child: Expression, scale: Double)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
       val get = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       s"""
          |int $n = $x.numElements();
@@ -83,7 +96,14 @@ case class QuantizeFx(child: Expression, scale: Double)
          |      "quantize_fx: null element at index " + $i +
          |      " (oracle list_transform would propagate NULL; refusing to coerce to 0)");
          |  }
-         |  $out[$i] = (long) java.lang.Math.floor($get * $scale);
+         |  double $v = $get;
+         |  ${if (maxAbs.isInfinite) "" else
+             s"""if ($v > ${maxAbs}D || $v < ${-maxAbs}D) {
+                |    throw new IllegalArgumentException(
+                |      "quantize_fx: |element| " + $v + " at index " + $i +
+                |      " exceeds the fixed-point envelope (see Similarity.MaxAbs); normalize or clip embeddings upstream");
+                |  }""".stripMargin}
+         |  $out[$i] = (long) java.lang.Math.floor($v * $scale);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -99,4 +119,8 @@ object QuantizeFx {
   /** Column-API form: floor(x · scale) per element, codegen'd. */
   def quantize_fx(a: Column, scale: Double): Column =
     column(QuantizeFx(expression(a), scale))
+
+  /** Envelope-enforcing form (see [[graft.operators.Similarity.MaxAbs]]). */
+  def quantize_fx(a: Column, scale: Double, maxAbs: Double): Column =
+    column(QuantizeFx(expression(a), scale, maxAbs))
 }

@@ -48,12 +48,46 @@ object Extraction {
   def extractEmail(c: Column): Column = firstMatch(c, emailPattern)
 
   /** F-3: first dot-delimited "sentence" containing the keyword,
-    * case-insensitive, stripped. The keyword is regex-quoted (`\Q…\E`) so
-    * metacharacters in `kw` are matched literally — the reference
-    * interpolates it raw, but its only call site is the literal "about us",
-    * for which quoting is behavior-identical. */
-  def sentenceNear(c: Column, kw: String): Column =
-    trim(firstMatch(c, s"(?i)[^.]*${java.util.regex.Pattern.quote(kw)}[^.]*"))
+    * case-insensitive, stripped — the text segment between the '.'
+    * immediately before and immediately after the first occurrence of
+    * `kw`, exactly the match of the reference's `[^.]*kw[^.]*` regex
+    * (leftmost start = segment start, greedy extent = segment end).
+    *
+    * Deliberately NOT that regex: `[^.]*kw[^.]*` is QUADRATIC in
+    * java.util.regex on a long dot-free document that lacks the
+    * keyword — every start position greedily consumes the rest of the
+    * text before failing, and the r11 adversarial megadoc (2.3 M
+    * chars, no '.') pinned executors in Pattern.CharPropertyGreedy for
+    * >700 s. The locate+substr form below is ONE linear pass, stays in
+    * whole-stage codegen, and is the shape that survives 100 TB of
+    * unvetted crawl text. (The DuckDB oracle keeps the literal regex:
+    * RE2 is a linear-time automaton, so the two sides stay both
+    * correct AND fast, and the sweep pins their agreement.)
+    *
+    * Case-insensitivity is lower()'s Unicode folding — like RE2's
+    * `(?i)`, unlike java.util.regex's ASCII-only default; the position
+    * arithmetic assumes folding preserves code-point counts in the
+    * text BEFORE the match (true except for oddities like İ→i̇, a
+    * documented boundary a crawled English keyword never hits). */
+  def sentenceNear(c: Column, kw: String): Column = {
+    val kwl = kw.toLowerCase
+    val lc = lower(c)
+    val p = locate(kwl, lc)                    // 1-based; 0 = absent
+    val pre = lc.substr(lit(1), p - 1)         // text strictly before kw
+    val revDot = locate(".", reverse(pre))
+    val q = when(revDot > 0, length(pre) - revDot + 1).otherwise(lit(0))
+    // first '.' AFTER the keyword span — not at p: a keyword containing
+    // literal dots (regex-quoted in the reference form) keeps them
+    // INSIDE the match, only dots outside the span delimit the
+    // sentence. kwLen in code points (locate/substr positions are
+    // code-point-based). Three-arg locate: the Column-position
+    // overload exists only in SQL.
+    val kwLen = kwl.codePointCount(0, kwl.length)
+    val rDot = call_function("locate", lit("."), lc, p + lit(kwLen))
+    val r = when(rDot > 0, rDot).otherwise(length(lc) + 1)
+    when(p === 0, lit(null).cast("string"))
+      .otherwise(trim(c.substr(q + 1, r - q - 1)))
+  }
 
   /** F-12: truncate with ellipsis at n chars. */
   def truncateEllipsis(c: Column, n: Int): Column =

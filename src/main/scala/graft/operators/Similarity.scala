@@ -27,6 +27,17 @@ object Similarity {
     * of precision for unit-range values, so quantization is faithful. */
   val Scale = 1e7
 
+  /** Fixed-point input envelope, ENFORCED at quantization: with
+    * |x| ≤ 16 every dim-64 BIGINT accumulation downstream stays exact —
+    * dot ≤ 64·(16·10⁷)² ≈ 1.6·10¹⁸ and squared-L2 diffs ≤
+    * 64·(32·10⁷)² ≈ 6.6·10¹⁸, both under 2⁶³ ≈ 9.2·10¹⁸. Real
+    * embeddings are unit-ish; a component past 16 is a corrupted
+    * encoder output, and the contract error at the scan beats an
+    * ARITHMETIC_OVERFLOW forty stages later (Spark/ANSI) or a silent
+    * HUGEINT widening (DuckDB) — the r11 adversarial sweep hit exactly
+    * that divergence with ±10⁶ components in kcenter_seeds. */
+  val MaxAbs = 16.0
+
   /** Quantize a float array to longs: floor(x · 1e7). Float→double is
     * exact; the product and floor round identically in both engines.
     * A native codegen'd expression ([[graft.functions.QuantizeFx]]) —
@@ -39,7 +50,7 @@ object Similarity {
     * 5k-vector table can't resolve these constants above noise; a
     * billion-vector scan lives in exactly this regime. */
   def quantize(arr: Column): Column =
-    graft.functions.QuantizeFx.quantize_fx(arr, Scale)
+    graft.functions.QuantizeFx.quantize_fx(arr, Scale, MaxAbs)
 
   /** Exact integer dot product of two quantized arrays — a native
     * codegen'd Catalyst expression ([[graft.functions.DotProductFx]]);

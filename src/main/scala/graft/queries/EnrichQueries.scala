@@ -69,16 +69,26 @@ object EnrichQueries extends QueryModule {
     // frame sampler.
     "frame_sample" -> ((s, d) => {
       val F = 32
+      // ONE linear `(?s).{F}` pass splits the payload into its
+      // consecutive F-char frames — each regex match consumes F code
+      // points with zero backtracking. The substr-per-exploded-frame
+      // form this replaces is O(offset) PER CALL (UTF8String indexes
+      // code points by scanning from byte 0), i.e. O(len²/F) per
+      // video: the r11 adversarial 2.3 M-char megadoc payload pinned
+      // an executor in UTF8String.substring for >10 min. Same fix
+      // mirrored in the oracle (DuckDB substr re-scans too).
       Multimodal.syntheticMedia(Tables.documents(s, d))
         .filter(col("kind") === "video")
         .select(col("media_id"), col("content").cast("string").as("payload"))
-        .withColumn("n_frames", (length(col("payload")) / F).cast("int"))
-        .filter(col("n_frames") > 0)
-        .select(col("media_id"), col("payload"),
-          explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_no"))
-        .withColumn("off", col("frame_no") * F + 1)
-        .select(col("media_id"), col("frame_no"), col("off"),
-          md5(col("payload").substr(col("off"), lit(F))).as("frame_h"))
+        .withColumn("frames",
+          expr(s"regexp_extract_all(payload, '(?s).{$F}', 0)"))
+        .filter(size(col("frames")) > 0)
+        .select(col("media_id"),
+          posexplode(col("frames")).as(Seq("frame_no", "frame")))
+        .filter(col("frame_no") % 2 === 0)
+        .select(col("media_id"), col("frame_no"),
+          (col("frame_no") * F + 1).as("off"),
+          md5(col("frame")).as("frame_h"))
         .orderBy("media_id", "frame_no")
     }),
 
@@ -198,15 +208,18 @@ object EnrichQueries extends QueryModule {
       "frame_sample" ->
         """WITH v AS (SELECT doc_id AS media_id, text AS payload
           |           FROM documents WHERE doc_id % 3 = 2),
-          |f AS (SELECT media_id, payload,
-          |             CAST(length(payload) // 32 AS INTEGER) AS n_frames
-          |      FROM v),
-          |s AS (SELECT media_id, payload,
-          |             CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_no
-          |      FROM f WHERE n_frames > 0)
-          |SELECT media_id, frame_no,
-          |       CAST(frame_no * 32 + 1 AS INTEGER) AS off,
-          |       md5(substr(payload, frame_no * 32 + 1, 32)) AS frame_h
+          |fr AS (SELECT media_id,
+          |              regexp_extract_all(payload, '(?s).{32}') AS frames
+          |       FROM v),
+          |s AS (SELECT media_id,
+          |             unnest(list_filter(
+          |               list_transform(frames,
+          |                 (f, i) -> struct_pack(f := f, i := i - 1)),
+          |               x -> (x.i % 2) = 0)) AS u
+          |      FROM fr WHERE len(frames) > 0)
+          |SELECT media_id, CAST(u.i AS INTEGER) AS frame_no,
+          |       CAST(u.i * 32 + 1 AS INTEGER) AS off,
+          |       md5(u.f) AS frame_h
           |FROM s ORDER BY media_id, frame_no""".stripMargin,
 
       // Same md5-chunk pixels, exact integer mean comparison, LSB-first

@@ -739,7 +739,7 @@ object EventQueries extends QueryModule {
         |       CAST(sum(CASE WHEN pts IS NULL
         |                       OR date_diff('millisecond', pts, ts) > 1800000
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-        |       CAST(sum(cents) AS BIGINT) AS value_cents,
+        |       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents,
         |       max(CASE WHEN rdesc = 1 THEN event_type END) AS last_type
         |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
 

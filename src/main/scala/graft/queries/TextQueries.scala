@@ -1096,7 +1096,14 @@ object TextQueries extends QueryModule {
           abs(col("c1") * col("t2.n") - col("c2") * col("t1.n")).as("num"))
         .groupBy("s1", "s2", "n1", "n2")
         .agg(max(col("num")).as("d_num"))
-        .withColumn("ks_x1e6", expr("d_num * 1000000L DIV (n1 * n2)"))
+        // DECIMAL(38,0) before the ×10⁶: a BIGINT multiply would wrap
+        // silently past n1·n2 ≈ 9.2e12 (Spark non-ANSI) while DuckDB
+        // errors — the one divergence class the reject_05 DECIMAL path
+        // already guards against. DIV on decimals is an exact BigDecimal
+        // quotient returning LongType, so the result column type is
+        // unchanged.
+        .withColumn("ks_x1e6",
+          expr("CAST(d_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2)"))
         .withColumn("reject_05",
           expr("""CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
                  | > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"""
@@ -1799,8 +1806,10 @@ object TextQueries extends QueryModule {
          |         / (CAST(n_src AS DOUBLE) * CAST(n_all - n_src AS DOUBLE)) AS l1
          |FROM agg ORDER BY source""".stripMargin,
 
-    // X-171: same exact-integer KS derivation; `//` mirrors Spark's
-    // DIV, DECIMAL(38,0) carries the squared-statistic decision.
+    // X-171: same exact-integer KS derivation; HUGEINT `//` mirrors
+    // Spark's DECIMAL DIV for ks_x1e6 (DECIMAL `//` would degrade to
+    // DOUBLE in DuckDB), DECIMAL(38,0) carries the squared-statistic
+    // decision.
     "ks_drift" ->
       """WITH pd AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
         |cnt AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
@@ -1826,7 +1835,8 @@ object TextQueries extends QueryModule {
         |  JOIN tot t2 ON b.source = t2.source
         |  GROUP BY a.source, b.source)
         |SELECT s1, s2, n1, n2, d_num,
-        |       d_num * 1000000 // (n1 * n2) AS ks_x1e6,
+        |       CAST(CAST(d_num AS HUGEINT) * 1000000
+        |            // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_x1e6,
         |       (CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000)
         |         > (CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2) AS reject_05
         |FROM agg ORDER BY s1, s2""".stripMargin,

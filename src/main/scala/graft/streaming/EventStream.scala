@@ -173,4 +173,33 @@ object EventStream {
         writeBatchIdempotent(batch, path, batchId)
       }
       .start()
+
+  /** K-1 literal-parity sink: mirror the standing accumulated rows into
+    * ONE `output.xlsx` after every micro-batch — the reference rewrites
+    * the whole workbook per enriched company (app.py:303-317); this is
+    * the same rewrite-on-progress semantics at batch granularity. The
+    * standing set lives in the idempotent parquet sink (exactly-once by
+    * batch_id-partition overwrite), and the workbook is DERIVED from it
+    * each batch, so a replayed batchId rewrites an identical workbook
+    * (idempotence inherited) and a crash between the parquet write and
+    * the xlsx rewrite self-heals on the next batch. Row order in the
+    * workbook is (batch_id, orderCols) — arrival order, then the
+    * caller's within-batch key, matching the reference's
+    * insertion-ordered sheet. The xlsx edge is driver-side and single-
+    * file by format design (see [[graft.sources.XlsxWrite]]); the
+    * distributed system of record stays the parquet directory. */
+  def xlsxMirrorSink(df: DataFrame, path: String, xlsxPath: String,
+      checkpoint: String, orderCols: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, path, batchId)
+        val standing = batch.sparkSession.read.parquet(path)
+          .orderBy(("batch_id" +: orderCols).map(col): _*)
+          .drop("batch_id")
+        graft.sources.XlsxWrite.write(standing, xlsxPath)
+        ()
+      }
+      .start()
 }

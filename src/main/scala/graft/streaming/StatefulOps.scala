@@ -26,8 +26,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * express the transition (reference anchor: the shared-dict progress
   * state of server.py:69-75). */
 object StatefulOps {
+  /** `value` is Option: real event streams carry null metrics (the r11
+    * adversarial corpus does), and a primitive Double field turns the
+    * typed conversion into NOT_NULL_ASSERT_VIOLATION at runtime. A
+    * null value contributes NOTHING to value_cents — the SQL-aggregate
+    * convention (SUM skips NULL), mirrored with COALESCE(...,0) in the
+    * oracle so an all-null user reads 0, like this fold's zero state. */
   case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
+      event_type: String, value: Option[Double])
   case class UserState(nEvents: Long, nSessions: Long, lastTsMs: Long,
       valueCents: Long, lastEventId: Long, lastType: String)
 
@@ -62,7 +68,7 @@ object StatefulOps {
         UserState(st.nEvents + 1,
           st.nSessions + (if (opens) 1L else 0L),
           math.max(tms, st.lastTsMs),
-          st.valueCents + cents(e.value),
+          st.valueCents + e.value.map(cents).getOrElse(0L),
           if (latest) e.event_id else st.lastEventId,
           if (latest) e.event_type else st.lastType)
       }

@@ -379,6 +379,35 @@ class MonitoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("ks_x1e6 decimal route is exact past the BIGINT wrap point") {
+    // r10 advice: d_num * 1000000L wraps once n1·n2 > ~9.2e12 (Spark
+    // non-ANSI wraps silently, DuckDB errors — an engine divergence).
+    // Assert the DECIMAL(38,0) DIV route used by ks_drift matches
+    // BigInt math on samples past that point, including d_num = n1·n2
+    // (ks = exactly 1e6) and the max corpus bound n1·n2 ≈ 1e16.
+    import spark.implicits._
+    val cases = Seq(
+      (99999999999999L, 10000000L, 10000000L), // 1e14, wraps as BIGINT
+      (100000000000000L, 10000000L, 10000000L), // d = n1·n2 exactly
+      (9999999999999999L, 100000000L, 100000000L), // 1e16 comment bound
+      (4611686018427387L, 67108864L, 68719476L)) // near 2^62/1000
+    val got = cases.toDF("d_num", "n1", "n2")
+      .selectExpr("CAST(d_num AS DECIMAL(38,0)) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS ks")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = cases.map { case (d, n1, n2) =>
+      (BigInt(d) * 1000000 / (BigInt(n1) * n2)).toLong }
+    got shouldEqual expected
+    // and the old BIGINT route really does fail on the first case —
+    // ARITHMETIC_OVERFLOW under ANSI (this session), silent wrap
+    // under non-ANSI; either way ≠ the exact value. The tripwire
+    // keeps this test honest if constants change.
+    val oldRoute = scala.util.Try(
+      Seq(cases.head).toDF("d_num", "n1", "n2")
+        .selectExpr("d_num * 1000000 DIV (n1 * n2) AS ks")
+        .collect().head.getLong(0))
+    assert(oldRoute.toOption != Some(expected.head))
+  }
+
   test("heaps_law matches a naive prefix re-scan and the curve is monotone") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -55,4 +55,34 @@ class QuantizeFxSpec extends SparkSpec {
       interp shouldEqual expected
     }
   }
+
+  test("the fixed-point envelope fails fast with a contract error, in both eval modes") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // a corrupted-encoder vector (the r11 adversarial ±1e6 case) must
+    // die AT THE SCAN with a named contract message, not 40 stages
+    // later as ARITHMETIC_OVERFLOW (Spark/ANSI) vs silent HUGEINT
+    // widening (DuckDB) — the engine-divergence class the envelope
+    // exists to close
+    def run(): Unit =
+      Seq(Seq(1e6f)).toDF("a")
+        .select(Similarity.quantize(col("a"))).collect()
+    val e = intercept[Exception](run())
+    val root = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(root.contains("fixed-point envelope"))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val e2 = intercept[Exception](run())
+      val root2 = Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(root2.contains("fixed-point envelope"))
+    }
+    // boundary values INSIDE the envelope pass untouched
+    val ok = Seq(Seq(Similarity.MaxAbs.toFloat, -Similarity.MaxAbs.toFloat))
+      .toDF("a").select(Similarity.quantize(col("a"))).collect().head.getSeq[Long](0)
+    ok shouldEqual Seq(
+      math.floor(Similarity.MaxAbs.toFloat.toDouble * Similarity.Scale).toLong,
+      math.floor(-Similarity.MaxAbs.toFloat.toDouble * Similarity.Scale).toLong)
+  }
 }

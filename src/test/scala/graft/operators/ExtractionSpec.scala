@@ -102,4 +102,75 @@ class ExtractionSpec extends SparkSpec {
     val r = out.collect()(0)
     (r.getString(0), r.getLong(1), r.isNullAt(2), r.isNullAt(3)) shouldBe ("x", 1L, true, true)
   }
+
+  test("F-3 locate form ≡ the reference regex on an exhaustive small-alphabet sweep") {
+    // the linear locate+substr implementation must return EXACTLY the
+    // group-0 match of the reference's `(?i)[^.]*\Qkw\E[^.]*` for every
+    // input — enumerate all strings up to length 7 over an alphabet
+    // with the keyword's letters, dots, spaces, and case variants
+    // (16k+ cases incl. multi-occurrence, kw-at-edges, adjacent dots)
+    val kw = "ab"
+    val rx = java.util.regex.Pattern.compile(
+      s"(?i)[^.]*${java.util.regex.Pattern.quote(kw)}[^.]*")
+    def ref(s: String): Option[String] = {
+      val m = rx.matcher(s)
+      if (m.find() && m.group(0).nonEmpty) Some(m.group(0).trim) else None
+    }
+    val alpha = "aAb. "
+    val cases = (0 to 7).flatMap { n =>
+      (0 until math.pow(alpha.length, n).toInt).map { k =>
+        var x = k
+        val sb = new StringBuilder
+        (0 until n).foreach { _ => sb.append(alpha(x % alpha.length)); x /= alpha.length }
+        sb.toString
+      }
+    }.distinct
+    val got = cases.toDF("t")
+      .select(Extraction.sentenceNear($"t", kw).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    cases.zip(got).foreach { case (c, g) =>
+      assert(g == ref(c), s"input ${c.map(ch => if (ch == ' ') '_' else ch)}: got $g, regex says ${ref(c)}")
+    }
+  }
+
+  test("F-3 a dot-containing keyword keeps its own dots inside the match (regex sweep)") {
+    val kw = "a.b"
+    val rx = java.util.regex.Pattern.compile(
+      s"(?i)[^.]*${java.util.regex.Pattern.quote(kw)}[^.]*")
+    def ref(s: String): Option[String] = {
+      val m = rx.matcher(s)
+      if (m.find() && m.group(0).nonEmpty) Some(m.group(0).trim) else None
+    }
+    val alpha = "ab. "
+    val cases = (0 to 8).flatMap { n =>
+      (0 until math.pow(alpha.length, n).toInt).map { k =>
+        var x = k
+        val sb = new StringBuilder
+        (0 until n).foreach { _ => sb.append(alpha(x % alpha.length)); x /= alpha.length }
+        sb.toString
+      }
+    }.distinct
+    val got = cases.toDF("t")
+      .select(Extraction.sentenceNear($"t", kw).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    cases.zip(got).foreach { case (c, g) =>
+      assert(g == ref(c), s"input ${c.map(ch => if (ch == ' ') '_' else ch)}: got $g, regex says ${ref(c)}")
+    }
+  }
+
+  test("F-3 stays linear on a dot-free megadoc (the r11 quadratic-regex regression)") {
+    // 2M chars, no '.', no keyword: the literal regex form pinned
+    // executors for >700 s here; the locate form must answer in
+    // bounded time. Generous wall-clock bound — this is a tripwire
+    // against reintroducing a backtracking scan, not a benchmark.
+    val mega = ("m" * 7 + " ") * 250000 // 2.0M chars
+    val t0 = System.nanoTime()
+    val out = Seq(mega, mega + " about us tail").toDF("t")
+      .select(Extraction.sentenceNear($"t", "about us").as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    out(0) shouldBe None
+    assert(out(1).get.endsWith("about us tail"))
+    assert(secs < 30.0, s"sentenceNear took $secs s on a 2M-char doc — quadratic scan reintroduced?")
+  }
 }

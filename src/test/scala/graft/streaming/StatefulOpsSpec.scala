@@ -67,8 +67,8 @@ class StatefulOpsSpec extends SparkSpec {
     // DESC, event_id DESC) does: id 42 'purchase' is the last event
     // even when id 41 'click' arrives in a later micro-batch
     val ts = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
-    val e42 = EvRow(42L, ts, 1L, "purchase", 1.0)
-    val e41 = EvRow(41L, ts, 1L, "click", 2.0)
+    val e42 = EvRow(42L, ts, 1L, "purchase", Some(1.0))
+    val e41 = EvRow(41L, ts, 1L, "click", Some(2.0))
     val oneShot = StatefulOps.fold(None, Seq(e41, e42))
     val split = StatefulOps.fold(Some(StatefulOps.fold(None, Seq(e42))), Seq(e41))
     split shouldEqual oneShot
