@@ -10,8 +10,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schema, not the layout, so nothing changes at 100 TB except the path.
   */
 object Tables {
+  /** Resolved-relation memo (r11, the plan-time item): every registered
+    * query calls these accessors, and an unmemoized `spark.read.parquet`
+    * pays a filesystem listing + parquet footer schema read + (for the
+    * fanned tables) a getContentSummary PER CALL — pure driver think
+    * time that the r9 plan-split measured at ~25-30% of the bench
+    * total and that grows with the registry, not the data. DataFrames
+    * are immutable, so handing every consumer the same resolved
+    * instance is safe; Catalyst still analyzes/optimizes each QUERY
+    * individually (those plans differ — only the leaf relation is
+    * shared). Keyed by session identity so spec-created sessions don't
+    * cross-contaminate; entries for stopped sessions are a few KB of
+    * plan objects, not executor resources. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // get + putIfAbsent, NOT computeIfAbsent: the fan/norm accessors
+  // memoize a value whose builder calls table() — a nested
+  // computeIfAbsent on the same map is "Recursive update" in CHM. The
+  // race this allows (two threads building the same relation once
+  // each) is benign: DataFrames are immutable and the loser's copy is
+  // dropped.
+  private def memoized(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (spark, dir, key)
+    val cached = memo.get(k)
+    if (cached != null) cached
+    else {
+      val v = build
+      val prev = memo.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memoized(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** CPU-dense fact tables fan out to the session's parallelism when
     * the file layout can't. Parquet can't split below a row group, so a
@@ -39,7 +71,8 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = fanOut(table(s, d, "lineitem"), s, d, "lineitem")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "lineitem#fan")(fanOut(table(s, d, "lineitem"), s, d, "lineitem"))
 
   /** `events.ts` has shipped as two physical types across testdata
     * generations, and every downstream operator assumes session-zoned
@@ -51,8 +84,10 @@ object Tables {
     // zone; Sessions.builder pins UTC, but an externally built session
     // reading a MICROS-NTZ dataset would silently shift instants
     // relative to the DuckDB oracle — re-assert alongside nanosAsLong.
+    // (The conf re-asserts stay OUTSIDE the memo on purpose; only the
+    // resolved frame is cached.)
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    normalizeTs(table(s, d, "events"))
+    memoized(s, d, "events#norm")(normalizeTs(table(s, d, "events")))
   }
 
   /** Normalize a `ts` column to TimestampType regardless of how the
@@ -79,7 +114,7 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    fanOut(table(s, d, "documents"), s, d, "documents")
+    memoized(s, d, "documents#fan")(fanOut(table(s, d, "documents"), s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    fanOut(table(s, d, "embeddings"), s, d, "embeddings")
+    memoized(s, d, "embeddings#fan")(fanOut(table(s, d, "embeddings"), s, d, "embeddings"))
 }

@@ -411,10 +411,16 @@ object Dedup {
     * (ties broken by doc_id), which both halves the candidate volume
     * and is lossless — for equal sizes either side's prefix must hit
     * the overlap, so probing from the smaller-id one suffices. */
-  def containmentPairs(docs: DataFrame, t: Double = 0.8): DataFrame = {
+  def containmentPairs(docs: DataFrame, t: Double = 0.8): DataFrame =
+    containmentPairsSized(materialize(shingled(docs)
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))), t)
+
+  /** [[containmentPairs]] over a pre-built `(doc_id, ss, n)` frame —
+    * the [[jaccardPairsSized]] factoring applied to the containment
+    * arm, so a composite consumer (dedup_method_matrix) shingles ONCE
+    * and feeds both AllPairs arms from the same materialized base. */
+  def containmentPairsSized(sized: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = materialize(shingled(docs)
-      .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
     val e = sized.select(col("doc_id"), col("n"), explode(col("ss")).as("s"))
     val dfreq = e.groupBy("s").agg(count(lit(1)).as("df"))
     // every occurrence ranked rarest-first (one window; exchange reuse

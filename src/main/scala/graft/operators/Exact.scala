@@ -64,8 +64,13 @@ object Exact {
     s"CAST(SUM(${sqlDec(ep)} * (1 - ${sqlDec(disc)})) AS DOUBLE)"
   def sqlCharge(ep: String, disc: String, tax: String): String =
     s"CAST(SUM(${sqlDec(ep)} * (1 - ${sqlDec(disc)}) * (1 + ${sqlDec(tax)})) AS DOUBLE)"
+  /** First operand widened to DECIMAL(24,2): DuckDB executes a
+    * (12,2)×(12,2) multiply on INT64 storage and OVERFLOWS once both
+    * operands pass ~10⁹ (the r11 adversarial 9999999999.99 balances) —
+    * the widened operand forces the INT128 path, matching Spark's
+    * (25,4) exact product. Same digits, same double. */
   def sqlDecSumSq(c: String): String =
-    s"CAST(SUM(${sqlDec(c)} * ${sqlDec(c)}) AS DOUBLE)"
+    s"CAST(SUM(CAST($c AS DECIMAL(24,2)) * ${sqlDec(c)}) AS DOUBLE)"
   def sqlDecSumProd(a: String, b: String): String =
-    s"CAST(SUM(${sqlDec(a)} * ${sqlDec(b)}) AS DOUBLE)"
+    s"CAST(SUM(CAST($a AS DECIMAL(24,2)) * ${sqlDec(b)}) AS DOUBLE)"
 }

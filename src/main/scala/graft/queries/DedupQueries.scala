@@ -19,13 +19,24 @@ object DedupQueries extends QueryModule {
   import Dedup._
 
   /** Shared SQL: normalized tokens → distinct 3-shingles → hashes. */
+  /** Linear n-gram text in DuckDB: `toks[i] || ' ' || toks[i+1] …`.
+    * The list-slice form (`toks[i:i+k]`) re-materializes per lambda
+    * element and turns every gram pass QUADRATIC in doc length
+    * (measured: 47 s for ONE 30k-token doc; the r11 adversarial
+    * 330k-token megadoc would be hours). Direct element indexing is
+    * O(k) per gram — same strings, same hashes, three orders of
+    * magnitude faster. Mirrored in TextQueries.gramSql. */
+  private[queries] def gramSql(k: Int): String =
+    (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+
   private[queries] val shSql =
-    """sh AS (
+    s"""sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(toks) - 1),
-      |           i -> array_to_string(toks[i:i+2], ' '))) AS ss
+      |           i -> ${gramSql(3)})) AS ss
       |  FROM (SELECT doc_id,
-      |               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+      |               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
       |        FROM documents)),
       |shh AS (
       |  SELECT doc_id, ss,
@@ -48,15 +59,26 @@ object DedupQueries extends QueryModule {
     docs
       .withColumn("toks",
         TextAnalysis.tokens(TextAnalysis.norm(coalesce(col("text"), lit("")))))
-      .withColumn("n_chunks",
-        (lit(1) + floor((greatest(size(col("toks")) - ParaP, lit(0)) + lit(ParaP - 1)) /
-          lit(ParaP.toDouble))).cast("int"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
-      .withColumn("chunk", slice(col("toks"), col("chunk_id") * ParaP + 1, lit(ParaP)))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("chunk")).as("clen"),
-        md5(concat_ws(" ", col("chunk"))).as("h"))
+      // posexplode TOKENS (one row per token), derive each token's
+      // chunk id, and rebuild chunks in a (doc_id, chunk_id) aggregate
+      // — the exact shape of the paraSql oracle. Two rejected forms,
+      // both r11 megadoc pathologies: explode-chunk-ids-then-slice
+      // copies the full `toks` array into every exploded row (O(len²/P)
+      // bytes — ~58 GB through one task at 330k tokens), and
+      // slice-inside-a-HOF gets the tokenize expression INLINED into
+      // the lambda by CollapseProject, re-running the regex split per
+      // chunk interpreted. Here each row carries ONE token and the
+      // shuffle is ∝ corpus tokens, the same scale class as every
+      // tokenize-aggregate in the engine; per-group state is ≤ P
+      // tokens. array_sort on (pos, tok) structs restores chunk order
+      // (collect_list order is not deterministic under retries).
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("chunk_id", (col("pos") / ParaP).cast("int"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).cast("int").as("clen"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("h"))
 
   /** SQL mirror of [[paraChunks]] — spliced into both X-161/X-162
     * oracles so the two cannot drift from each other. */
@@ -64,15 +86,13 @@ object DedupQueries extends QueryModule {
     """pt AS (SELECT doc_id,
       |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
       |       FROM documents),
-      |pd AS (SELECT doc_id, toks,
-      |         CAST(1 + (greatest(len(toks) - 15, 0) + 14) // 15 AS INTEGER) AS n_chunks
+      |pz AS (SELECT doc_id, unnest(toks) AS tok,
+      |              CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i
       |       FROM pt),
-      |pc AS (SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id
-      |       FROM pd),
-      |pch AS (SELECT doc_id, chunk_id,
-      |          CAST(len(toks[chunk_id*15+1 : chunk_id*15+15]) AS INTEGER) AS clen,
-      |          md5(array_to_string(toks[chunk_id*15+1 : chunk_id*15+15], ' ')) AS h
-      |        FROM pc)""".stripMargin
+      |pch AS (SELECT doc_id, CAST((i - 1) // 15 AS INTEGER) AS chunk_id,
+      |          CAST(count(*) AS INTEGER) AS clen,
+      |          md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      |        FROM pz GROUP BY doc_id, (i - 1) // 15)""".stripMargin
 
   /** Pair derivation (Jaccard ≥ 0.5, size-band prune) + recursive
     * min-label closure. Shared by the dedup_clusters oracle and
@@ -211,12 +231,18 @@ object DedupQueries extends QueryModule {
     s"""wt AS (SELECT doc_id,
        |         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
        |       FROM documents),
-       |wg AS (SELECT doc_id, CAST(len(toks) - ${WinK - 1} AS BIGINT) AS n_grams,
-       |         CAST(i AS BIGINT) AS pos,
-       |         CAST('0x' || substr(md5(array_to_string(
-       |           toks[CAST(i + 1 AS INTEGER):CAST(i + $WinK AS INTEGER)], ' ')), 1, 14)
+       |wz AS (SELECT doc_id, CAST(len(toks) - ${WinK - 1} AS BIGINT) AS n_grams,
+       |         unnest(toks) AS tok,
+       |         CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos
+       |       FROM wt),
+       |wg AS (SELECT doc_id, n_grams, pos,
+       |         CAST('0x' || substr(md5(
+       |           ${("tok" +: (1 until WinK).map(j => s"lead(tok, $j) OVER w"))
+                    .mkString(" || ' ' || ")}), 1, 14)
        |           AS BIGINT) % 1000000007 AS h
-       |       FROM wt, LATERAL unnest(range(0, greatest(len(toks) - ${WinK - 1}, 0))) r(i)),
+       |       FROM wz
+       |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |       QUALIFY pos < greatest(n_grams, 0)),
        |wc AS (SELECT doc_id, n_grams, pos,
        |         h * ${1L << WinPosBits} + (${(1L << WinPosBits) - 1} - pos) AS comb
        |       FROM wg),
@@ -529,8 +555,14 @@ object DedupQueries extends QueryModule {
       // it, and the k2 key costs a whole-corpus token array_sort —
       // without the cut each pass (and each side of its neighbor
       // self-join) would re-run the scan + normalization + sort.
+      // coalesce(text, ''): a NULL text yields NULL blocking keys, and
+      // the two engines rank nulls on OPPOSITE ends of a sort (Spark
+      // NULLS FIRST, DuckDB NULLS LAST) — the r11 NULL-text docs moved
+      // the neighbor windows by 9 pairs. '' blocks the unknown-text
+      // docs together at the sort front on BOTH engines.
       val base = materialize(Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.norm(col("text")).as("nt"))
+        .select(col("doc_id"),
+          TextAnalysis.norm(coalesce(col("text"), lit(""))).as("nt"))
         .select(col("doc_id"),
           substring(col("nt"), 1, 48).as("pfx"),
           substring(col("nt"), 1, 32).as("k1"),
@@ -554,7 +586,16 @@ object DedupQueries extends QueryModule {
             col("pfx").as("pb")), "rnk_b")
           .select(least(col("da"), col("db")).as("d1"),
             greatest(col("da"), col("db")).as("d2"),
-            levenshtein(col("pa"), col("pb")).as("dist"),
+            // the blocking diagnostic's distance is over the ASCII
+            // PROJECTION (non-ASCII → '?'): Spark's levenshtein counts
+            // code points, DuckDB's counts bytes, and the r11 unicode
+            // prefixes diverged by exactly that gap. After the fold
+            // both engines see identical single-byte strings, and a
+            // blocking-quality metric only needs a consistent ruler,
+            // not linguistic edit distance.
+            levenshtein(
+              regexp_replace(col("pa"), "[^\\x00-\\x7F]", "?"),
+              regexp_replace(col("pb"), "[^\\x00-\\x7F]", "?")).as("dist"),
             lit(flag).as("pass_bit"))
       }
       pass("k1", 1L).unionByName(pass("k2", 2L))
@@ -882,23 +923,34 @@ object DedupQueries extends QueryModule {
     // oracle spliced from the same oracle SQL); the tagged union is
     // MATERIALIZED once so the self-join doesn't re-run four dedup
     // pipelines per side; the 4×4 grid left-join keeps honest zeros.
-    // [Bench-accounting: re-derives the shared pairs+CC lineage from the
-    // corpus because registry entries are standalone; production composes
-    // from ONE persisted artifact — the REGISTERED X-159 `dedup_family`
-    // capstone, measured ~2.9× cheaper than the sum of its parts.]
+    // [Shared-artifact form since r11 (the r10 verdict's #2 bench line,
+    // 7.4 s of sibling re-execution): ONE materialized shingle base
+    // feeds both AllPairs arms (jaccard via jaccardPairsSized +
+    // connectedComponents, containment via containmentPairsSized) —
+    // the duplicated regex/shingle/df scans were the dominant cost.
+    // Results are row-identical to the sibling derivations by
+    // construction (same operators, same inputs; MethodMatrixSpec pins
+    // it), so the spliced matrixOracle is untouched. The simhash arm
+    // keeps its own token pass: it consumes token HASHES, not
+    // shingles, and its cost is one narrow scan.]
     "dedup_method_matrix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ex = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val sized = materialize(shingled(docs)
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
+      val ex = docs
         .select(col("doc_id"), md5(col("text")).as("h"))
         .withColumn("m0", min(col("doc_id")).over(Window.partitionBy("h")))
         .filter(col("doc_id") =!= col("m0")).select("doc_id")
-      val jr = defs("dedup_clusters")(s, d)
-        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val jr = connectedComponents(
+          jaccardPairsSized(sized, t = 0.5).select("d1", "d2"))
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
       val sr = defs("simhash_neardup")(s, d)
         .select(col("d2").as("doc_id")).distinct()
       // X-131's policy arm: remove the larger-id member of each
       // containment pair (the same convention as the simhash arm)
-      val cr = defs("containment_dup")(s, d)
+      val cr = containmentPairsSized(sized, t = 0.8)
         .select(col("d2").as("doc_id")).distinct()
       val tagged = graft.operators.Dedup.materialize(
         ex.withColumn("m", lit("exact"))
@@ -1329,7 +1381,7 @@ object DedupQueries extends QueryModule {
     // (the oracle need not scale), same pair canonicalization.
     "sorted_neighborhood" ->
       """WITH n AS (SELECT doc_id,
-        |             trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |             trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |           FROM documents),
         |k AS (SELECT doc_id, substr(nt, 1, 48) AS pfx,
         |             substr(nt, 1, 32) AS k1,
@@ -1345,7 +1397,9 @@ object DedupQueries extends QueryModule {
         |  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 3)
         |SELECT least(da, db) AS d1, greatest(da, db) AS d2,
         |       CAST(sum(pass) AS BIGINT) AS passes,
-        |       CAST(min(levenshtein(pa, pb)) AS INTEGER) AS pfx_dist
+        |       CAST(min(levenshtein(
+        |         regexp_replace(pa, '[^\x00-\x7f]', '?', 'g'),
+        |         regexp_replace(pb, '[^\x00-\x7f]', '?', 'g'))) AS INTEGER) AS pfx_dist
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same pair derivation as ngram_jaccard, then min-label transitive
@@ -1375,11 +1429,11 @@ object DedupQueries extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin,
 
     "substring_dup_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |b AS (SELECT doc_id,
         |        CAST(greatest(CAST(len(toks) AS INTEGER) - 19, 0) AS INTEGER) AS n_windows,
         |        list_transform(range(1, greatest(len(toks) - 19, CAST(0 AS BIGINT)) + 1),
-        |          i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+19], ' ')), 1, 14) AS BIGINT) % 1000000007) AS hs
+        |          i -> CAST('0x' || substr(md5(${gramSql(20)}), 1, 14) AS BIGINT) % 1000000007) AS hs
         |      FROM t),
         |g AS (SELECT doc_id, unnest(hs) AS h FROM b),
         |hdf AS (SELECT h FROM g GROUP BY h

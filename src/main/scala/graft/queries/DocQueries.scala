@@ -184,12 +184,33 @@ object DocQueries extends QueryModule {
         |            ELSE round(bytes / 1048576.0, 1) END AS size_value
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // NOT DuckDB's levenshtein(): it counts UTF-8 BYTES while Spark's
+    // counts code points — lev('src9','srç9') is 1 vs 2, the r11
+    // unicode source variants hash-diverged on exactly that. For
+    // maxDist = 1 the distance has a closed form over CODE-POINT
+    // substr/length (which DuckDB's string functions are):
+    // lev(a,b) ≤ 1 ⇔ |l1−l2| ≤ 1 ∧ lcp + lcsuffix ≥ max(l1,l2) − 1
+    // (two same-length edits cap lcp+lcs at l−2; a covering
+    // prefix+suffix at length-diff 1 IS a single indel). Distinct
+    // pair + lev ≤ 1 ⇒ dist = 1 exactly.
     "fuzzy_source_match" ->
-      """WITH s AS (SELECT DISTINCT source FROM documents)
-        |SELECT a.source AS s1, b.source AS s2,
-        |       CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
-        |FROM s a JOIN s b
-        |  ON a.source < b.source AND levenshtein(a.source, b.source) <= 1
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |p AS (SELECT a.source AS s1, b.source AS s2,
+        |             length(a.source) AS l1, length(b.source) AS l2
+        |      FROM s a JOIN s b ON a.source < b.source
+        |      WHERE abs(length(a.source) - length(b.source)) <= 1),
+        |m AS (SELECT s1, s2, l1, l2,
+        |        list_max(list_transform(range(0, least(l1, l2) + 1), q ->
+        |          CASE WHEN substr(s1, 1, CAST(q AS INTEGER))
+        |                 = substr(s2, 1, CAST(q AS INTEGER))
+        |               THEN q ELSE 0 END)) AS lcp,
+        |        list_max(list_transform(range(0, least(l1, l2) + 1), q ->
+        |          CASE WHEN substr(s1, CAST(l1 - q + 1 AS INTEGER), CAST(q AS INTEGER))
+        |                 = substr(s2, CAST(l2 - q + 1 AS INTEGER), CAST(q AS INTEGER))
+        |               THEN q ELSE 0 END)) AS lcs
+        |      FROM p)
+        |SELECT s1, s2, CAST(1 AS INTEGER) AS dist
+        |FROM m WHERE lcp + lcs >= greatest(l1, l2) - 1
         |ORDER BY s1, s2""".stripMargin,
 
     "extract_stats" ->

@@ -620,6 +620,18 @@ object EventQueries extends QueryModule {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 15).select("user_id")
 
+  /** The ONE props→k extraction both json oracles splice. The integer-
+    * shape regex is the r11 finding: DuckDB TRY_CAST('1.7' AS INTEGER)
+    * ROUNDS to 2 while Spark's from_json(IntegerType) nulls any
+    * non-integer JSON number — without the guard the two engines
+    * diverge on every float-valued k. json_valid screens malformed
+    * props first (json_extract on them errors in DuckDB), and
+    * TRY_CAST still nulls int32 overflow exactly like Spark. */
+  private val propsKSql =
+    """TRY_CAST(CASE WHEN json_valid(props)
+      |    AND regexp_matches(coalesce(json_extract_string(props, '$.k'), ''), '^-?[0-9]+$')
+      |  THEN json_extract_string(props, '$.k') END AS INTEGER)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // Null case mirrors Spark: to_json omits null struct fields → '{}'
     // (DuckDB's struct_pack would serialize {"k":null} instead).
@@ -628,23 +640,19 @@ object EventQueries extends QueryModule {
     // k yields k = NULL (and props_norm '{}') instead of aborting the
     // whole oracle run — the Spark side coalesces to the same '{}'.
     "json_flatten" ->
-      """WITH p AS (SELECT event_id, event_type,
-        |                  TRY_CAST(CASE WHEN json_valid(props)
-        |                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
-        |           FROM events)
-        |SELECT event_id, event_type, k,
-        |       CASE WHEN k IS NULL THEN '{}' ELSE to_json(struct_pack(k := k)) END AS props_norm
-        |FROM p ORDER BY event_id""".stripMargin,
+      s"""WITH p AS (SELECT event_id, event_type, $propsKSql AS k
+         |           FROM events)
+         |SELECT event_id, event_type, k,
+         |       CASE WHEN k IS NULL THEN '{}' ELSE to_json(struct_pack(k := k)) END AS props_norm
+         |FROM p ORDER BY event_id""".stripMargin,
 
     "json_props_agg" ->
-      """WITH p AS (SELECT event_type,
-        |                  TRY_CAST(CASE WHEN json_valid(props)
-        |                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
-        |           FROM events)
-        |SELECT event_type, count(*) AS n,
-        |       CAST(sum(k) AS BIGINT) AS sum_k,
-        |       min(k) AS min_k, max(k) AS max_k
-        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH p AS (SELECT event_type, $propsKSql AS k
+         |           FROM events)
+         |SELECT event_type, count(*) AS n,
+         |       CAST(sum(k) AS BIGINT) AS sum_k,
+         |       min(k) AS min_k, max(k) AS max_k
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_by_type" ->
       s"""SELECT event_type, count(*) AS n_events,
@@ -772,9 +780,12 @@ object EventQueries extends QueryModule {
         |        AND n_events * w > s1) AS is_spike
         |FROM wn ORDER BY hour, event_type""".stripMargin,
 
+    // k via the shared propsKSql splice: the unguarded
+    // json_extract_string ERRORS on malformed props in DuckDB (r11
+    // adversarial "{k:" rows) and a bare CAST rounds float k.
     "value_moments" ->
       s"""WITH e AS (SELECT event_type, value,
-         |             CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+         |             $propsKSql AS k
          |           FROM events),
          |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          |             ${Exact.sqlDecSum("value")} AS sx,

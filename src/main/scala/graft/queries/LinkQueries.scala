@@ -1354,11 +1354,21 @@ object LinkQueries extends QueryModule {
          |SELECT company, full_url, score, rk FROM ranked
          |WHERE rk <= 3 ORDER BY company, rk""".stripMargin,
 
+    // host validity mirrors Spark's parse_url (java.net.URI): an
+    // authority with an empty label (..), a non-ASCII char, or an
+    // underscore parses to NULL there — probed empirically r11 when
+    // the adversarial empty-string/unicode sources diverged. A plain
+    // regexp_extract would return the raw authority.
     "url_host" ->
-      s"""WITH cand AS ($candidatesSql)
-         |SELECT DISTINCT company, website,
-         |       regexp_extract(website, '^https?://([^/:]+)', 1) AS host
-         |FROM cand ORDER BY company""".stripMargin,
+      s"""WITH cand AS ($candidatesSql),
+         |h AS (SELECT DISTINCT company, website,
+         |             regexp_extract(website, '^https?://([^/:]+)', 1) AS rawhost
+         |      FROM cand)
+         |SELECT company, website,
+         |       CASE WHEN regexp_matches(rawhost,
+         |         '^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?)*$$')
+         |       THEN rawhost END AS host
+         |FROM h ORDER BY company""".stripMargin,
 
     "link_scan" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS link_idx,

@@ -389,8 +389,14 @@ object SimilarityQueries extends QueryModule {
       .withColumn("cos_c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
     val sizes = withCos.groupBy("cluster")
       .agg(count(lit(1)).as("n_cluster"), max(col("cos_c")).as("max_cos"))
+    // rank key COALESCE(cos, -2): a zero-norm member's cosine is NULL
+    // (undefined), and the two engines order nulls OPPOSITE ways in an
+    // ASC window (Spark NULLS FIRST, DuckDB NULLS LAST) — the r11
+    // zero-vector corpus surfaced exactly that divergence. -2 < any
+    // real cosine, so "similarity undefined" explicitly ranks as
+    // furthest-from-centroid on BOTH sides; the output cos stays NULL.
     graft.operators.Rank.topKPerGroup(withCos, 3, Seq("cluster"),
-        Seq(col("cos_c"), col("vec_id")))
+        Seq(coalesce(col("cos_c"), lit(-2.0)), col("vec_id")))
       .join(broadcast(sizes), "cluster")
       .select("cluster", "vec_id", "cos_c", "rk", "n_cluster", "max_cos")
   }
@@ -1533,7 +1539,7 @@ object SimilarityQueries extends QueryModule {
          |              max(cos_c) AS max_cos
          |       FROM wc GROUP BY cluster),
          |ro AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
-         |            ORDER BY cos_c, vec_id) AS INTEGER) AS rk
+         |            ORDER BY COALESCE(cos_c, -2.0), vec_id) AS INTEGER) AS rk
          |      FROM wc),
          |var0 AS (
          |  SELECT vec_id,
@@ -1677,7 +1683,7 @@ object SimilarityQueries extends QueryModule {
          |              max(cos_c) AS max_cos
          |       FROM wc GROUP BY cluster),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
-         |            ORDER BY cos_c, vec_id) AS INTEGER) AS rk
+         |            ORDER BY COALESCE(cos_c, -2.0), vec_id) AS INTEGER) AS rk
          |      FROM wc)
          |SELECT r.cluster, r.vec_id, r.cos_c, r.rk, sz.n_cluster, sz.max_cos
          |FROM r JOIN sz ON r.cluster = sz.cluster

@@ -997,13 +997,31 @@ object TextQueries extends QueryModule {
         .withColumn("n_chunks",
           (lit(1) + floor((greatest(col("n") - W, lit(0)) + lit(S - 1)) /
             lit(S.toDouble))).cast("int"))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
-        .withColumn("start_tok", col("chunk_id") * S + 1)
-        .withColumn("chunk", slice(col("toks"), col("start_tok"), lit(W)))
-        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-          size(col("chunk")).as("chunk_len"),
-          fingerprint(col("chunk")).as("chunk_fp"))
+        // posexplode tokens, emit each token's ≤ ⌈W/S⌉ covering chunk
+        // ids, rebuild chunks in a (doc_id, chunk_id) aggregate — the
+        // exact shape of the oracle (see paraChunks in DedupQueries
+        // for the two rejected per-chunk-slice forms, both O(len²)
+        // megadoc pathologies). 0-based pos p covers chunks
+        // ⌈(p+1−W)/S⌉ = ⌊(p−(W−S))/S⌋ .. ⌊p/S⌋, clamped to
+        // [0, n_chunks). `div` truncates while the identity needs
+        // floor, but the operand floor (p−(W−S)) ≥ −(W−S) keeps the
+        // two apart only on values the greatest(…,0) clamp absorbs.
+        // fingerprint() runs per GROUP on the order-restored ≤ W-token
+        // chunk — shared with doc_fingerprint, so the fold cannot
+        // drift.
+        .select(col("doc_id"), col("n_chunks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("chunk_id", explode(sequence(
+          greatest(expr(s"(pos - ${W - S}) div $S").cast("int"), lit(0)),
+          least(expr(s"pos div $S").cast("int"), col("n_chunks") - 1))))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).cast("int").as("chunk_len"),
+          fingerprint(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk_fp"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S + 1).as("start_tok"),
+          col("chunk_len"), col("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -1678,7 +1696,7 @@ object TextQueries extends QueryModule {
       s"""WITH e AS (
          |  SELECT DISTINCT source, sh FROM (
          |    SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-         |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+         |      i -> ${DedupQueries.gramSql(3)}))) AS sh
          |    FROM (SELECT source, $toksSql AS toks FROM documents))),
          |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY source),
          |p AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS common
@@ -1898,7 +1916,7 @@ object TextQueries extends QueryModule {
     "bigram_counts" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)),
-         |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |        i -> ${DedupQueries.gramSql(2)})) AS bigram
          |      FROM t)
          |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
@@ -1909,7 +1927,7 @@ object TextQueries extends QueryModule {
          |u AS (SELECT unnest(toks) AS w FROM t),
          |uc AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)),
-         |        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |        i -> ${DedupQueries.gramSql(2)})) AS bigram
          |      FROM t),
          |bc AS (SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram
          |       HAVING count(*) >= 5),
@@ -1966,7 +1984,7 @@ object TextQueries extends QueryModule {
            |       LEFT JOIN $cn ON n.token = $cn.v)""".stripMargin
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |pr AS (SELECT unnest(list_transform(range(1, len(toks)),
-         |         i -> toks[i:i+1])) AS p
+         |         i -> [toks[i], toks[i+1]])) AS p
          |       FROM t),
          |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM pr WHERE p[1] <> p[2]),
          |und AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
@@ -2011,7 +2029,7 @@ object TextQueries extends QueryModule {
            |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
            |         count(*) AS cnt
            |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-           |          i -> array_to_string(toks[i:i+1], ' '))) AS bg FROM $tin)
+           |          i -> ${DedupQueries.gramSql(2)})) AS bg FROM $tin)
            |  WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]
            |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
            |$tm AS (SELECT doc_id, toks, a, b,
@@ -2040,7 +2058,7 @@ object TextQueries extends QueryModule {
         .map(i => s"($i, ${CmsA(i)}, ${CmsB(i)})").mkString(", ")
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
-         |         i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |         i -> ${DedupQueries.gramSql(2)})) AS bigram
          |       FROM t),
          |h AS (SELECT bigram,
          |         CAST('0x' || substr(md5(bigram), 1, 14) AS BIGINT) % 1000000007 AS h
@@ -2071,7 +2089,7 @@ object TextQueries extends QueryModule {
       val num = (KmvK - 1).toLong * 1000000007L
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
          |bg AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
-         |         i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+         |         i -> ${DedupQueries.gramSql(2)})) AS bigram
          |       FROM t),
          |ex AS (SELECT lang, CAST(count(DISTINCT bigram) AS BIGINT) AS exact_distinct
          |       FROM bg GROUP BY lang),
@@ -2128,17 +2146,17 @@ object TextQueries extends QueryModule {
     // shingle derivation), full-vector BIGINT dot/norms, and the exact
     // cos²·10⁶ integer test mirroring the Spark side.
     "tf_cosine_pairs" ->
-      """WITH tf AS (
+      s"""WITH tf AS (
         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id,
-        |          unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |          unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
         |        FROM documents)
         |  WHERE tok <> '' GROUP BY 1, 2),
         |shx AS (SELECT doc_id,
         |          unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |            i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |            i -> ${DedupQueries.gramSql(3)}))) AS sh
         |        FROM (SELECT doc_id,
-        |                string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |                string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
         |              FROM documents)),
         |keep AS (SELECT sh FROM shx GROUP BY sh
         |         HAVING count(*) BETWEEN 2 AND 8),
@@ -2317,7 +2335,7 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id,
          |         list_distinct(list_transform(range(1, len(toks) - 3),
-         |           i -> array_to_string(toks[i:i+4], ' '))) AS ss
+         |           i -> ${DedupQueries.gramSql(5)})) AS ss
          |       FROM t),
          |e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
          |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % 10 = 0)
@@ -2334,7 +2352,7 @@ object TextQueries extends QueryModule {
          |         CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_token_frac
          |       FROM c GROUP BY 1),
          |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
-         |        i -> array_to_string(toks[i:i+1], ' ')) AS bgs FROM t),
+         |        i -> ${DedupQueries.gramSql(2)}) AS bgs FROM t),
          |bf AS (SELECT doc_id,
          |         CASE WHEN len(bgs) > 0
          |              THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE)
@@ -2351,36 +2369,50 @@ object TextQueries extends QueryModule {
          |       md5(regexp_replace(text, '${graft.operators.Extraction.emailPattern}', '[EMAIL]', 'g')) AS scrubbed_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NULL-text guard (r11): Spark's fingerprint/size propagate a NULL
+    // token array to NULL, but DuckDB's list_prepend(0, NULL) is [0]
+    // and the fold then reads 0 — an engines-diverge class the
+    // adversarial NULL-text docs exposed.
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,
          |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CASE WHEN toks IS NULL THEN NULL ELSE
          |       list_reduce(
          |         list_prepend(CAST(0 AS BIGINT),
          |           list_transform(toks,
          |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
-         |         (h, x) -> (h * 31 + x) % 1000000007) AS fp
+         |         (h, x) -> (h * 31 + x) % 1000000007) END AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Token-zipped membership explode + per-chunk fold instead of the
+    // slice-per-chunk form: the carried-list slice re-materializes the
+    // full token list per chunk row in DuckDB (quadratic in doc
+    // length; the r11 megadoc made it hang). Each token emits its ≤ 2
+    // covering chunk ids — ceil((i−W)/S) .. (i−1)//S clamped to the
+    // chunk range — and the rolling fp folds the position-ordered
+    // hashes per chunk, bit-identical to folding the slice.
     "chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |d AS (SELECT doc_id, toks,
          |        CAST(1 + (greatest(len(toks) - 24, 0) + 17) // 18 AS INTEGER) AS n_chunks
          |      FROM t),
-         |c AS (SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id
+         |z AS (SELECT doc_id, n_chunks, unnest(toks) AS tok,
+         |             CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i
          |      FROM d),
-         |ch AS (SELECT doc_id, chunk_id,
-         |         CAST(chunk_id * 18 + 1 AS INTEGER) AS start_tok,
-         |         toks[chunk_id * 18 + 1 : chunk_id * 18 + 24] AS chunk
-         |       FROM c)
-         |SELECT doc_id, chunk_id, start_tok,
-         |       CAST(len(chunk) AS INTEGER) AS chunk_len,
+         |m AS (SELECT doc_id, tok, i,
+         |             CAST(unnest(range(greatest((i - 7) // 18, 0),
+         |                    least((i - 1) // 18, n_chunks - 1) + 1)) AS INTEGER) AS chunk_id
+         |      FROM z)
+         |SELECT doc_id, chunk_id,
+         |       CAST(chunk_id * 18 + 1 AS INTEGER) AS start_tok,
+         |       CAST(count(*) AS INTEGER) AS chunk_len,
          |       list_reduce(
          |         list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(chunk,
-         |             s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) % 1000000007)),
+         |           list(CAST('0x' || substr(md5(tok), 1, 14) AS BIGINT) % 1000000007
+         |                ORDER BY i)),
          |         (h, x) -> (h * 31 + x) % 1000000007) AS chunk_fp
-         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+         |FROM m GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Same integer cross-multiplied ±1 token weighting and fixed-
     // point over-represented fraction; DuckDB sums widen to HUGEINT,
@@ -2545,7 +2577,7 @@ object TextQueries extends QueryModule {
     * `div` exactly on these magnitudes. */
   private def dsirCteSql(src: String): String =
     s"""dg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-       |          i -> array_to_string(toks[i:i+1], ' '))) AS g
+       |          i -> ${DedupQueries.gramSql(2)})) AS g
        |        FROM (SELECT doc_id, lang, $toksSql AS toks FROM $src)),
        |dg AS (SELECT doc_id, lang,
        |         CAST('0x' || substr(md5(g), 1, 14) AS BIGINT) % 1000000007 % $DsirBuckets AS bucket

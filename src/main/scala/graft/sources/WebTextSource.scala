@@ -25,11 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Fidelity boundary, stated honestly: the reference renders with a
-  * real browser (JS execution, cookie-popup clicks — O-10, out of
-  * engine scope per SURVEY §2). By default this source speaks plain
-  * HTTP and approximates `inner_text` by structural tag stripping
+  * real browser (JS execution — out of engine scope per SURVEY §2).
+  * By default this source speaks plain HTTP and approximates
+  * `inner_text` by structural tag stripping
   * ([[WebTextSource.innerText]]); pages that materialize their text
-  * with JavaScript come back sparse. Since round 9 the boundary has a
+  * with JavaScript come back sparse. The reference's cookie-popup
+  * click (O-10, app.py:127-136) has a STATIC analog since round 11:
+  * consent/cookie/GDPR overlay subtrees are dropped before text and
+  * link extraction ([[WebTextSource.stripConsentOverlays]]), so on the
+  * (overwhelmingly common) server-rendered consent banners the
+  * extracted text matches the post-click page; only JS-injected
+  * banners remain at the render-service boundary. Since round 9 the boundary has a
   * spec'd PROTOCOL, not just a seam: `.option("renderService", url)`
   * routes every fetch through a rendering sidecar speaking
   * [[WebTextSource.RenderServiceFetcher]]'s JSON contract (rendered
@@ -96,8 +102,12 @@ object WebTextSource {
   object HttpPageFetcher extends PageFetcher {
     def fetchPage(url: String, timeoutMs: Long): FetchedPage = {
       val (code, body) = JdkFetcher.get(url, timeoutMs)
-      if (code == 200) FetchedPage(code, innerText(body), extractLinks(body))
-      else FetchedPage(code, null, null)
+      if (code == 200) {
+        // strip ONCE so text and links see the same post-"click" DOM —
+        // a dismissed banner's links vanish with it in the reference too
+        val clean = stripConsentOverlays(body)
+        FetchedPage(code, innerText(clean), extractLinks(clean))
+      } else FetchedPage(code, null, null)
     }
   }
 
@@ -196,13 +206,71 @@ object WebTextSource {
   private def decodeEntities(s: String): String =
     BasicEntities.foldLeft(s) { case (acc, (e, c)) => acc.replace(e, c) }
 
-  /** `inner_text("body")` approximated structurally: script/style
-    * subtrees dropped (their text is code, not content), block-level
-    * closers become line breaks, remaining tags stripped, the common
-    * entities decoded, whitespace collapsed per line. Pure function —
-    * unit-tested directly, independent of any network. */
+  /** Container tags a consent overlay lives in. Scoped on purpose:
+    * stripping, say, a `<body class="cookie-policy-page">` would blank
+    * a page ABOUT cookie policy — overlays are div/section/aside/
+    * dialog/footer widgets. */
+  private val ConsentContainers = Set("div", "section", "aside", "dialog", "footer")
+  private val ConsentMarker = "(?i)cookie|consent|gdpr".r.unanchored
+  // one tag, with quoted attr values opaque to '>' (valid HTML)
+  private val TagRe =
+    "(?is)<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>".r
+  private val IdClassRe =
+    "(?i)\\b(?:id|class)\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)".r
+
+  /** O-10's static analog: drop consent/cookie/GDPR overlay SUBTREES
+    * before text extraction, so the extracted text matches what the
+    * reference sees AFTER its popup click (app.py:127-136 clicks
+    * "Accept cookies" buttons before `inner_text`; with the popup
+    * gone, its text never reaches extraction). A container tag whose
+    * id/class mentions cookie|consent|gdpr starts a skipped subtree;
+    * nesting of the SAME tag name is tracked so `<div class=consent>
+    * <div>…</div></div>` drops exactly the overlay, and an unbalanced
+    * overlay (real-world HTML) drops to end-of-document — the same
+    * worst case a browser's popup-obscured viewport has. One linear
+    * pass, driver/executor-side Scala (no Catalyst involvement). */
+  def stripConsentOverlays(html: String): String = {
+    // java.lang.StringBuilder: scala's lacks append(CharSequence, from,
+    // to) and silently auto-tuples the three arguments into one Any
+    val out = new java.lang.StringBuilder(html.length)
+    var pos = 0
+    var skipTag: String = null
+    var depth = 0
+    TagRe.findAllMatchIn(html).foreach { m =>
+      val closing = m.group(1).nonEmpty
+      val name = m.group(2).toLowerCase
+      val attrs = m.group(3)
+      if (skipTag == null) {
+        val isOverlayStart = !closing && ConsentContainers(name) &&
+          !attrs.endsWith("/") && // self-closing containers hold no text
+          IdClassRe.findAllMatchIn(attrs).exists(a =>
+            ConsentMarker.matches(a.group(1).stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("'").stripSuffix("'")))
+        if (isOverlayStart) {
+          out.append(html, pos, m.start)
+          skipTag = name; depth = 1
+          pos = m.end
+        }
+      } else if (name == skipTag) {
+        if (closing) {
+          depth -= 1
+          if (depth == 0) { skipTag = null; pos = m.end }
+        } else if (!attrs.endsWith("/")) depth += 1
+      }
+    }
+    if (skipTag == null) out.append(html, pos, html.length)
+    out.toString
+  }
+
+  /** `inner_text("body")` approximated structurally: consent overlays
+    * dropped first (the popup-click analog, [[stripConsentOverlays]]),
+    * script/style subtrees dropped (their text is code, not content),
+    * block-level closers become line breaks, remaining tags stripped,
+    * the common entities decoded, whitespace collapsed per line. Pure
+    * function — unit-tested directly, independent of any network. */
   def innerText(html: String): String = {
-    val noScript = html.replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noConsent = stripConsentOverlays(html)
+    val noScript = noConsent.replaceAll("(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
     val noComment = noScript.replaceAll("(?s)<!--.*?-->", " ")
     val withBreaks = noComment.replaceAll(
       "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/section|/article)\\b[^>]*>", "\n")

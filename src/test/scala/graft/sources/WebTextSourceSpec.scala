@@ -215,4 +215,55 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     WebTextSource.innerText("<p>a &amp; b &lt; c</p>") shouldEqual "a & b < c"
   }
 
+  test("O-10 analog: consent overlays are stripped before text extraction") {
+    // the reference clicks the popup away (app.py:127-136) before
+    // inner_text; the static analog must yield the SAME text
+    val page =
+      """<html><body>
+        |<div id="cookie-banner" class="modal">We use cookies!
+        |  <div><button>Accept all cookies</button></div>
+        |</div>
+        |<p>Real content about the company.</p>
+        |<section class="GdprConsent"><p>consent details</p></section>
+        |<p>Founded in 1999.</p>
+        |</body></html>""".stripMargin
+    val t = WebTextSource.innerText(page)
+    t should include("Real content about the company.")
+    t should include("Founded in 1999.")
+    t should not include "cookies"
+    t should not include "consent details"
+  }
+
+  test("O-10 analog: nested same-name containers drop exactly the overlay subtree") {
+    val page =
+      """<div class='consent-wall'><div><div>layers of popup</div></div></div>
+        |<div>keep me</div>""".stripMargin
+    val t = WebTextSource.innerText(page)
+    t shouldEqual "keep me"
+  }
+
+  test("O-10 analog: links inside a dismissed banner vanish with it") {
+    val page =
+      """<div id="gdpr"><a href="/cookie-policy">policy</a></div>
+        |<a href="/about">About Us</a>""".stripMargin
+    val clean = WebTextSource.stripConsentOverlays(page)
+    val links = WebTextSource.extractLinks(clean)
+    links.map(_._1) shouldEqual Seq("/about")
+  }
+
+  test("O-10 analog: a page ABOUT cookies is not blanked (container scoping)") {
+    // body/p never start a skip; only overlay containers with a
+    // marked id/class do — and a marked BUTTON (not a container) stays
+    val page =
+      """<body class="cookie-policy-page"><p>Our cookie policy explained.</p>
+        |<button class="cookie-accept">ok</button></body>""".stripMargin
+    val t = WebTextSource.innerText(page)
+    t should include("Our cookie policy explained.")
+    t should include("ok")
+  }
+
+  test("O-10 analog: an unbalanced overlay drops to end-of-document, not a crash") {
+    val page = """<p>before</p><div class="consent">never closed <p>swallowed</p>"""
+    WebTextSource.innerText(page) shouldEqual "before"
+  }
 }
