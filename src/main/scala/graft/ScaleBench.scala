@@ -58,10 +58,13 @@ object ScaleBench {
     * `SPARK_GRAFT_SCALE_QUERIES` (csv) restricts a run to a subset —
     * unknown names fail fast rather than silently shrinking coverage. */
   private val Queries = Seq(
-    // X-161/X-162: sub-document dedup — the chunk explode is ~n/15
-    // rows and the template hash aggregate is vocabulary-bounded, so
-    // shuffle should track corpus size ~linearly
-    "paragraph_dedup", "boilerplate_strip",
+    // X-161/X-162: sub-document dedup — since r11 the chunkers are a
+    // token posexplode + (doc, chunk) aggregate (the explode-then-slice
+    // form was O(len²) bytes on megadocs), so their shuffle is ∝ corpus
+    // TOKENS — still linear, now with a bigger constant the ladder
+    // should show. X-62 chunk_documents shares the shape (overlapping
+    // windows: each token emits ≤ 2 chunk memberships).
+    "paragraph_dedup", "boilerplate_strip", "chunk_documents",
     "ngram_jaccard", "containment_dup", "dedup_clusters", "minhash_lsh",
     "knn_cosine", "ann_lsh_bucket", "ivf_topk",
     "gopher_rules", "dsir_weights", "curation_pipeline",
