@@ -260,6 +260,10 @@ object AdvGen {
         else if (roll < 16) Some("[1, 2]")               // non-object JSON
         else if (roll < 17) Some("{\"k\": 1.7}")         // non-integer number
         else if (roll < 18) Some("{\"k\": -5}")
+        // quoted numeric STRING (r12 advice): json_extract_string strips
+        // the quotes, so only the json_type guard keeps DuckDB from
+        // casting it to 12 where Spark's from_json nulls a string token
+        else if (roll < 19) Some("{\"k\": \"12\"}")
         else Some("{\"k\": " + r.nextInt(100) + "}")
       }
       (eventId, ts, userId, EventTypes(r.nextInt(5)), value, props)
@@ -439,6 +443,10 @@ object AdvGen {
     writeOne(buildEmbeddings().toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>")),
       out, "embeddings")
+
+    // the generator REWRITES parquet under `out` — drop any relations a
+    // prior read memoized for this dir (Tables staleness contract)
+    Tables.invalidate(out)
   }
 
   def main(args: Array[String]): Unit = {

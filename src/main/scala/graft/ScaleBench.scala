@@ -320,6 +320,7 @@ object ScaleBench {
         Tables.table(spark, baseDir, t)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
+      Tables.invalidate(dir) // the planter rewrote parquet under dir
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val nl = spark.read.parquet(s"$dir/lineitem.parquet").count()
@@ -413,6 +414,7 @@ object ScaleBench {
         Tables.table(spark, baseDir, t)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
+      Tables.invalidate(dir) // the planter rewrote parquet under dir
       p -> dir
     }.toMap
     queries.foreach(q => SparkEntry.queries(q)(spark, dirs(pcts.head))

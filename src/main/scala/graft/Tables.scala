@@ -22,8 +22,35 @@ object Tables {
     * shared). Keyed by session identity so spec-created sessions don't
     * cross-contaminate; entries for stopped sessions are a few KB of
     * plan objects, not executor resources. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Outer map: WEAK session keys (r12 advice) — SparkSession doesn't
+  // override equals, so WeakHashMap keys by identity and a stopped,
+  // unreferenced session's plans become collectable instead of being
+  // retained for the JVM's life. Inner map per session: (dir, table).
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionMemo(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame] =
+    memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+
+  /** Staleness contract: a memoized relation snapshots the file listing
+    * and parquet footer at first access, so testdata under a memoized
+    * dir must be IMMUTABLE for the session's life — anything that
+    * rewrites parquet mid-session (fixture generators like
+    * [[graft.AdvGen]], scale planters like ScaleBench) must call
+    * [[invalidate]] on the dir it rewrote, or later accessors would
+    * serve stale listings (silently wrong rows or FileNotFoundException). */
+  def invalidate(dir: String): Unit = memo.synchronized {
+    memo.values.forEach(m => m.keySet.removeIf(_._1 == dir))
+  }
+
   // get + putIfAbsent, NOT computeIfAbsent: the fan/norm accessors
   // memoize a value whose builder calls table() — a nested
   // computeIfAbsent on the same map is "Recursive update" in CHM. The
@@ -32,12 +59,13 @@ object Tables {
   // dropped.
   private def memoized(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    val k = (spark, dir, key)
-    val cached = memo.get(k)
+    val m = sessionMemo(spark)
+    val k = (dir, key)
+    val cached = m.get(k)
     if (cached != null) cached
     else {
       val v = build
-      val prev = memo.putIfAbsent(k, v)
+      val prev = m.putIfAbsent(k, v)
       if (prev != null) prev else v
     }
   }

@@ -65,19 +65,43 @@ case class QuantizeFx(child: Expression, scale: Double,
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val out = new Array[Long](n)
+    // Envelope check is BRANCHLESS in the hot loop (r12, the knn_cosine
+    // clawback): accumulate max(|v|) via the Math.abs/max intrinsics and
+    // compare ONCE after the loop; only the cold failure path rescans
+    // for the offending index. NaN semantics are unchanged — max
+    // poisons to NaN, `NaN > maxAbs` is false, so NaN passes exactly as
+    // the old two-compare form did (floor(NaN·s).toLong = 0).
+    var m = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i))
         throw new IllegalArgumentException(
           s"quantize_fx: null element at index $i (oracle list_transform would propagate NULL; refusing to coerce to 0)")
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      if (v > maxAbs || v < -maxAbs)
-        throw new IllegalArgumentException(
-          s"quantize_fx: |element| $v at index $i exceeds the fixed-point envelope ±$maxAbs — downstream BIGINT dot/L2 accumulation would overflow; normalize or clip embeddings upstream")
+      m = Math.max(m, Math.abs(v))
       out(i) = math.floor(v * scale).toLong
       i += 1
     }
+    if (m > maxAbs) envelopeViolation(x)
     new GenericArrayData(out)
+  }
+
+  /** Cold path: rescan for the first out-of-envelope element and throw
+    * the named contract error with its index. Called from both eval
+    * modes only AFTER the branchless max-accumulate detected a
+    * violation, so the rescan cost is paid exclusively by failing rows. */
+  def envelopeViolation(x: ArrayData): Unit = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (v > maxAbs || v < -maxAbs)
+        throw new IllegalArgumentException(
+          s"quantize_fx: |element| $v at index $i exceeds the fixed-point envelope ±$maxAbs — downstream BIGINT dot/L2 accumulation would overflow; normalize or clip embeddings upstream")
+      i += 1
+    }
+    throw new IllegalStateException(
+      "quantize_fx: envelope violation detected but no element exceeds it (unreachable)")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -86,10 +110,16 @@ case class QuantizeFx(child: Expression, scale: Double,
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       val v = ctx.freshName("v")
+      val m = ctx.freshName("maxSeen")
       val get = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      // Branchless envelope (r12): the hot loop accumulates max(|v|)
+      // with the abs/max intrinsics; ONE compare after the loop gates
+      // the cold rescan-and-throw helper on the expression instance.
+      val ref = if (maxAbs.isInfinite) "" else ctx.addReferenceObj("quantizeFx", this)
       s"""
          |int $n = $x.numElements();
          |long[] $out = new long[$n];
+         |double $m = 0D;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i)) {
          |    throw new IllegalArgumentException(
@@ -98,13 +128,11 @@ case class QuantizeFx(child: Expression, scale: Double,
          |  }
          |  double $v = $get;
          |  ${if (maxAbs.isInfinite) "" else
-             s"""if ($v > ${maxAbs}D || $v < ${-maxAbs}D) {
-                |    throw new IllegalArgumentException(
-                |      "quantize_fx: |element| " + $v + " at index " + $i +
-                |      " exceeds the fixed-point envelope (see Similarity.MaxAbs); normalize or clip embeddings upstream");
-                |  }""".stripMargin}
+             s"$m = java.lang.Math.max($m, java.lang.Math.abs($v));"}
          |  $out[$i] = (long) java.lang.Math.floor($v * $scale);
          |}
+         |${if (maxAbs.isInfinite) "" else
+           s"if ($m > ${maxAbs}D) $ref.envelopeViolation($x);"}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })

@@ -70,7 +70,10 @@ object Extraction {
     * text BEFORE the match (true except for oddities like İ→i̇, a
     * documented boundary a crawled English keyword never hits). */
   def sentenceNear(c: Column, kw: String): Column = {
-    val kwl = kw.toLowerCase
+    // Locale.ROOT: Spark's lower() folds locale-independently; the
+    // default-locale fold would turn 'I' into dotless 'ı' under a
+    // Turkish JVM locale and the keyword would silently never match.
+    val kwl = kw.toLowerCase(java.util.Locale.ROOT)
     val lc = lower(c)
     val p = locate(kwl, lc)                    // 1-based; 0 = absent
     val pre = lc.substr(lit(1), p - 1)         // text strictly before kw

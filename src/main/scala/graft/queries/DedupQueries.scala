@@ -51,8 +51,9 @@ object DedupQueries extends QueryModule {
 
   /** Shared chunk lineage for paragraph_dedup / boilerplate_strip:
     * doc → ⌈n/15⌉ non-overlapping chunks, each with its length and the
-    * md5 of its space-joined text. Pure generator + narrow map (no
-    * shuffle); the md5 of the joined string is bit-identical to the
+    * md5 of its space-joined text, rebuilt via posexplode + ONE
+    * (doc, chunk) groupBy (shuffle ∝ corpus tokens — see the shape
+    * note below); the md5 of the joined string is bit-identical to the
     * oracle's md5(array_to_string(...)). Null text coalesces to '' so
     * every input row survives into the per-doc rollup. */
   private def paraChunks(docs: DataFrame): DataFrame =

@@ -626,9 +626,17 @@ object EventQueries extends QueryModule {
     * non-integer JSON number — without the guard the two engines
     * diverge on every float-valued k. json_valid screens malformed
     * props first (json_extract on them errors in DuckDB), and
-    * TRY_CAST still nulls int32 overflow exactly like Spark. */
+    * TRY_CAST still nulls int32 overflow exactly like Spark.
+    *
+    * json_type is the r12 advice: json_extract_string STRIPS JSON
+    * quoting, so a quoted numeric STRING like {"k":"12"} would pass the
+    * regex and yield 12 in DuckDB while Spark's from_json(IntegerType)
+    * nulls any non-number JSON token — requiring the raw value to be a
+    * JSON integer (BIGINT/UBIGINT; DOUBLE stays excluded per the regex
+    * rule above) pins string-typed k to NULL on both engines. */
   private val propsKSql =
     """TRY_CAST(CASE WHEN json_valid(props)
+      |    AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
       |    AND regexp_matches(coalesce(json_extract_string(props, '$.k'), ''), '^-?[0-9]+$')
       |  THEN json_extract_string(props, '$.k') END AS INTEGER)""".stripMargin
 

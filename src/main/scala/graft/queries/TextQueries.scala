@@ -985,8 +985,12 @@ object TextQueries extends QueryModule {
     // embedding/packing): each doc explodes into ⌈max(n−W,0)/S⌉+1
     // chunks of ≤ W tokens at stride S (= W − overlap), each chunk
     // carrying its rolling fingerprint for downstream chunk-level
-    // dedup. Pure generator + narrow map — no shuffle anywhere but the
-    // sink sort; the W/S arithmetic is exact integers in both engines.
+    // dedup. Shape (r11 megadoc rewrite): posexplode tokens, then ONE
+    // (doc, chunk) groupBy reassembles each chunk — the shuffle is the
+    // accepted price for never copying the full token array into every
+    // exploded row (the explode-then-slice form streams O(len²/S) bytes
+    // through a single task on a long doc); exponent 1.00 at 20×.
+    // The W/S arithmetic is exact integers in both engines.
     // W=24/S=18 is sized to the synthetic ~55-token docs (a production
     // corpus runs 512/448 — only the constants change).
     "chunk_documents" -> ((s, d) => {
@@ -1922,14 +1926,19 @@ object TextQueries extends QueryModule {
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
     // Same counts; the ratio in HUGEINT (c_ab·N²·10⁶ overflows BIGINT).
+    // MATERIALIZED CTEs (r12): DuckDB INLINES a CTE per reference —
+    // t/u/uc are each referenced 2-3× here and the inlined form
+    // re-evaluated tot's scalar subqueries per joined row, turning a
+    // 0.5 s oracle into ~25 min on the megadoc corpus. Fencing the
+    // shared frames restores single evaluation; results are identical.
     "pmi_collocations" ->
-      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
-         |u AS (SELECT unnest(toks) AS w FROM t),
-         |uc AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+      s"""WITH t AS MATERIALIZED (SELECT $toksSql AS toks FROM documents),
+         |u AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
+         |uc AS MATERIALIZED (SELECT w, count(*) AS c_w FROM u GROUP BY w),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)),
          |        i -> ${DedupQueries.gramSql(2)})) AS bigram
          |      FROM t),
-         |bc AS (SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram
+         |bc AS MATERIALIZED (SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram
          |       HAVING count(*) >= 5),
          |tot AS (SELECT (SELECT count(*) FROM u) AS n_toks,
          |               (SELECT sum(greatest(len(toks) - 1, 0)) FROM t) AS n_bi)

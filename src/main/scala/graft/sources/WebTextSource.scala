@@ -211,7 +211,39 @@ object WebTextSource {
     * a page ABOUT cookie policy — overlays are div/section/aside/
     * dialog/footer widgets. */
   private val ConsentContainers = Set("div", "section", "aside", "dialog", "footer")
-  private val ConsentMarker = "(?i)cookie|consent|gdpr".r.unanchored
+
+  /** Consent-marker detection over SPLIT class tokens, not an
+    * unanchored substring over the whole attribute (r12 advice): each
+    * whitespace-separated id/class token is word-split on `-`/`_`/
+    * camelCase and marks consent only when a word IS cookie/consent/
+    * gdpr — so `cookie-banner`, `GdprConsent`, `consent-wall` match
+    * while `bookconsentrations`-style embeddings can't. A negation or
+    * pure-reference word vetoes the token: `no-cookie-fallback` is the
+    * content shown WITHOUT cookies and `consent-links` is links ABOUT
+    * consent — dropping either loses real content, the opposite of the
+    * popup-click analog. */
+  private val ConsentWord = Set("cookie", "cookies", "consent", "gdpr")
+  private val ConsentVeto = Set("no", "non", "not", "without", "link", "links")
+  private val WordSplit = "[-_]|(?<=[a-z0-9])(?=[A-Z])"
+
+  private def isConsentToken(tok: String): Boolean = {
+    val words = tok.split(WordSplit).iterator.filter(_.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+    words.exists(ConsentWord) && !words.exists(ConsentVeto)
+  }
+
+  private def marksConsent(attrValue: String): Boolean =
+    attrValue.split("\\s+").exists(isConsentToken)
+
+  /** An UNCLOSED overlay would otherwise drop to end-of-document; on
+    * real-world HTML (unbalanced markup is routine) that can discard
+    * most of a page over one stray banner div. Bound it: when the
+    * would-be-dropped tail is both most of the document AND large in
+    * absolute terms, fall back to NOT stripping that overlay — a
+    * popup's markup is small, so a huge "overlay" is almost certainly
+    * a tagging accident, and keeping popup text beats losing the page. */
+  private def unclosedDropBound(docLen: Int): Int =
+    math.max(docLen / 2, 32 * 1024)
   // one tag, with quoted attr values opaque to '>' (valid HTML)
   private val TagRe =
     "(?is)<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>".r
@@ -235,6 +267,7 @@ object WebTextSource {
     val out = new java.lang.StringBuilder(html.length)
     var pos = 0
     var skipTag: String = null
+    var skipStart = 0
     var depth = 0
     TagRe.findAllMatchIn(html).foreach { m =>
       val closing = m.group(1).nonEmpty
@@ -244,11 +277,12 @@ object WebTextSource {
         val isOverlayStart = !closing && ConsentContainers(name) &&
           !attrs.endsWith("/") && // self-closing containers hold no text
           IdClassRe.findAllMatchIn(attrs).exists(a =>
-            ConsentMarker.matches(a.group(1).stripPrefix("\"").stripSuffix("\"")
+            marksConsent(a.group(1).stripPrefix("\"").stripSuffix("\"")
               .stripPrefix("'").stripSuffix("'")))
         if (isOverlayStart) {
           out.append(html, pos, m.start)
           skipTag = name; depth = 1
+          skipStart = m.start
           pos = m.end
         }
       } else if (name == skipTag) {
@@ -259,6 +293,10 @@ object WebTextSource {
       }
     }
     if (skipTag == null) out.append(html, pos, html.length)
+    else if (html.length - skipStart > unclosedDropBound(html.length))
+      // bounded unclosed-overlay drop: restore the whole region rather
+      // than discard most of the document over one stray banner tag
+      out.append(html, skipStart, html.length)
     out.toString
   }
 

@@ -46,11 +46,31 @@ object XlsxWrite {
   val MaxRows: Long = 1048576L
 
   /** Write `df` (ordered upstream if order matters) as a single-sheet
-    * workbook at the LOCAL path `path`. */
+    * workbook at the LOCAL path `path`.
+    *
+    * Atomic: the workbook is written to a temp file in the SAME
+    * directory and renamed onto `path` with ATOMIC_MOVE — a concurrent
+    * reader (the workbook is the user-facing deliverable, read while
+    * [[graft.streaming.EventStream.xlsxMirrorSink]] rewrites it every
+    * micro-batch) always sees a complete zip, and a crash mid-write
+    * leaves the previous workbook intact plus a leftover `.tmp` we
+    * delete on failure. */
   def write(df: DataFrame, path: String): Long = {
-    val out = new BufferedOutputStream(new FileOutputStream(path))
-    try writeRows(df.schema, df.toLocalIterator(), out)
-    finally out.close()
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val dir = target.getParent
+    val tmp = java.nio.file.Files.createTempFile(dir, target.getFileName.toString, ".tmp")
+    try {
+      val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+      val n = try writeRows(df.schema, df.toLocalIterator(), out)
+      finally out.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      n
+    } catch {
+      case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Stream `rows` into a workbook on `out`; returns data rows written. */

@@ -209,6 +209,29 @@ class PlanAuditSpec extends SparkSpec {
     counts shouldEqual bounded
   }
 
+  test("AQE is on and the assumed runtime broadcasts actually materialize (r12 audit)") {
+    // erasure_audit and merge_apply deliberately carry NO broadcast
+    // hint (neither a deletion-request set nor a CDC delta of a 100 TB
+    // table may be ASSUMED small) and their scaladoc instead states
+    // "AQE may still broadcast a measured-small one at runtime". Until
+    // r12 that was an assumption; this executes both at sf0.1 and reads
+    // the FINAL adaptive plan as evidence the runtime broadcast really
+    // happens — so a config drift that silently turned AQE off (every
+    // shuffle join degrading to a full exchange) fails loudly here.
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold") should not be "-1"
+    val sf01 = "/root/testdata/sf0.1"
+    Seq("erasure_audit", "merge_apply").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf01)
+      df.collect() // executes THIS queryExecution, finalizing the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      withClue(s"$q final adaptive plan:\n$p\n") {
+        p should include("isFinalPlan=true")
+        p should include("BroadcastHashJoin")
+      }
+    }
+  }
+
   test("unpartitioned windows run ONLY over stratum-cardinality frames (allowlist gate)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     // A window with no PARTITION BY funnels its whole input through one

@@ -266,4 +266,33 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val page = """<p>before</p><div class="consent">never closed <p>swallowed</p>"""
     WebTextSource.innerText(page) shouldEqual "before"
   }
+
+  test("O-10 analog: marker matches word-split class tokens, not substrings (r12)") {
+    // a footer whose class merely LINKS to the consent policy, and the
+    // fallback content shown WITHOUT cookies, are real content — the
+    // unanchored substring form dropped both wholesale
+    val page =
+      """<footer class="site-footer consent-links"><a href="/privacy">privacy</a> contact us</footer>
+        |<div class="no-cookie-fallback">enable cookies to log in</div>
+        |<div class="cookie-banner">We use cookies!</div>""".stripMargin
+    val t = WebTextSource.innerText(page)
+    t should include("contact us")
+    t should include("enable cookies to log in")
+    t should not include "We use cookies!"
+  }
+
+  test("O-10 analog: a huge unclosed 'overlay' falls back to no-strip (r12 bound)") {
+    // real-world unbalanced markup: one stray banner div must not
+    // discard the rest of a large page — past max(len/2, 32 KB) of
+    // would-be-dropped tail the overlay is restored instead
+    val body = "word " * 20000 // ~100 KB of real content
+    val page = s"""<p>intro</p><div class="cookie-banner">never closed <p>$body</p>"""
+    val t = WebTextSource.innerText(page)
+    t should include("intro")
+    t should include("word word word")
+    // the small, properly-closed variant still drops (existing fixture
+    // behavior is unchanged below the bound)
+    WebTextSource.innerText(
+      """<p>before</p><div class="cookie-banner">tiny popup</div>""") shouldEqual "before"
+  }
 }
