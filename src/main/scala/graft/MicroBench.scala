@@ -48,8 +48,16 @@ object MicroBench {
     val tNat = run2("native quantize + native dot",
       vecs.select(natQ.as("q"))
         .select(graft.functions.DotProductFx.dot_fx(col("q"), col("q")).as("d")))
-    System.err.println(f"native/HOF = ${tNat / tHof}%.3f")
-    println(s"""{"rows":$n,"hof_sec":$tHof,"mixed_sec":$tMix,"native_sec":$tNat}""")
+    // the envelope-enforcing form the similarity family actually runs
+    // (Similarity.MaxAbs = 16): prices the r12 branchless max-accumulate
+    // check against the unchecked loop at a scale where the constant
+    // resolves above noise (the registered 5k-vector bench cannot)
+    val envQ = graft.functions.QuantizeFx.quantize_fx(col("embedding"), 1e7, 16.0)
+    val tEnv = run2("native quantize+envelope + dot",
+      vecs.select(envQ.as("q"))
+        .select(graft.functions.DotProductFx.dot_fx(col("q"), col("q")).as("d")))
+    System.err.println(f"native/HOF = ${tNat / tHof}%.3f  envelope/native = ${tEnv / tNat}%.3f")
+    println(s"""{"rows":$n,"hof_sec":$tHof,"mixed_sec":$tMix,"native_sec":$tNat,"envelope_sec":$tEnv}""")
     spark.stop()
   }
 }

@@ -153,6 +153,78 @@ object ScaleBench {
     Alphabet.drop(s) + Alphabet.take(s)
   }
 
+  // ── Affine planting scheme (r12, the third scale decade) ───────
+  //
+  // The mod-20 scheme caps the ladder at 20×: past 20 replicas the
+  // (doc_id + i) mod 20 class hits "exact copy" for MULTIPLE i per doc,
+  // so planted dup-group size grows with R and the output volume
+  // contaminates the engine exponent (the r11 adjudication). The affine
+  // scheme holds group size at EXACTLY 2 under any R ≤ 126:
+  //
+  //  - the per-doc class is doc_id mod 20 (replica-INDEPENDENT), so the
+  //    same 1/20 of docs is planted at every scale and dup-pair count
+  //    grows linearly with R;
+  //  - replicas are texted through AFFINE ciphers σ(x)=a·x+b mod 26
+  //    with a coprime to 26, a ≠ 1 — 11 slopes × 26 offsets = 286
+  //    distinct non-identity permutations, and two DISTINCT affine maps
+  //    agree on ≤ 2 of 26 letters (their difference (a₁−a₂)k ≡ b₂−b₁
+  //    has gcd(a₁−a₂, 26) ∈ {2} solutions), so multi-letter tokens —
+  //    hence shingles — essentially never collide across replicas.
+  //    The 25-value Caesar family repeats at R > 25, which would make
+  //    whole replicas exact duplicates of each other;
+  //  - planted docs pair consecutive replicas: replicas 2p−1 and 2p
+  //    share cipher index 2p−1 (ODD index space) — an exact-dup pair
+  //    for class 0, a one-appended-token near-dup pair for class 1 —
+  //    while bulk replicas use cipher index 2i (EVEN space), so a
+  //    plant can never collide with a bulk replica of the same doc.
+  //    Group size is 2 at ANY R (an odd trailing replica is a
+  //    harmless singleton).
+  private val AffineSlopes = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private def affinePerm(n: Int): String = {
+    val a = AffineSlopes(n % AffineSlopes.size)
+    val b = (n / AffineSlopes.size) % 26
+    (0 until 26).map(k => Alphabet((a * k + b) % 26)).mkString
+  }
+
+  /** Replica i under the affine scheme (see the scheme note above). */
+  private def replicaAffine(base: DataFrame, i: Int, stride: Long): DataFrame =
+    if (i == 0) base
+    else {
+      val cls = col("doc_id") % 20
+      val p = (i + 1) / 2 // plant pair id: (1,2)→1, (3,4)→2, …
+      val plantPerm = affinePerm(2 * p - 1) // odd cipher space
+      val bulkPerm = affinePerm(2 * i)      // even cipher space
+      base.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        when(cls === 0, translate(col("text"), Alphabet, plantPerm))
+          .when(cls === 1,
+            // near-dup plant: the pair's even member appends one token
+            if (i % 2 == 0)
+              concat(translate(col("text"), Alphabet, plantPerm), lit(s" nd$p"))
+            else translate(col("text"), Alphabet, plantPerm))
+          .otherwise(translate(col("text"), Alphabet, bulkPerm))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+
+  /** Embedding replica for R > 20: circular shift of (i−1) mod (dim−1)
+    * + 1 positions (never the identity), negated on every second wrap —
+    * norm-preserving, direction distinct for i < 2·(dim−1) (= 126 at
+    * dim 64). The plain shift-by-i form collides with the base at
+    * i = dim, planting unintended exact vector duplicates. */
+  private def embReplicaAffine(base: DataFrame, i: Int, stride: Long,
+      dim: Int): DataFrame =
+    if (i == 0) base
+    else {
+      val s = (i - 1) % (dim - 1) + 1
+      val shifted = concat(slice(col("embedding"), s + 1, dim - s),
+        slice(col("embedding"), 1, s))
+      val vec = if (((i - 1) / (dim - 1)) % 2 == 1)
+        transform(shifted, x => -x) else shifted
+      base.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+
   // ── Planted-boilerplate skew ladder (round-9 verdict item #3) ──
   //
   // The scale ladder grows the CORPUS; this mode grows a HOT TEMPLATE's
@@ -229,8 +301,19 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft-scale")
-    require(scales.nonEmpty && scales.min >= 1 && scales.max <= 20,
-      "scales must be 1..20 (embedding rotation shift < dim, dup classes mod 20)")
+    // mod20 = the r8-r11 scheme (exponent continuity with those
+    // artifacts); affine = the r12 group-preserving scheme, REQUIRED
+    // past 20× and usable below it. One run never mixes schemes — a
+    // mixed ladder would fit an exponent across two different corpora.
+    val scheme = sys.env.getOrElse("SPARK_GRAFT_SCALE_SCHEME",
+      if (scales.max > 20) "affine" else "mod20")
+    require(scheme == "mod20" || scheme == "affine",
+      s"unknown SPARK_GRAFT_SCALE_SCHEME '$scheme'")
+    require(scales.nonEmpty && scales.min >= 1 &&
+      (if (scheme == "mod20") scales.max <= 20 else scales.max <= 126),
+      "scales must be 1..20 for mod20 (Caesar family size, dup classes " +
+        "mod 20) or 1..126 for affine (cipher space, embedding shift " +
+        "distinctness at dim 64)")
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Queries)
@@ -270,6 +353,15 @@ object ScaleBench {
       case None => ()
     }
 
+    sys.env.get("SPARK_GRAFT_ADV_DIR") match {
+      case Some(advDir) =>
+        val ok = runAdv(spark, advDir, shufRead, shufWrite, maxRecs)
+        spark.stop()
+        if (!ok) sys.exit(1)
+        return
+      case None => ()
+    }
+
     val base = Tables.table(spark, baseDir, "documents")
     val embBase = Tables.table(spark, baseDir, "embeddings")
     // Replica id offset derived from the DATA, not assumed: a fixed
@@ -302,8 +394,13 @@ object ScaleBench {
         (0 until r).map(mk).reduce(_ unionByName _)
           .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$dir/$name.parquet")
-      writeScaled("documents", replica(base, _, stride))
-      writeScaled("embeddings", embReplica(embBase, _, stride, dim))
+      if (scheme == "affine") {
+        writeScaled("documents", replicaAffine(base, _, stride))
+        writeScaled("embeddings", embReplicaAffine(embBase, _, stride, dim))
+      } else {
+        writeScaled("documents", replica(base, _, stride))
+        writeScaled("embeddings", embReplica(embBase, _, stride, dim))
+      }
       // relational growth axis: replicated fact/entity tables over the
       // FIXED dim catalog
       writeScaled("customer", keyShifted(
@@ -360,7 +457,7 @@ object ScaleBench {
       // pass (they are deterministic per pass up to AQE decisions)
       val (sec, rd, wr) = if (s1 <= s2) (s1, r1, w1) else (s2, r2, w2)
       obs += Obs(r, n, q, sec, rd, wr)
-      println(f"""{"scale":$r,"n_docs":$n,"query":"$q","sec":$sec%.2f,"shuffle_read_mb":$rd%.1f,"shuffle_write_mb":$wr%.1f}""")
+      println(f"""{"scale":$r,"scheme":"$scheme","n_docs":$n,"query":"$q","sec":$sec%.2f,"shuffle_read_mb":$rd%.1f,"shuffle_write_mb":$wr%.1f}""")
     }
 
     // Fitted log-log exponent per query over the scale ladder (least
@@ -378,9 +475,92 @@ object ScaleBench {
       val xs = o.map(_.scale.toDouble)
       val eT = slope(xs, o.map(_.sec))
       val eW = slope(xs, o.map(x => math.max(x.writeMb, 0.1)))
-      println(f"""{"query":"$q","exponent_time":$eT%.2f,"exponent_shuffle_write":$eW%.2f}""")
+      println(f"""{"query":"$q","scheme":"$scheme","exponent_time":$eT%.2f,"exponent_shuffle_write":$eW%.2f}""")
     } else System.err.println("[scale] single scale - no exponent fit")
     spark.stop()
+  }
+
+  /** Adversarial-corpus members of the PERF harness (r12 item #3): the
+    * r11 megadoc fixes were correctness-gated (specs + wall-clock
+    * tripwires) but the adversarial fixture never ran under a timed,
+    * shuffle-metered harness — a reintroduced quadratic idiom (the
+    * greedy-regex / explode-slice / substr-offset trap classes) would
+    * only surface as a hung verify. This is every registered query
+    * whose hot path walks document TEXT or embedding arrays row-wise —
+    * the surfaces megadocs (>1 MB single rows), the 10⁵-token Zipf
+    * vocabulary, and zero/dup/extreme embeddings actually stress. */
+  private val AdvQueries = Seq(
+    // extraction family (sentenceNear, regex extract, enrichment map)
+    "lead_extract", "extract_stats", "enrich_flatten", "leadsight_pipeline",
+    "truncate_preview", "present_format", "ordered_projection", "pii_scrub",
+    // chunkers / packers (the r11 explode-slice pathology class)
+    "chunk_documents", "paragraph_dedup", "boilerplate_strip",
+    "sequence_pack", "sequence_pack_global", "context_truncation",
+    // multimodal (the substr-offset pathology class)
+    "frame_sample", "media_stats", "phash_neardup",
+    // tokenize-aggregate text family (megadoc token volumes)
+    "token_stats", "tf_topk", "token_counts", "bigram_counts",
+    "doc_fingerprint", "bm25_score", "doc_lm_score", "pmi_collocations",
+    "textrank_keywords", "heaps_law", "tf_cosine_pairs", "chi2_tokens",
+    "dsir_weights", "gopher_rules", "curation_pipeline", "repetition_stats",
+    "cms_bigram_counts", "approx_distinct_tokens", "stopword_strip",
+    "hashed_features", "next_token_topk", "bpe_merges", "ngram_novelty",
+    "lang_confusion", "text_quality", "classifier_filter",
+    // dedup candidate generators on megadoc shingle volumes
+    "exact_dedup", "ngram_jaccard", "containment_dup", "minhash_lsh",
+    "simhash_neardup", "edit_distance_pairs", "winnow_fingerprints",
+    "winnow_overlap", "substring_dup_spans", "lsh_recall",
+    // similarity over the trap embeddings (zero/dup/extreme vectors)
+    "knn_cosine", "ann_lsh_bucket", "ivf_topk", "embedding_neardup",
+    "semantic_dedup", "kcenter_seeds")
+
+  /** Time the megadoc-sensitive families against the adversarial
+    * fixture with the same noop-write/min-of-2 methodology as the scale
+    * ladder, and FAIL (exit 1) if any query exceeds the wall ceiling —
+    * the standing tripwire that keeps the quadratic trap classes from
+    * returning. Ceiling via SPARK_GRAFT_ADV_CEILING_SEC (default 120 s,
+    * generous against a measured ~1-10 s/query envelope so only a
+    * complexity-class regression, not machine noise, can trip it). */
+  private def runAdv(spark: SparkSession, advDir: String,
+      shufRead: AtomicLong, shufWrite: AtomicLong,
+      maxRecs: AtomicLong): Boolean = {
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_ADV_CEILING_SEC", "120").toDouble
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(AdvQueries)
+    queries.foreach(q => require(SparkEntry.queries.contains(q),
+      s"unknown adv query '$q'"))
+    // warmup: compile every plan once off the clock (same discipline as
+    // the ladder; the adversarial corpus is the only corpus here, so
+    // warmup runs against it directly)
+    queries.foreach { q =>
+      SparkEntry.queries(q)(spark, advDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def settle(): Unit = Thread.sleep(1000)
+    var allOk = true
+    for (q <- queries) {
+      def once(): (Double, Double, Double, Long) = {
+        settle()
+        val r0 = shufRead.get; val w0 = shufWrite.get; maxRecs.set(0L)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, advDir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        settle()
+        (sec, (shufRead.get - r0) / 1e6, (shufWrite.get - w0) / 1e6,
+          maxRecs.get)
+      }
+      val (s1, r1, w1, m1) = once()
+      val (s2, r2, w2, m2) = once()
+      val (sec, rd, wr) = if (s1 <= s2) (s1, r1, w1) else (s2, r2, w2)
+      val mx = math.max(m1, m2)
+      val ok = sec <= ceiling
+      if (!ok) allOk = false
+      println(f"""{"adv_query":"$q","sec":$sec%.2f,"shuffle_read_mb":$rd%.1f,"shuffle_write_mb":$wr%.1f,"max_task_shuffle_rows":$mx,"ceiling_sec":$ceiling%.0f,"within_ceiling":$ok}""")
+    }
+    println(s"""{"adv_summary":"${if (allOk) "all_within_ceiling" else "CEILING_EXCEEDED"}","n_queries":${queries.size}}""")
+    allOk
   }
 
   /** The boilerplate-skew ladder (see [[Boilerplate]]): one corpus per
