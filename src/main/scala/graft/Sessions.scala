@@ -13,12 +13,25 @@ import org.apache.spark.sql.SparkSession
   * stays set so a nanos-era dataset still loads.
   */
 object Sessions {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    // Measurement-only conf overrides (semicolon-separated k=v), e.g.
+    // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1" lets
+    // ScaleBench pin one PLAN REGIME across a scale decade — an
+    // exponent fitted across a broadcast→shuffle-join flip point mixes
+    // two regimes and reads super-linear even when each is linear.
+    // The driver never sets this; Verify/Bench artifacts run defaults.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k, v)
+      }
+  }
 }
