@@ -85,4 +85,19 @@ class QuantizeFxSpec extends SparkSpec {
       math.floor(Similarity.MaxAbs.toFloat.toDouble * Similarity.Scale).toLong,
       math.floor(-Similarity.MaxAbs.toFloat.toDouble * Similarity.Scale).toLong)
   }
+
+  test("the branchless envelope's cold-path rescan reports the offending INDEX (r12)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the r12 form accumulates max(|v|) in the hot loop and only a
+    // separate rescan names the index — this pins that the rescan finds
+    // the right element when the violation is NOT at position 0
+    val e = intercept[Exception] {
+      Seq(Seq(1.0f, -2.0f, 100.0f, 3.0f)).toDF("a")
+        .select(Similarity.quantize(col("a"))).collect()
+    }
+    val root = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(root.contains("index 2"), s"expected 'index 2' in: $root")
+  }
 }
