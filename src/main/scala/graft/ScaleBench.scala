@@ -393,9 +393,13 @@ object ScaleBench {
     // planting is deterministic per (scheme, scale), so a rebuild
     // writes byte-identical content; reuse just skips the ~minutes of
     // replication when iterating measurement configs over one ladder.
+    // The SCHEME is part of the corpus path (r12 advice): an x$r dir
+    // built under mod20 reused by an affine run (or vice versa) would
+    // silently fit an exponent over a mixed-scheme corpus — the exact
+    // contamination the scheme separation exists to prevent.
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val dirs = scales.map { r =>
-      val dir = s"$outBase/x$r"
+      val dir = s"$outBase/$scheme/x$r"
       def done(name: String) =
         new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists()
       def writeScaled(name: String, mk: Int => DataFrame): Unit =

@@ -30,8 +30,14 @@ object Sessions {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foldLeft(b) { (bb, kv) =>
+        // name the malformed token: a bare `val Array(k, v) = split`
+        // threw an opaque MatchError for an entry without '='
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v (semicolon-separated list)")
         val Array(k, v) = kv.split("=", 2)
-        bb.config(k, v)
+        require(k.trim.nonEmpty,
+          s"SPARK_GRAFT_CONF entry '$kv' has an empty key")
+        bb.config(k.trim, v)
       }
   }
 }

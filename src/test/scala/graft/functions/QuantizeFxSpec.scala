@@ -89,9 +89,10 @@ class QuantizeFxSpec extends SparkSpec {
   test("the branchless envelope's cold-path rescan reports the offending INDEX (r12)") {
     import spark.implicits._
     import graft.operators.Similarity
-    // the r12 form accumulates max(|v|) in the hot loop and only a
-    // separate rescan names the index — this pins that the rescan finds
-    // the right element when the violation is NOT at position 0
+    // the branchless form accumulates only a violation FLAG in the hot
+    // loop (since r13 — two NaN-safe compares, not r12's max(|v|)) and a
+    // separate cold rescan names the index — this pins that the rescan
+    // finds the right element when the violation is NOT at position 0
     val e = intercept[Exception] {
       Seq(Seq(1.0f, -2.0f, 100.0f, 3.0f)).toDF("a")
         .select(Similarity.quantize(col("a"))).collect()
@@ -99,5 +100,33 @@ class QuantizeFxSpec extends SparkSpec {
     val root = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(root.contains("index 2"), s"expected 'index 2' in: $root")
+  }
+
+  test("a NaN element cannot mask a later envelope violation (r13, the NaN-safe flag)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // r12's max(|v|) accumulator poisoned to NaN on the first NaN and
+    // `NaN > maxAbs` is false, so Seq(NaN, 100f) sailed past the
+    // envelope and overflowed downstream — the flag form must throw on
+    // the 100f in BOTH eval modes, while NaN alone still passes.
+    def run(): Unit =
+      Seq(Seq(Float.NaN, 100.0f)).toDF("a")
+        .select(Similarity.quantize(col("a"))).collect()
+    def rootOf(e: Throwable) = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val root = rootOf(intercept[Exception](run()))
+    assert(root.contains("fixed-point envelope") && root.contains("index 1"),
+      s"expected envelope error at index 1 in: $root")
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val root2 = rootOf(intercept[Exception](run()))
+      assert(root2.contains("fixed-point envelope") && root2.contains("index 1"),
+        s"expected envelope error at index 1 in: $root2")
+    }
+    // a NaN element ALONE keeps the historical pass-through semantics:
+    // floor(NaN·s).toLong = 0, no envelope error
+    val ok = Seq(Seq(Float.NaN, 1.0f)).toDF("a")
+      .select(Similarity.quantize(col("a"))).collect().head.getSeq[Long](0)
+    ok shouldEqual Seq(0L, math.floor(1.0f.toDouble * Similarity.Scale).toLong)
   }
 }
