@@ -19,6 +19,12 @@ import sys
 
 THRESH = 1.5
 ABS_FLOOR = 0.1  # seconds
+# Shuffle-budget gate (r13): a query whose shuffle WRITE grew >= THRESH x
+# with an absolute delta past this floor is flagged even when its wall
+# time hides in machine noise. The floor absorbs listener-posting bleed
+# between adjacent queries (Bench runs without settle sleeps) and AQE
+# coalesce wobble on small frames.
+SHUF_ABS_FLOOR_MB = 16.0
 
 # The two FROZEN cohorts whose totals BASELINE.md tracks across rounds:
 # headline-75 (the round-5 suite) and heavy-20 (the 20 most expensive
@@ -59,8 +65,9 @@ def _merge(lines):
     """Fold parseable bench-JSON lines into one record: the per-query
     map from the per_query line, total/counters from the total line
     (since r7 Bench prints them on TWO stdout lines so the driver's
-    2000-char tail capture can't lose the total)."""
-    per_query, total = None, None
+    2000-char tail capture can't lose the total), and — when present
+    (r13+) — the per-query shuffle map under key 'shuffle'."""
+    per_query, total, shuffle = None, None, None
     for line in lines:
         try:
             j = json.loads(line)
@@ -68,10 +75,15 @@ def _merge(lines):
             continue  # head-truncated capture of a long line
         if not isinstance(j, dict):
             continue
-        if "queries" in j:
+        if j.get("metric") == "per_query_shuffle":
+            shuffle = j["queries"]
+        elif "queries" in j:
             per_query = j
         elif j.get("metric") == "total":
             total = j
+    if per_query is not None and shuffle is not None:
+        per_query = dict(per_query)
+        per_query["shuffle"] = shuffle
     if per_query is None and total is None:
         return None
     if per_query is None:
@@ -86,6 +98,8 @@ def _merge(lines):
     if total is not None:
         merged = dict(total)
         merged["queries"] = per_query["queries"]
+        if "shuffle" in per_query:
+            merged["shuffle"] = per_query["shuffle"]
         return merged
     return per_query
 
@@ -144,6 +158,21 @@ def main():
         elif a >= b * THRESH and a - b >= ABS_FLOOR:
             improved.append((name, a, b, b / a))
 
+    # Shuffle-budget gate (r13): compare per-query shuffle WRITE MB when
+    # both artifacts carry the r13+ shuffle line. Old artifacts without
+    # it skip the gate with a note (never a silent pass-through of a
+    # missing signal as "flat").
+    os_, ns_ = old.get("shuffle"), new.get("shuffle")
+    shuf_flagged = []
+    if os_ is not None and ns_ is not None:
+        for name in sorted(set(os_) & set(ns_)):
+            a, b = os_[name].get("w", 0.0), ns_[name].get("w", 0.0)
+            if b >= a * THRESH and b - a >= SHUF_ABS_FLOOR_MB:
+                shuf_flagged.append((name, a, b, b / max(a, 0.01)))
+    else:
+        print("note: shuffle gate skipped (per_query_shuffle line missing "
+              "in one artifact — pre-r13 capture)", file=sys.stderr)
+
     print(f"old: {os.path.basename(old_p)} total={old.get('value')}s "
           f"({len(oq)} queries)")
     print(f"new: {os.path.basename(new_p)} total={new.get('value')}s "
@@ -159,12 +188,22 @@ def main():
         print(f"  REMOVED  {name} (was {oq[name]:.3f}s)")
     for name, a, b, r in sorted(improved, key=lambda x: x[3]):
         print(f"  faster   {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
+    bad = False
     if flagged:
+        bad = True
         print(f"\n== {len(flagged)} REGRESSION(S) >= {THRESH}x ==")
         for name, a, b, r in sorted(flagged, key=lambda x: -x[3]):
             print(f"  REGRESSED {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
+    if shuf_flagged:
+        bad = True
+        print(f"\n== {len(shuf_flagged)} SHUFFLE REGRESSION(S) >= {THRESH}x "
+              f"(abs floor {SHUF_ABS_FLOOR_MB:.0f}MB) ==")
+        for name, a, b, r in sorted(shuf_flagged, key=lambda x: -x[3]):
+            print(f"  SHUFFLE   {name}: {a:.1f}MB -> {b:.1f}MB ({r:.2f}x)")
+    if bad:
         sys.exit(1)
-    print(f"\n== no per-query regression >= {THRESH}x (abs floor {ABS_FLOOR}s) ==")
+    print(f"\n== no per-query regression >= {THRESH}x (abs floor {ABS_FLOOR}s; "
+          f"shuffle floor {SHUF_ABS_FLOOR_MB:.0f}MB) ==")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-query shuffle accounting (r13, the r12 verdict's tripwire
+    // item): total shuffle read/write bytes from a task-metrics
+    // listener, snapshotted around each timed run, reported from the
+    // SAME pass the min wall time comes from. Purpose: a code change
+    // that silently doubles a query's shuffle at sf0.1 while its wall
+    // time hides in machine noise now shows in the artifact, and
+    // scripts/bench_trend.py gates on it like it gates wall time.
+    // No settle sleeps between queries (ScaleBench pays 1 s per
+    // measurement; 195×2 of those would add ~7 min to every bench):
+    // listener postings are asynchronous, so a query's last in-flight
+    // tasks can bleed a few MB into the NEXT query's delta — the trend
+    // gate's ratio+absolute-floor thresholds absorb that, and the
+    // bleed is consistent across rounds (same suite order).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+
     // Plan-vs-execute split (round-9 item #4): job wall-clock intervals
     // from the scheduler listener; per timed run, exec = union length of
     // the job intervals inside the run's window, plan = wall − exec
@@ -87,18 +114,22 @@ object Bench {
           }
         })
 
-    // (sec, windowStartMs, windowEndMs) — the window bounds feed the
-    // plan/execute attribution when the split is enabled
+    // (sec, windowStartMs, windowEndMs, shuffleReadMb, shuffleWriteMb)
+    // — the window bounds feed the plan/execute attribution when the
+    // split is enabled
+    case class Run(sec: Double, w0: Long, w1: Long, rdMb: Double, wrMb: Double)
     def timeOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      val r0 = shufRead.get; val s0 = shufWrite.get
       val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis())
+        Run((System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis(),
+          (shufRead.get - r0) / 1e6, (shufWrite.get - s0) / 1e6)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        (-1.0, w0, System.currentTimeMillis())
+        Run(-1.0, w0, System.currentTimeMillis(), 0.0, 0.0)
       }
     }
 
@@ -107,16 +138,25 @@ object Bench {
     // report the per-query minimum.
     val pass1 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
     val pass2 = names.map { case (name, fn) => (name, timeOnce(name, fn)) }
-    val results = pass1.zip(pass2).map { case ((name, (a, _, _)), (_, (b, _, _))) =>
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       val v =
-        if (a < 0 && b < 0) -1.0
-        else if (a < 0) b
-        else if (b < 0) a
-        else math.min(a, b)
+        if (a.sec < 0 && b.sec < 0) -1.0
+        else if (a.sec < 0) b.sec
+        else if (b.sec < 0) a.sec
+        else math.min(a.sec, b.sec)
       (name, v)
     }
-    pass1.zip(pass2).foreach { case ((name, (a, _, _)), (_, (b, _, _))) =>
-      System.err.println(f"[bench] $name%-28s pass1=$a%8.3f pass2=$b%8.3f")
+    // shuffle bytes from the pass the reported (min) wall time comes
+    // from — the ScaleBench convention (deterministic per pass up to
+    // AQE decisions + the bleed noted above)
+    val shuffles = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      val best =
+        if (b.sec < 0 || (a.sec >= 0 && a.sec <= b.sec)) a else b
+      (name, best.rdMb, best.wrMb)
+    }
+    pass1.zip(pass2).foreach { case ((name, a), (_, b)) =>
+      System.err.println(
+        f"[bench] $name%-28s pass1=${a.sec}%8.3f pass2=${b.sec}%8.3f shuffleW=${math.min(a.wrMb, b.wrMb)}%9.1fMB")
     }
 
     // Attribute exec/plan per query from the MIN pass's window: merged
@@ -142,11 +182,12 @@ object Bench {
       def fmt3(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val lines = pass1.zip(pass2).collect {
-        case ((name, (a, a0, a1)), (_, (b, b0, b1))) if a >= 0 || b >= 0 =>
-          val (wall, w0, w1) =
-            if (b < 0 || (a >= 0 && a <= b)) (a, a0, a1) else (b, b0, b1)
-          val ex = execMs(w0, w1) / 1e3
-          name -> (wall, math.min(ex, wall), wall - math.min(ex, wall))
+        case ((name, a), (_, b)) if a.sec >= 0 || b.sec >= 0 =>
+          val best =
+            if (b.sec < 0 || (a.sec >= 0 && a.sec <= b.sec)) a else b
+          val ex = execMs(best.w0, best.w1) / 1e3
+          name -> (best.sec, math.min(ex, best.sec),
+            best.sec - math.min(ex, best.sec))
       }
       val body = lines.map { case (n, (w, e, p)) =>
         s""""$n":{"wall":${fmt3(w)},"exec":${fmt3(e)},"plan":${fmt3(p)}}"""
@@ -176,11 +217,20 @@ object Bench {
     val failed = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     spark.stop()
-    // Two stdout lines, per the round-6 verdict: the per-query dict grew to
-    // ~3.5 KB at 150 queries and overflowed the driver's 2000-char tail
-    // capture when embedded in the final line, hiding the total. So the
-    // full per-query JSON goes on the PENULTIMATE line, and the LAST line
-    // is total-only — bounded to a few hundred bytes at any suite size.
+    // THREE stdout lines (shuffle line added r13), ordered so the two
+    // lines the driver parses stay LAST, per the round-6 verdict: the
+    // per-query dict grew to ~3.5 KB at 150 queries and overflowed the
+    // driver's 2000-char tail capture when embedded in the final line,
+    // hiding the total. Shuffle first (informational, consumed by the
+    // committed builder artifact + bench_trend), then the full
+    // per-query JSON on the PENULTIMATE line, and the LAST line is
+    // total-only — bounded to a few hundred bytes at any suite size.
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val sh = shuffles.map { case (k, r, w) =>
+      "\"" + k + "\":{\"r\":" + fmt1(r) + ",\"w\":" + fmt1(w) + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query_shuffle","unit":"mb","queries":$sh,"sf":"$sfDir"}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failed,"sf":"$sfDir"}""")
   }
