@@ -85,6 +85,63 @@ class PartitionedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("a month=... derived-column layout prunes partitions by COUNT in the plan (r13)") {
+    // The layout every 100 TB fact table actually ships: a time-derived
+    // partition column (month=yyyy-MM) over lineitem (from l_shipdate)
+    // and events (from ts). Unlike the existing-column re-lay above,
+    // the partition column here is DERIVED at write time and must be
+    // dropped on read before a registered query sees the table — this
+    // pins (a) the write recipe, (b) that a month predicate prunes at
+    // the SCAN, asserted from the FileSourceScanExec's selected
+    // partition COUNT, not just the PartitionFilters string, and (c)
+    // that pruning reads strictly fewer partitions than the full scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft-month").toString
+    // lineitem by month (83 directories at this SF); events span only
+    // one month of synthetic time, so they take the finer day=
+    // granularity a streaming sink would use (30 directories)
+    val cases = Seq(
+      ("lineitem", "month", "yyyy-MM",
+        Tables.table(spark, src, "lineitem"), col("l_shipdate")),
+      ("events", "day", "yyyy-MM-dd", Tables.events(spark, src), col("ts")))
+    for ((table, pcol, fmtStr, srcDf, tsCol) <- cases)
+      srcDf.withColumn(pcol, date_format(tsCol, fmtStr))
+        .write.mode("overwrite").partitionBy(pcol)
+        .parquet(s"$dir/$table.parquet")
+    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+      }.sum
+    for ((table, pcol, fmtStr, srcDf, tsCol) <- cases) {
+      val full = spark.read.parquet(s"$dir/$table.parquet")
+      val nParts = full.select(pcol).distinct().count()
+      nParts should be > 1L // the assertions below need >1 partition to prune
+      // hive layout type-INFERS partition values (day=2024-01-01 reads
+      // back as DATE) — extract values through an explicit string cast
+      val first = full.select(col(pcol).cast("string").as("p"))
+        .orderBy("p").limit(1).collect().head.getString(0)
+      val pruned = full.filter(col(pcol) === first)
+      withClue(s"$table: ") {
+        // the plan proves it: exactly 1 of `nParts` partitions read
+        scanPartitions(pruned) shouldEqual 1
+        scanPartitions(full) shouldEqual nParts.toInt
+        val plan = pruned.queryExecution.executedPlan.toString
+        plan should include("PartitionFilters")
+        // and the pruned read returns exactly the rows the single-file
+        // layout finds by deriving + filtering the same period
+        pruned.count() shouldEqual
+          srcDf.filter(date_format(tsCol, fmtStr) === first).count()
+        // range predicates prune too — the incremental-job shape
+        // (period >= watermark): only the max directory is read
+        val cut = full.select(max(col(pcol).cast("string")))
+          .collect().head.getString(0)
+        scanPartitions(full.filter(col(pcol) >= cut)) shouldEqual 1
+        // layout-agnostic once the derived column is dropped back out
+        full.drop(pcol).count() shouldEqual srcDf.count()
+      }
+    }
+  }
+
   test("partition values with spaces and mixed charsets round-trip the directory encoding") {
     // '4-NOT SPECIFIED' URL-encodes in the directory name; the read
     // back must restore the exact string or every downstream group-by
