@@ -65,6 +65,24 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "i", "p")
   }
 
+  /** frame_sample's (X-78) sampling + fingerprint stage, shared
+    * VERBATIM by the registered query (stand-in frames from the linear
+    * regexp split of the text payload) and the real-decoder path
+    * (frames from [[FrameDecoder.framesAt]] in MultimodalSpec) — the
+    * Decoder-seam claim made executable for video, the way aHashPairs
+    * made it executable for images: swapping the codec changes ONLY
+    * the frame source; the even-frame sampling arithmetic, the byte
+    * offset, and the md5 fingerprint are this one function on both
+    * paths. Input: (media_id, frame_no, frame). Output: the registered
+    * query's (media_id, frame_no, off, frame_h) rows for the EVEN
+    * frames. */
+  def frameFingerprints(frames: DataFrame, frameLen: Int): DataFrame =
+    frames
+      .filter(col("frame_no") % 2 === 0)
+      .select(col("media_id"), col("frame_no"),
+        (col("frame_no") * frameLen + 1).as("off"),
+        md5(col("frame")).as("frame_h"))
+
   /** Deterministic media frame derived from `documents`: the text bytes
     * stand in for encoded media payloads; kind/meta are keyed off
     * doc_id so the oracle can reproduce them. */

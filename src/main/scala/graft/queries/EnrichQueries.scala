@@ -77,18 +77,18 @@ object EnrichQueries extends QueryModule {
       // video: the r11 adversarial 2.3 M-char megadoc payload pinned
       // an executor in UTF8String.substring for >10 min. Same fix
       // mirrored in the oracle (DuckDB substr re-scans too).
-      Multimodal.syntheticMedia(Tables.documents(s, d))
-        .filter(col("kind") === "video")
-        .select(col("media_id"), col("content").cast("string").as("payload"))
-        .withColumn("frames",
-          expr(s"regexp_extract_all(payload, '(?s).{$F}', 0)"))
-        .filter(size(col("frames")) > 0)
-        .select(col("media_id"),
-          posexplode(col("frames")).as(Seq("frame_no", "frame")))
-        .filter(col("frame_no") % 2 === 0)
-        .select(col("media_id"), col("frame_no"),
-          (col("frame_no") * F + 1).as("off"),
-          md5(col("frame")).as("frame_h"))
+      // the sampling + fingerprint stage is Multimodal.frameFingerprints,
+      // shared verbatim with the real-decoder (GIF) path in
+      // MultimodalSpec — only the frame SOURCE differs (r13)
+      Multimodal.frameFingerprints(
+        Multimodal.syntheticMedia(Tables.documents(s, d))
+          .filter(col("kind") === "video")
+          .select(col("media_id"), col("content").cast("string").as("payload"))
+          .withColumn("frames",
+            expr(s"regexp_extract_all(payload, '(?s).{$F}', 0)"))
+          .filter(size(col("frames")) > 0)
+          .select(col("media_id"),
+            posexplode(col("frames")).as(Seq("frame_no", "frame"))), F)
         .orderBy("media_id", "frame_no")
     }),
 

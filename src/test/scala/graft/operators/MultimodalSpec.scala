@@ -277,6 +277,77 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(t => t._1 == 2L || t._2 == 2L))
   }
 
+  test("frame_sample's REGISTERED stages produce byte-identical fingerprints from decoded GIF frames (r13)") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // self-contained multi-frame GIF builder (as the stride test above)
+    def frame(shade: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      img
+    }
+    def gif(shades: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      shades.foreach(sh => writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(sh), null, null), null))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val vids = Seq(0L -> gif(Seq(0x10, 0x80, 0x30, 0xC0, 0x55)),
+                   1L -> gif(Seq(0x20, 0x40, 0x90)))
+    val dec = new Decoders.ImageIoDecoder
+    val dim = 60
+    // canonical frame payload: each gray pixel as exactly 3 digits, so
+    // one decoded frame is a fixed-width 180-char "frame" — the shape
+    // the registered query's linear `(?s).{F}` split expects
+    def enc(px: Array[Long]): String = px.map(p => f"$p%03d").mkString
+    val F = dim * 3
+    // PATH A — the registered query's stand-in shape verbatim: one
+    // concatenated payload per video, regexp frame split, posexplode,
+    // then the SHARED frameFingerprints stage
+    val payloads = vids.map { case (id, bytes) =>
+      (id, dec.frames(bytes, dim).map(px => enc(px.toArray)).mkString)
+    }.toDF("media_id", "payload")
+    val standIn = Multimodal.frameFingerprints(
+      payloads
+        .withColumn("frames", expr(s"regexp_extract_all(payload, '(?s).{$F}', 0)"))
+        .filter(expr("size(frames) > 0"))
+        .select(col("media_id"),
+          posexplode(col("frames")).as(Seq("frame_no", "frame"))), F)
+    // PATH B — real decode: only the SAMPLED frames decoded
+    // (FrameDecoder.framesAt), same canonical encoding, same shared
+    // stage. The codec is the ONLY difference between the paths.
+    val decoded = vids.flatMap { case (id, bytes) =>
+      val idx = 0 until dec.frameCount(bytes) by 2
+      dec.framesAt(bytes, idx, dim).zip(idx).map { case (px, fn) =>
+        (id, fn, enc(px.toArray))
+      }
+    }.toDF("media_id", "frame_no", "frame")
+    val real = Multimodal.frameFingerprints(decoded, F)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_id", "frame_no").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val a = rows(standIn); val b = rows(real)
+    a shouldEqual b // byte-identity through the shared md5 stage
+    // sampled exactly the even frames: video 0 has 5 → 0,2,4; video 1 has 3 → 0,2
+    a.map(t => (t._1, t._2)) shouldEqual
+      Seq((0L, 0), (0L, 2), (0L, 4), (1L, 0), (1L, 2))
+    // and the fingerprint is the md5 of the REAL pixel payload (pin one
+    // row against a locally computed digest so the stage can't drift
+    // into hashing something else)
+    val f0 = enc(dec.framesAt(vids.head._2, Seq(0), dim).head.toArray)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest(f0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    a.head._4 shouldEqual exp
+  }
+
   test("ImageIoDecoder plugs into extractFeatures through the config seam") {
     import spark.implicits._
     import java.awt.image.BufferedImage
