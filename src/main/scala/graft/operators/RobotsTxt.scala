@@ -76,4 +76,53 @@ object RobotsTxt {
     transform(
       filter(groupRules(robotsTxt), r => !r.getField("allow")),
       r => r.getField("path"))
+
+  /** Plain-Scala twin of [[groupRules]] for the LIVE fetch path (r13):
+    * the DSv2 `graft-web` reader consults robots on executors, outside
+    * any Catalyst context, so the same group model runs here as a
+    * line fold. RobotsTxtSpec pins this twin against the column form
+    * on shared fixtures, so the two implementations cannot drift.
+    * Returns (allow, pathPrefix) in file order. */
+  def groupRulesScala(robotsTxt: String): Seq[(Boolean, String)] = {
+    var run = false
+    var star = false
+    val out = Seq.newBuilder[(Boolean, String)]
+    robotsTxt.replace('\t', ' ').split("\r?\n", -1).foreach { raw =>
+      val line = raw.replaceAll("#.*", "").trim
+      if (line.isEmpty) {
+        // noise: contributes nothing and does NOT break a header run
+      } else {
+        val low = line.toLowerCase(java.util.Locale.ROOT)
+        val value = line.replaceAll("^[^:]*:", "").trim
+        val isUa = low.startsWith("user-agent:")
+        if (isUa) {
+          star = if (run) star || value == "*" else value == "*"
+        } else if ((low.startsWith("disallow:") || low.startsWith("allow:"))
+            && star && value.nonEmpty) {
+          out += ((low.startsWith("allow:"), value))
+        }
+        run = isUa
+      }
+    }
+    out.result()
+  }
+
+  /** RFC 9309 §2.2.2 precedence over [[groupRulesScala]] rules — the
+    * Scala twin of the X-135 query's struct-max: longest matching
+    * prefix wins, Allow wins length ties, allow-by-default when no
+    * rule matches. `path` is the URL path (leading '/'). */
+  def isAllowed(rules: Seq[(Boolean, String)], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (allow, rule) =>
+      if (path.startsWith(rule)) {
+        val l = rule.length
+        // lexicographic (length, allow-bit) max — allow wins ties
+        if (l > bestLen || (l == bestLen && allow)) {
+          bestLen = l; bestAllow = allow
+        }
+      }
+    }
+    bestLen < 0 || bestAllow
+  }
 }

@@ -52,7 +52,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * list (`numPartitions`, default min(8, n)); one fetch in flight per
   * task, one shared JDK HttpClient per executor JVM (`@transient
   * lazy`), which is the reference's strictly-sequential loop
-  * parallelized across executors. The options-string URL list is the
+  * parallelized across executors.
+  *
+  * Crawl governance (r13, the X-133/X-134/X-135 batch gates applied
+  * LIVE): `.option("respectRobots", "true")` fetches each host's
+  * `/robots.txt` once per task, parses it with the RFC 9309 group
+  * model ([[graft.operators.RobotsTxt.groupRulesScala]], pinned
+  * against the Catalyst twin), applies longest-match/Allow-wins
+  * precedence, and emits a [[RobotsBlockedStatus]] row WITHOUT
+  * fetching a disallowed URL (unreachable robots = full disallow,
+  * unavailable 4xx = allow, per RFC 9309 §2.3.1).
+  * `.option("politenessMs", "500")` enforces a minimum gap between
+  * consecutive requests to the same host, robots fetch included.
+  * Either option switches the planner to HOST-GROUPED partitions (a
+  * host never spans two tasks, so per-host state is partition-local);
+  * the reference gets this for free by crawling sequentially
+  * (app.py:290) — this is the same guarantee at cluster parallelism. The options-string URL list is the
   * reference's entry shape (a submitted list of sites, thousands at
   * most — app.py's xlsx upload); a 100 TB-scale frontier would not
   * arrive via an option string, and for that shape the engine's
@@ -60,6 +75,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the documented path — this source is the bounded-list entry point.
   */
 object WebTextSource {
+
+  /** `status` value for a URL the source REFUSED to fetch because the
+    * host's robots rules disallow it (option `respectRobots`). Not an
+    * HTTP status on purpose: the request was never made. Distinct from
+    * the null-status transport-error row so a frontier can separate
+    * "politely skipped" from "host down". */
+  val RobotsBlockedStatus: Int = -1
 
   val Schema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = false),
@@ -379,48 +401,153 @@ class WebTextTable extends Table with SupportsRead {
       // (the RenderServiceFetcher protocol); absent → plain HTTP
       Option(options.get("renderService"))
         .map(WebTextSource.RenderServiceFetcher(_): WebTextSource.PageFetcher)
-        .getOrElse(WebTextSource.HttpPageFetcher))
+        .getOrElse(WebTextSource.HttpPageFetcher),
+      // crawl governance (r13): 'respectRobots' fetches + applies each
+      // host's robots.txt before any page on it (RFC 9309 group model
+      // + Allow precedence — the X-133/X-135 batch gates applied LIVE);
+      // 'politenessMs' spaces consecutive requests to the SAME host.
+      // Either option switches partition planning to host-grouped so
+      // per-host serialization is a partition-local property.
+      Option(options.get("respectRobots")).exists(_.trim.toBoolean),
+      Option(options.get("politenessMs")).map(_.toLong).getOrElse(0L))
   }
 }
 
 class WebTextScan(urls: Array[String], numPartitions: Int, timeoutMs: Long,
-    fetcher: WebTextSource.PageFetcher)
+    fetcher: WebTextSource.PageFetcher,
+    respectRobots: Boolean = false, politenessMs: Long = 0L)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = WebTextSource.Schema
   override def toBatch: Batch = this
 
+  private def governed: Boolean = respectRobots || politenessMs > 0
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1,
-      if (numPartitions > 0) math.min(numPartitions, urls.length)
-      else math.min(8, urls.length))
-    // round-robin, not contiguous slices: submitted lists are often
-    // grouped by site, and contiguous slicing would hand one slow
-    // site's every page to a single straggler task
-    (0 until n).map(i =>
-      UrlsPartition(urls.zipWithIndex.collect {
-        case (u, j) if j % n == i => u
-      }): InputPartition).toArray
+    if (governed) {
+      // HOST-GROUPED planning: per-host serialization (politeness) and
+      // the one-robots-fetch-per-host cache are partition-local
+      // properties only if a host never spans two tasks. Hosts are
+      // spread round-robin by first appearance; within a partition the
+      // original URL order is kept, so a task interleaves its hosts
+      // and fetches one host's page while another host's politeness
+      // window elapses. (The reference crawls strictly sequentially —
+      // accidental politeness; this is the scale-correct form: full
+      // parallelism ACROSS hosts, serial WITHIN one.)
+      val hostOf = urls.map { u =>
+        u -> (try Option(java.net.URI.create(u).getAuthority)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(u)
+        catch { case _: IllegalArgumentException => u })
+      }.toMap
+      val hosts = urls.map(hostOf).distinct
+      val n = math.max(1,
+        if (numPartitions > 0) math.min(numPartitions, hosts.length)
+        else math.min(8, hosts.length))
+      val slot = hosts.zipWithIndex.map { case (h, i) => h -> i % n }.toMap
+      (0 until n).map(i =>
+        UrlsPartition(urls.filter(u => slot(hostOf(u)) == i))
+          : InputPartition).filter(
+        _.asInstanceOf[UrlsPartition].urls.nonEmpty).toArray
+    } else {
+      val n = math.max(1,
+        if (numPartitions > 0) math.min(numPartitions, urls.length)
+        else math.min(8, urls.length))
+      // round-robin, not contiguous slices: submitted lists are often
+      // grouped by site, and contiguous slicing would hand one slow
+      // site's every page to a single straggler task
+      (0 until n).map(i =>
+        UrlsPartition(urls.zipWithIndex.collect {
+          case (u, j) if j % n == i => u
+        }): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WebTextReaderFactory(timeoutMs, fetcher)
+    new WebTextReaderFactory(timeoutMs, fetcher, respectRobots, politenessMs)
 }
 
 case class UrlsPartition(urls: Array[String]) extends InputPartition
 
 class WebTextReaderFactory(timeoutMs: Long,
-    fetcher: WebTextSource.PageFetcher) extends PartitionReaderFactory {
+    fetcher: WebTextSource.PageFetcher,
+    respectRobots: Boolean = false, politenessMs: Long = 0L)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WebTextReader(partition.asInstanceOf[UrlsPartition].urls, timeoutMs,
-      fetcher)
+      fetcher, respectRobots, politenessMs)
 }
 
 class WebTextReader(urls: Array[String], timeoutMs: Long,
-    fetcher: WebTextSource.PageFetcher = WebTextSource.HttpPageFetcher)
+    fetcher: WebTextSource.PageFetcher = WebTextSource.HttpPageFetcher,
+    respectRobots: Boolean = false, politenessMs: Long = 0L)
     extends PartitionReader[InternalRow] {
   private var i = -1
   private var row: InternalRow = _
+
+  // ── crawl governance (r13): per-host robots cache + request spacing.
+  // Host-grouped planning guarantees a host never spans two tasks, so
+  // partition-local state IS per-host state. ──
+  // None = robots UNREACHABLE (5xx/transport): full disallow per
+  // RFC 9309 §2.3.1.4 — a host whose governance can't be read is not
+  // crawled. Unavailable (4xx) = allow all (§2.3.1.3).
+  private val robotsCache =
+    scala.collection.mutable.Map[String, Option[Seq[(Boolean, String)]]]()
+  private val lastHit = scala.collection.mutable.Map[String, Long]()
+
+  private def authorityOf(url: String): Option[(String, String)] =
+    try {
+      val u = java.net.URI.create(url)
+      for (a <- Option(u.getAuthority); s <- Option(u.getScheme))
+        yield (s, a.toLowerCase(java.util.Locale.ROOT))
+    } catch { case _: IllegalArgumentException => None }
+
+  private def pathOf(url: String): String =
+    try Option(java.net.URI.create(url).getRawPath).filter(_.nonEmpty)
+      .getOrElse("/")
+    catch { case _: IllegalArgumentException => "/" }
+
+  /** Sleep out the remainder of the host's politeness window (no-op
+    * when politenessMs is 0). Applies to EVERY request to the host,
+    * including the robots.txt fetch itself. */
+  private def politeWait(host: String): Unit = if (politenessMs > 0) {
+    lastHit.get(host).foreach { t =>
+      val remainMs = politenessMs - (System.nanoTime() - t) / 1000000L
+      if (remainMs > 0) Thread.sleep(remainMs)
+    }
+  }
+  private def recordHit(host: String): Unit =
+    if (politenessMs > 0) lastHit(host) = System.nanoTime()
+
+  /** Robots rules for a host, fetched ONCE per (host, partition) and
+    * cached; politeness spacing covers the fetch. */
+  private def robotsFor(scheme: String, auth: String): Option[Seq[(Boolean, String)]] =
+    robotsCache.getOrElseUpdate(auth, {
+      politeWait(auth)
+      try {
+        val (code, body) =
+          WebTextSource.JdkFetcher.get(s"$scheme://$auth/robots.txt", timeoutMs)
+        if (code == 200) Some(graft.operators.RobotsTxt.groupRulesScala(body))
+        else if (code >= 400 && code < 500) Some(Seq.empty) // allow all
+        else None // server error → unreachable → full disallow
+      } catch {
+        case ie: InterruptedException => throw ie
+        case _: Exception => None // transport failure → full disallow
+      } finally recordHit(auth)
+    })
+
+  /** False only when governance says DON'T fetch: robots disallow the
+    * path, or robots themselves are unreachable. URLs without a
+    * parseable scheme+authority skip governance (their fetch fails into
+    * the transport-error row anyway). */
+  private def allowedByRobots(url: String): Boolean =
+    !respectRobots || (authorityOf(url) match {
+      case Some((scheme, auth)) => robotsFor(scheme, auth) match {
+        case Some(rules) =>
+          graft.operators.RobotsTxt.isAllowed(rules, pathOf(url))
+        case None => false
+      }
+      case None => true
+    })
 
   // the fetch happens in next(), not get(): the PartitionReader
   // contract allows get() to be called repeatedly per advance and
@@ -434,16 +561,24 @@ class WebTextReader(urls: Array[String], timeoutMs: Long,
     // pattern (`val (s: Any, …) = t`) is a runtime type TEST, and null
     // fails it — the error row itself would MatchError
     val fetched: (Any, Any, Any) =
-      try {
-        val page = fetcher.fetchPage(url, timeoutMs)
-        if (page.text != null)
-          (page.status,
-            UTF8String.fromString(page.text),
-            new GenericArrayData(page.links.map {
-              case (href, anchor) => InternalRow(
-                UTF8String.fromString(href), UTF8String.fromString(anchor))
-            }.toArray[Any]))
-        else (page.status, null, null)
+      if (!allowedByRobots(url))
+        // governance row: never fetched (RobotsBlockedStatus, not an
+        // HTTP status) — the live form of the X-133/X-135 gates
+        (WebTextSource.RobotsBlockedStatus, null, null)
+      else try {
+        val hostKey = authorityOf(url).map(_._2)
+        hostKey.foreach(politeWait)
+        try {
+          val page = fetcher.fetchPage(url, timeoutMs)
+          if (page.text != null)
+            (page.status,
+              UTF8String.fromString(page.text),
+              new GenericArrayData(page.links.map {
+                case (href, anchor) => InternalRow(
+                  UTF8String.fromString(href), UTF8String.fromString(anchor))
+              }.toArray[Any]))
+          else (page.status, null, null)
+        } finally hostKey.foreach(recordHit)
       } catch {
         // task cancellation arrives as Thread.interrupt() →
         // InterruptedException out of HttpClient.send; swallowing it

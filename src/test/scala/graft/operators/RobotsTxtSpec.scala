@@ -87,4 +87,45 @@ class RobotsTxtSpec extends SparkSpec {
       Seq("/private/", "/tmp/")
     parse("User-agent:\t*\r\nDisallow:\t/p/") shouldEqual Seq("/p/") // tabs around values
   }
+
+  test("groupRulesScala (the live-reader twin) agrees with the column form on every fixture (r13)") {
+    // the DSv2 reader parses robots on executors with the plain-Scala
+    // twin — any drift between the two implementations would let the
+    // LIVE gate disagree with the X-133/X-135 BATCH gates on the same
+    // robots body. Every fixture this suite uses (plus hostile shapes)
+    // must parse identically through both.
+    val fixtures = Seq(
+      "User-agent: *\nDisallow: /private/\nDisallow: /tmp/",
+      "User-agent: googlebot\nDisallow: /g/\n\nUser-agent: *\nDisallow: /a/",
+      "User-agent: a\nUser-agent: *\nDisallow: /x/",
+      "User-agent: *\nUser-agent: b\nDisallow: /y/",
+      "User-agent: *\nDisallow: /x/\nUser-agent: b\nDisallow: /z/",
+      "# policy\nUSER-AGENT: *\n\nDISALLOW: /p/\nDisallow:\n# end",
+      "User-agent: a\n# note\nUser-agent: *\nDisallow: /q/",
+      "User-agent: googlebot\nDisallow: /g/",
+      "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nallow: /open/",
+      "User-agent: *\nDisallow: /private/ # staff only\nAllow: /pub/",
+      "User-agent: *\r\nDisallow: /private/\r\n\r\nDisallow: /tmp/\r\n",
+      "User-agent:\t*\r\nDisallow:\t/p/",
+      "Sitemap: https://x/s.xml\nUser-agent: *\nDisallow: /s/\nSitemap: y\nAllow: /s/a/",
+      "", "garbage without any directive\nDisallow: /orphan/")
+    for (txt <- fixtures)
+      withClue(s"fixture <<$txt>>: ") {
+        RobotsTxt.groupRulesScala(txt) shouldEqual parseGroup(txt)
+      }
+  }
+
+  test("isAllowed: longest match wins, Allow wins ties, allow by default (r13)") {
+    val rules = RobotsTxt.groupRulesScala(
+      "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nDisallow: /tmp")
+    RobotsTxt.isAllowed(rules, "/") shouldBe true
+    RobotsTxt.isAllowed(rules, "/open/x") shouldBe true
+    RobotsTxt.isAllowed(rules, "/private/x") shouldBe false
+    RobotsTxt.isAllowed(rules, "/private/pub/y") shouldBe true // carve-out
+    RobotsTxt.isAllowed(rules, "/tmp/z") shouldBe false
+    // exact length tie between Allow and Disallow → Allow wins (§2.2.2)
+    val tie = Seq((false, "/a/"), (true, "/a/"))
+    RobotsTxt.isAllowed(tie, "/a/x") shouldBe true
+    RobotsTxt.isAllowed(Seq.empty, "/anything") shouldBe true
+  }
 }

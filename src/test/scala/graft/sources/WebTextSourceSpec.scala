@@ -90,6 +90,106 @@ class WebTextSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     super.afterAll()
   }
 
+  /** A fresh logging loopback host for the governance tests: every
+    * request's (path, nanoTime) is recorded, robots.txt body (or
+    * status) is per-server. Each call = a DISTINCT authority (own
+    * port), so host-keyed state can't leak between tests. */
+  private def loggingServer(robotsStatus: Int, robotsBody: String)
+      : (HttpServer, String, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]) = {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", (ex: HttpExchange) => {
+      val p = ex.getRequestURI.getPath
+      log.add((p, System.nanoTime()))
+      if (p == "/robots.txt") respond(ex, robotsStatus, robotsBody)
+      else respond(ex, 200, s"<html><body><p>page $p</p></body></html>")
+    })
+    s.start()
+    (s, s"http://127.0.0.1:${s.getAddress.getPort}", log)
+  }
+
+  test("live robots gate: a disallowed path is NEVER fetched; Allow carve-out is (r13)") {
+    val (s, b, log) = loggingServer(200,
+      "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n")
+    try {
+      val rows = spark.read.format("graft-web")
+        .option("urls", s"$b/site/a,$b/private/x,$b/private/pub/y")
+        .option("respectRobots", "true")
+        .option("timeoutMs", "5000")
+        .load().collect().map(r => r.getString(0) -> r).toMap
+      rows(s"$b/site/a").getInt(1) shouldEqual 200
+      rows(s"$b/private/pub/y").getInt(1) shouldEqual 200
+      val blocked = rows(s"$b/private/x")
+      blocked.getInt(1) shouldEqual WebTextSource.RobotsBlockedStatus
+      assert(blocked.isNullAt(2) && blocked.isNullAt(3))
+      // the server-side proof: the disallowed path never arrived, and
+      // robots.txt was consulted exactly once for the host
+      val paths = log.toArray.map(_.asInstanceOf[(String, Long)]._1).toSeq
+      paths should not contain "/private/x"
+      paths.count(_ == "/robots.txt") shouldEqual 1
+      paths should contain allOf ("/site/a", "/private/pub/y")
+    } finally s.stop(0)
+  }
+
+  test("unreachable robots (5xx) = full disallow: no page on the host is fetched (r13)") {
+    val (s, b, log) = loggingServer(500, "boom")
+    try {
+      val rows = spark.read.format("graft-web")
+        .option("urls", s"$b/site/a,$b/site/c")
+        .option("respectRobots", "true")
+        .option("timeoutMs", "5000")
+        .load().collect()
+      rows.foreach { r =>
+        r.getInt(1) shouldEqual WebTextSource.RobotsBlockedStatus
+        assert(r.isNullAt(2) && r.isNullAt(3))
+      }
+      val paths = log.toArray.map(_.asInstanceOf[(String, Long)]._1).toSeq
+      paths shouldEqual Seq("/robots.txt") // one attempt, nothing else
+    } finally s.stop(0)
+  }
+
+  test("politeness spaces same-host requests and host-grouping serializes them (r13)") {
+    val (s, b, log) = loggingServer(404, "") // 4xx robots = allow all
+    try {
+      val gapMs = 400L
+      val df = spark.read.format("graft-web")
+        .option("urls", s"$b/site/1,$b/site/2,$b/site/3")
+        .option("politenessMs", gapMs.toString)
+        .option("timeoutMs", "5000")
+        .load()
+      // one host → host-grouped planning puts every URL in ONE task
+      df.rdd.getNumPartitions shouldEqual 1
+      df.collect().map(_.getInt(1)).toSeq shouldEqual Seq(200, 200, 200)
+      val times = log.toArray.map(_.asInstanceOf[(String, Long)])
+        .filter(_._1.startsWith("/site/")).map(_._2).sorted.toSeq
+      times should have size 3
+      // consecutive same-host requests are spaced by >= politenessMs
+      // (small slack for sleep/clock granularity)
+      times.sliding(2).foreach { case Seq(a, c) =>
+        (c - a) / 1000000L should be >= (gapMs - 50)
+      }
+    } finally s.stop(0)
+  }
+
+  test("governed planning groups by host: a host never spans two partitions (r13)") {
+    val (s1, b1, _) = loggingServer(404, "")
+    val (s2, b2, _) = loggingServer(404, "")
+    try {
+      val df = spark.read.format("graft-web")
+        .option("urls", s"$b1/site/1,$b2/site/1,$b1/site/2,$b2/site/2")
+        .option("politenessMs", "1")
+        .option("numPartitions", "2")
+        .load()
+      df.rdd.getNumPartitions shouldEqual 2
+      val hostsPerPartition = df.select("url").rdd
+        .mapPartitions(it => Iterator.single(
+          it.map(r => java.net.URI.create(r.getString(0)).getAuthority).toSet))
+        .collect()
+      hostsPerPartition.foreach(_.size shouldEqual 1)
+      hostsPerPartition.flatMap(_.toSeq).toSet.size shouldEqual 2
+    } finally { s1.stop(0); s2.stop(0) }
+  }
+
   test("innerText: script/style/comments dropped, blocks break lines, entities decoded") {
     val t = WebTextSource.innerText(page)
     t should include("Acme & Sons")
