@@ -75,9 +75,13 @@ def _merge(lines):
             continue  # head-truncated capture of a long line
         if not isinstance(j, dict):
             continue
-        if j.get("metric") == "per_query_shuffle":
+        if str(j.get("metric", "")).startswith("per_query_shuffle"):
+            # plain (one run) or _minN (merged builder artifact); last
+            # one wins, same as the wall-time convention below
             shuffle = j["queries"]
         elif "queries" in j:
+            # per_query or per_query_minN — LAST wins, so a merged
+            # builder artifact's min-of-N record is what gets compared
             per_query = j
         elif j.get("metric") == "total":
             total = j
