@@ -77,6 +77,11 @@ object Tables {
     memo.remove(new SessionKey(spark)); ()
   }
 
+  /** Test hooks for the retention bound (TablesRetentionSpec). */
+  private[graft] def memoSessionCount: Int = memo.synchronized(memo.size)
+  private[graft] def memoHas(spark: SparkSession): Boolean =
+    memo.synchronized(memo.containsKey(new SessionKey(spark)))
+
   /** Staleness contract: a memoized relation snapshots the file listing
     * and parquet footer at first access, so testdata under a memoized
     * dir must be IMMUTABLE for the session's life — anything that

@@ -120,7 +120,7 @@ object SimilarityQueries extends QueryModule {
 
   /** Top-`n` nearest centroids per vector (max cosine, ties to lowest
     * cluster id); `cents` must carry (cluster, ce, nc). */
-  private def nearestClusters(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+  private[graft] def nearestClusters(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cluster"))
     df.crossJoin(broadcast(cents))
       .withColumn("c", cosFx(dotFx(col("qe"), col("ce")), col("nq"), col("nc")))
@@ -172,7 +172,7 @@ object SimilarityQueries extends QueryModule {
     * exchange — the map-side argmax keeps assignment shuffle-free at
     * any k, which is what lets semantic_dedup/ann_family fit the 100×
     * ladder instead of erring on it. */
-  private def assignMapSideTop1(df: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignMapSideTop1(df: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(
       collect_list(struct(col("cluster"), col("ce"), col("nc"))).as("cs"))
     df.crossJoin(broadcast(packed))

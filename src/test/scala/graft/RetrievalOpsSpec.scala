@@ -402,4 +402,57 @@ class RetrievalOpsSpec extends SparkSpec {
     sec("centroid").map(r => (r.getLong(1), r.getLong(5))).toSet shouldEqual
       sec("maint").map(r => (r.getLong(1), r.getLong(16))).toSet
   }
+
+  test("assignMapSideTop1 agrees with the window form on ties, null cosines, and hostile vectors (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity._
+    // hand-built quantized frames exercising every tiebreak class the
+    // derived-k assignment must reproduce from nearestClusters:
+    //  - vec 0: strictly nearest one centroid (the plain case)
+    //  - vec 1: EXACT cosine tie between two centroids (same direction
+    //    scaled) -> lowest cluster id must win on both paths
+    //  - vec 2: zero-norm vector -> cosFx NULL for every centroid ->
+    //    all-null tie -> lowest cluster id
+    //  - vec 3: negative dot with every centroid (max of negatives)
+    //  - vec 4: orthogonal to one centroid (cos exactly 0.0)
+    val vecs = Seq(
+      (0L, Seq(10L, 0L, 0L)),
+      (1L, Seq(3L, 3L, 0L)),
+      (2L, Seq(0L, 0L, 0L)),
+      (3L, Seq(-5L, -7L, -1L)),
+      (4L, Seq(0L, 0L, 9L))
+    ).toDF("vec_id", "qe")
+      .withColumn("nq", expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    val cents = Seq(
+      (0L, Seq(1L, 1L, 0L)),   // same direction as vec 1
+      (1L, Seq(2L, 2L, 0L)),   // SAME direction again -> exact tie with cluster 0
+      (2L, Seq(4L, 0L, 1L)),
+      (3L, Seq(0L, 0L, -1L))
+    ).toDF("cluster", "ce")
+      .withColumn("nc", expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val win = rows(graft.queries.SimilarityQueries.nearestClusters(vecs, cents, 1))
+    val map = rows(graft.queries.SimilarityQueries.assignMapSideTop1(vecs, cents))
+    map shouldEqual win
+    // and both implement the documented tiebreaks
+    map.find(_._1 == 1L).get._2 shouldEqual 0L // exact tie -> lowest id
+    map.find(_._1 == 2L).get._2 shouldEqual 0L // all-null tie -> lowest id
+    // larger randomized agreement sweep (fixed seed): 200 vectors x 16
+    // centroids of small ints, duplicate-direction centroids included
+    val rnd = new scala.util.Random(7)
+    val rv = Seq.tabulate(200)(i => (i.toLong,
+      Seq.fill(8)(rnd.nextInt(7).toLong - 3L))).toDF("vec_id", "qe")
+      .withColumn("nq", expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    val baseC = Seq.tabulate(8)(i => (i.toLong,
+      Seq.fill(8)(rnd.nextInt(7).toLong - 3L)))
+    val rc = (baseC ++ baseC.map { case (id, ce) =>
+        (id + 8L, ce.map(_ * 2L)) }) // scaled duplicates -> cosine ties
+      .toDF("cluster", "ce")
+      .withColumn("nc", expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    rows(graft.queries.SimilarityQueries.assignMapSideTop1(rv, rc)) shouldEqual
+      rows(graft.queries.SimilarityQueries.nearestClusters(rv, rc, 1))
+  }
 }
